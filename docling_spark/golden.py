@@ -1,0 +1,121 @@
+"""Golden-span derivation: Docling groundtruth JSON → ordered span list.
+
+Implements the deterministic rule from FIXTURES.md §3 over the
+serialized ``DoclingDocument`` fixtures in
+/root/reference/tests/data/groundtruth/docling_v2/*.json (reading order
+= depth-first body-tree order,
+/root/reference/docs/concepts/docling_document.md:43-44).
+
+This is the TEST-SIDE half of the correctness contract; the engine side
+(docling_spark.doctree.flatten) serializes through the same canonical
+table form so the gate reduces to exact span-sequence equality on
+``(kind, text, media_ref, order)`` per doc_id (BASELINE.json:16).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import List, Optional
+
+from .doctree import serialize_grid
+
+GROUNDTRUTH_DIR = Path("/root/reference/tests/data/groundtruth/docling_v2")
+TESTDATA_DIR = Path("/root/reference/tests/data")
+
+
+def _resolve(doc: dict, ref: str) -> Optional[dict]:
+    """Resolve a JSON-pointer-ish '$ref' like '#/texts/0'."""
+    parts = ref.lstrip("#/").split("/")
+    node = doc
+    for p in parts:
+        if isinstance(node, list):
+            node = node[int(p)]
+        elif isinstance(node, dict):
+            node = node.get(p)
+        else:
+            return None
+        if node is None:
+            return None
+    return node
+
+
+def _table_text(item: dict) -> str:
+    data = item.get("data", {})
+    num_rows = int(data.get("num_rows", 0))
+    num_cols = int(data.get("num_cols", 0))
+    grid = data.get("grid") or []
+    grid_texts = [[(c or {}).get("text", "") for c in row] for row in grid]
+    header_flags = [bool((c or {}).get("column_header", False))
+                    for c in (grid[0] if grid else [])]
+    header_flags += [False] * (num_cols - len(header_flags))
+    return serialize_grid(grid_texts, header_flags[:num_cols],
+                          num_rows, num_cols)
+
+
+def golden_spans(gt: dict, media_refs: Optional[List[str]] = None) -> List[dict]:
+    """Flatten a groundtruth DoclingDocument dict into golden spans.
+
+    ``media_refs``: ordered media refs the synthetic input interleaved
+    with the document; the j-th emitted picture span gets the j-th ref
+    (FIXTURES.md §3.4); absent → "".
+    """
+    spans: List[dict] = []
+    media_refs = media_refs or []
+    n_pics = 0
+
+    def visit(ref: str) -> None:
+        nonlocal n_pics
+        item = _resolve(gt, ref)
+        if item is None:
+            return
+        is_group = ref.startswith("#/groups") or ref in ("#/body", "#/furniture")
+        in_body = item.get("content_layer", "body") == "body"
+        if not is_group and in_body:
+            if ref.startswith("#/texts"):
+                spans.append({"kind": item.get("label", "text"),
+                              "text": item.get("text", ""),
+                              "media_ref": "", "offset": len(spans)})
+            elif ref.startswith("#/pictures"):
+                mref = media_refs[n_pics] if n_pics < len(media_refs) else ""
+                n_pics += 1
+                spans.append({"kind": "picture", "text": "",
+                              "media_ref": mref, "offset": len(spans)})
+            elif ref.startswith("#/tables"):
+                spans.append({"kind": "table", "text": _table_text(item),
+                              "media_ref": "", "offset": len(spans)})
+            # key_value_items / form_items: absent from declarative-format
+            # goldens; ignored here.
+        for child in item.get("children", []):
+            child_ref = child.get("$ref") if isinstance(child, dict) else None
+            if child_ref:
+                visit(child_ref)
+
+    visit("#/body")
+    return spans
+
+
+def load_golden(name: str, media_refs: Optional[List[str]] = None) -> List[dict]:
+    """Load golden spans for a fixture, e.g. name='example_01.html'."""
+    path = GROUNDTRUTH_DIR / f"{name}.json"
+    with open(path, "r", encoding="utf-8") as f:
+        gt = json.load(f)
+    return golden_spans(gt, media_refs)
+
+
+def fixture_names(suffix: str) -> List[str]:
+    """All groundtruth fixture names with the given input suffix
+    (e.g. '.html' → ['example_01.html', ...])."""
+    out = []
+    for p in sorted(GROUNDTRUTH_DIR.glob(f"*{suffix}.json")):
+        out.append(p.name[: -len(".json")])
+    return out
+
+
+def fixture_payload(name: str) -> str:
+    """Raw input payload text for a fixture name like 'example_01.html'."""
+    suffix = name.rsplit(".", 1)[-1]
+    subdir = {"html": "html", "md": "md", "csv": "csv",
+              "asciidoc": "asciidoc"}.get(suffix, suffix)
+    path = TESTDATA_DIR / subdir / name
+    return path.read_text(encoding="utf-8")

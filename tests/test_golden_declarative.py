@@ -1,0 +1,48 @@
+"""Correctness gate, phase 1-2: span-sequence equality vs Docling
+groundtruth fixtures (BASELINE.json:16) for the model-free declarative
+formats. Pure-Python (no Spark session) — the same parser code runs
+inside the Arrow UDFs, so this pins the semantics; the Spark plumbing
+is covered by test_extract_spark.py."""
+
+import pytest
+
+from docling_spark.doctree import flatten
+from docling_spark.golden import fixture_names, fixture_payload, load_golden
+from docling_spark.parsers.csv_parser import parse_csv_document
+from docling_spark.parsers.html_parser import parse_html_document
+
+HTML_FIXTURES = fixture_names(".html")
+CSV_FIXTURES = fixture_names(".csv")
+
+
+def test_fixture_sets_nonempty():
+    assert len(HTML_FIXTURES) == 9
+    assert len(CSV_FIXTURES) == 8
+
+
+@pytest.mark.parametrize("name", HTML_FIXTURES)
+def test_html_span_equality(name):
+    got = flatten(parse_html_document(fixture_payload(name)))
+    want = load_golden(name)
+    assert got == want
+
+
+@pytest.mark.parametrize("name", CSV_FIXTURES)
+def test_csv_span_equality(name):
+    got = flatten(parse_csv_document(fixture_payload(name)))
+    want = load_golden(name)
+    assert got == want
+
+
+def test_table_serialization_roundtrip():
+    from docling_spark.doctree import TableCell, TableData, serialize_table
+
+    data = TableData(num_rows=2, num_cols=3, cells=[
+        TableCell(text="a", col_span=2, start_row=0, start_col=0,
+                  column_header=True),
+        TableCell(text="b", start_row=0, start_col=2, column_header=True),
+        TableCell(text="c", start_row=1, start_col=0),
+        TableCell(text="d", start_row=1, start_col=1),
+        TableCell(text="e", start_row=1, start_col=2),
+    ])
+    assert serialize_table(data) == "2x3\na\ta\tb\nc\td\te\nH:1\t1\t1"
