@@ -1,38 +1,530 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the docling_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship extraction end-to-end at sf0.001;
+``queries`` exposes each implemented operator at (spark, sf_dir);
+``oracle_sql`` gives the DuckDB-equivalent ANSI SQL over the same
+parquet views. Column names AND value representations are aligned:
+ratio-like floats ship as floor(x*1e4) bigints, decimals as exact
+scaled bigints, so the order-insensitive value hash matches exactly.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from docling_spark.operators.dedup import (
+    dedup_exact,
+    minhash_dedup,
+    simhash16,
+)
+from docling_spark.operators.extract import extract_spans
+from docling_spark.operators.similarity import knn_bruteforce, knn_lsh
+from docling_spark.operators.textstats import (
+    norm_text,
+    tokens_col,
+    with_fingerprint,
+    with_language_id,
+    with_quality,
+    with_token_stats,
+)
+from docling_spark.sources.corpus import corpus_from_documents
+
+# ---------------------------------------------------------------------------
+# shared helpers
+
+NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+# word-3-gram shingles over the normalized text (matches
+# docling_spark.operators.dedup.shingles_col with n=3)
+SHINGLE_CTE = """
+norm AS (SELECT doc_id, {norm} AS nt FROM corpus),
+toks AS (SELECT doc_id, nt, string_split(nt, ' ') AS t FROM norm),
+sh AS (SELECT doc_id,
+         CASE WHEN len(t) - 2 >= 1
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(t) - 2),
+                     i -> array_to_string(t[i:i+2], ' ')))
+              ELSE [nt] END AS shingles
+       FROM toks)
+""".format(norm=NORM_SQL)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _exploded_spans(df: DataFrame) -> DataFrame:
+    s = df.select("doc_id", F.explode("spans").alias("s"))
+    return s.select(
+        "doc_id",
+        F.col("s.offset").alias("span_offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"))
+
+
+def _clone_corpus_exact(docs: DataFrame) -> DataFrame:
+    clones = (docs.filter(F.col("doc_id") < 50)
+              .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return docs.select("doc_id", "text").unionByName(clones)
+
+
+def _clone_corpus_near(docs: DataFrame) -> DataFrame:
+    clones = (docs.filter(F.col("doc_id") < 30)
+              .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                      F.concat(F.col("text"),
+                               F.lit(" extra trailing words appended here"))
+                      .alias("text")))
+    return docs.select("doc_id", "text").unionByName(clones)
+
+
+# ---------------------------------------------------------------------------
+# query callables (spark, sf_dir) -> DataFrame
+
+
+def q_extract_html_spans(spark, sf_dir):
+    corpus = corpus_from_documents(spark, sf_dir)
+    return _exploded_spans(extract_spans(corpus))
+
+
+def q_extract_media_manifest(spark, sf_dir):
+    corpus = corpus_from_documents(spark, sf_dir)
+    out = _exploded_spans(extract_spans(corpus))
+    return (out.filter(F.col("kind") == "picture")
+            .select("doc_id", "media_ref"))
+
+
+def q_extract_status_counts(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    from docling_spark.sources.corpus import html_payload_col
+    kind = (F.when(F.col("doc_id") % 10 == 0, F.lit("bogus"))
+            .otherwise(F.lit("html")))
+    corpus = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(F.struct(
+            kind.alias("kind"), html_payload_col().alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"))).alias("spans"))
+    out = extract_spans(corpus)
+    return (out.groupBy("status")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_spans").alias("total_spans")))
+
+
+def q_doc_token_stats(spark, sf_dir):
+    return with_token_stats(_docs(spark, sf_dir))
+
+
+def q_doc_quality(spark, sf_dir):
+    return with_quality(_docs(spark, sf_dir))
+
+
+def q_doc_language_id(spark, sf_dir):
+    return with_language_id(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return with_fingerprint(_docs(spark, sf_dir))
+
+
+def q_token_histogram(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return (docs.select(F.explode(tokens_col()).alias("token"))
+            .groupBy("token").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("token").asc())
+            .limit(100))
+
+
+def q_page_assembly(spark, sf_dir):
+    """Explode → reassemble with sort_array(collect_list(struct)) — the
+    page→document assembly idiom (SURVEY §2.4 document assembly)."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id", F.posexplode(tokens_col()).alias("pos", "word"))
+    assembled = (words.groupBy("doc_id")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "word")))
+                      .alias("seq")))
+    return assembled.select(
+        "doc_id",
+        F.size("seq").alias("n_words"),
+        F.col("seq")[0]["word"].alias("first_word"),
+        F.element_at("seq", -1)["word"].alias("last_word"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup_exact(_clone_corpus_exact(_docs(spark, sf_dir)))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    corpus = _clone_corpus_near(_docs(spark, sf_dir))
+    out = minhash_dedup(corpus, n=3, num_hashes=16, bands=4, threshold=0.5)
+    return out.select(
+        "doc_a", "doc_b",
+        F.floor(F.col("jaccard") * 10000).cast("long").alias("jaccard_e4"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return simhash16(_docs(spark, sf_dir), n=3)
+
+
+def q_knn_cosine_bruteforce(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = knn_bruteforce(emb, queries, k=5)
+    return out.withColumnRenamed("rank", "rnk")
+
+
+def q_knn_cosine_lsh(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = knn_lsh(emb, queries, k=5)
+    return out.withColumnRenamed("rank", "rnk")
+
+
+def q_events_sessionize(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lag_us = F.unix_micros(F.lag(F.col("ts").cast("timestamp")).over(w))
+    is_new = (F.when(lag_us.isNull() | ((us - lag_us) > 1_800_000_000),
+                     1).otherwise(0))
+    sess = ev.select(
+        "user_id",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sess"))
+    return (sess.groupBy("user_id")
+            .agg(F.max("sess").alias("n_sessions"),
+                 F.count("*").alias("n_events")))
+
+
+def q_tpch_q1_pricing(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    dec = lambda c, p, s: F.col(c).cast(f"decimal({p},{s})")
+    filtered = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    return (filtered.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.floor(F.sum(dec("l_quantity", 12, 2)) * 100).cast("long")
+                 .alias("sum_qty_e2"),
+                F.floor(F.sum(dec("l_extendedprice", 18, 2)) * 100)
+                 .cast("long").alias("sum_base_e2"),
+                F.floor(F.sum(dec("l_extendedprice", 18, 2)
+                              * (F.lit(1).cast("decimal(12,2)")
+                                 - dec("l_discount", 12, 2))) * 10000)
+                 .cast("long").alias("sum_disc_price_e4"),
+                F.count("*").alias("n_orders")))
+
+
+# ---------------------------------------------------------------------------
+# driver API
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction over the interleaved corpus at sf0.001."""
+    corpus = corpus_from_documents(spark, "/root/testdata/sf0.001")
+    return _exploded_spans(extract_spans(corpus))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_html_spans": q_extract_html_spans,
+        "extract_media_manifest": q_extract_media_manifest,
+        "extract_status_counts": q_extract_status_counts,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_quality": q_doc_quality,
+        "doc_language_id": q_doc_language_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "token_histogram": q_token_histogram,
+        "page_assembly": q_page_assembly,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "knn_cosine_bruteforce": q_knn_cosine_bruteforce,
+        "knn_cosine_lsh": q_knn_cosine_lsh,
+        "events_sessionize": q_events_sessionize,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    oracles: dict[str, str] = {}
+
+    oracles["extract_html_spans"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS INT) AS span_offset,
+       'title' AS kind, 'Doc ' || CAST(doc_id AS VARCHAR) AS text,
+       '' AS media_ref
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(1 AS INT), 'text', text, ''
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(2 AS INT), 'section_header', 'Stats', ''
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(3 AS INT), 'text',
+       CAST(n_chars AS VARCHAR) || ' chars', ''
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(4 AS INT), 'picture', '',
+       'media://' || CAST(doc_id AS VARCHAR)
+FROM documents WHERE doc_id % 5 = 0
+"""
+
+    oracles["extract_media_manifest"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       'media://' || CAST(doc_id AS VARCHAR) AS media_ref
+FROM documents WHERE doc_id % 5 = 0
+"""
+
+    oracles["extract_status_counts"] = """
+SELECT status, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_spans
+FROM (SELECT CASE WHEN doc_id % 10 = 0 THEN 'skipped' ELSE 'success' END
+        AS status,
+      CASE WHEN doc_id % 10 = 0 THEN 0
+           WHEN doc_id % 5 = 0 THEN 5 ELSE 4 END AS n
+      FROM documents) t
+GROUP BY status
+"""
+
+    oracles["doc_token_stats"] = f"""
+WITH n AS (SELECT doc_id, {NORM_SQL} AS nt FROM documents)
+SELECT doc_id,
+       CAST(len(string_split(nt, ' ')) AS INT) AS n_tokens,
+       CAST(length(nt) AS INT) AS n_chars_norm,
+       CAST(len(list_distinct(string_split(nt, ' '))) AS INT)
+         AS n_unique_tokens
+FROM n
+"""
+
+    stop_list = "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as']"
+    oracles["doc_quality"] = f"""
+WITH n AS (SELECT doc_id, {NORM_SQL} AS nt FROM documents),
+x AS (SELECT doc_id, nt, string_split(nt, ' ') AS t,
+             length(regexp_replace(nt, '[^.,;:!?]', '', 'g')) AS punct
+      FROM n)
+SELECT doc_id,
+  CAST(len(t) AS INT) AS n_tokens,
+  CAST(floor((punct / greatest(length(nt), 1)) * 10000) AS BIGINT)
+    AS punct_ratio_e4,
+  CAST(floor((len(list_filter(t, w -> list_contains({stop_list}, w)))
+              / greatest(len(t), 1)) * 10000) AS BIGINT)
+    AS stopword_ratio_e4,
+  CAST(floor(((length(nt) - (len(t) - 1)) / greatest(len(t), 1)) * 10000)
+       AS BIGINT) AS mean_token_len_e4,
+  CAST(len(t) BETWEEN 10 AND 100000 AS INT) AS quality_keep
+FROM x
+"""
+
+    def _score(words):
+        lst = "[" + ",".join(f"'{w}'" for w in words) + "]"
+        return (f"CAST(len(list_filter(t, w -> list_contains({lst}, w)))"
+                " AS INT)")
+
+    from docling_spark.operators.textstats import LANG_MARKERS
+    s_en = _score(LANG_MARKERS["en"])
+    s_es = _score(LANG_MARKERS["es"])
+    s_de = _score(LANG_MARKERS["de"])
+    s_fr = _score(LANG_MARKERS["fr"])
+    oracles["doc_language_id"] = f"""
+WITH n AS (SELECT doc_id, lang, {NORM_SQL} AS nt FROM documents),
+x AS (SELECT doc_id, lang, string_split(nt, ' ') AS t FROM n),
+sc AS (SELECT doc_id, lang AS lang_true,
+        {s_en} AS score_en, {s_es} AS score_es,
+        {s_de} AS score_de, {s_fr} AS score_fr
+       FROM x)
+SELECT doc_id, lang_true, score_en, score_es, score_de, score_fr,
+  CASE
+    WHEN score_en > 0 AND score_en >= score_es AND score_en >= score_de
+         AND score_en >= score_fr THEN 'en'
+    WHEN score_es > 0 AND score_es >= score_de AND score_es >= score_fr
+         THEN 'es'
+    WHEN score_de > 0 AND score_de >= score_fr THEN 'de'
+    WHEN score_fr > 0 THEN 'fr'
+    ELSE 'und' END AS lang_pred
+FROM sc
+"""
+
+    oracles["doc_fingerprint"] = f"""
+SELECT doc_id, md5({NORM_SQL}) AS fingerprint FROM documents
+"""
+
+    oracles["token_histogram"] = f"""
+WITH n AS (SELECT {NORM_SQL} AS nt FROM documents),
+w AS (SELECT unnest(string_split(nt, ' ')) AS token FROM n)
+SELECT token, COUNT(*) AS n FROM w GROUP BY token
+ORDER BY n DESC, token ASC LIMIT 100
+"""
+
+    oracles["page_assembly"] = f"""
+WITH n AS (SELECT doc_id, {NORM_SQL} AS nt FROM documents),
+x AS (SELECT doc_id, string_split(nt, ' ') AS t FROM n)
+SELECT doc_id, CAST(len(t) AS INT) AS n_words,
+       t[1] AS first_word, t[len(t)] AS last_word
+FROM x
+"""
+
+    oracles["dedup_exact"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+fp AS (SELECT doc_id, md5({NORM_SQL}) AS fingerprint FROM corpus)
+SELECT doc_id, fingerprint,
+       MIN(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+       CAST(doc_id != MIN(doc_id) OVER (PARTITION BY fingerprint) AS INT)
+         AS is_dup
+FROM fp
+"""
+
+    oracles["dedup_minhash_lsh"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' extra trailing words appended here'
+  FROM documents WHERE doc_id < 30),
+{SHINGLE_CTE},
+sigs AS (SELECT doc_id, shingles,
+           list_transform(generate_series(0, 15),
+             s -> list_min(list_transform(shingles,
+                    x -> md5(x || ':' || CAST(s AS VARCHAR))))) AS sig
+         FROM sh),
+bands AS (SELECT doc_id, b.b AS band_id,
+            md5(array_to_string(sig[b.b*4+1 : b.b*4+4], '|')) AS band_hash
+          FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b) b),
+cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         FROM bands l JOIN bands r
+           ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+          AND l.doc_id < r.doc_id),
+shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shx GROUP BY doc_id),
+inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+          FROM cand p
+          JOIN shx a ON p.doc_a = a.doc_id
+          JOIN shx b ON p.doc_b = b.doc_id AND a.shingle = b.shingle
+          GROUP BY p.doc_a, p.doc_b),
+j AS (SELECT i.doc_a, i.doc_b,
+        CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS jac
+      FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id)
+SELECT doc_a, doc_b, CAST(floor(jac * 10000) AS BIGINT) AS jaccard_e4
+FROM j WHERE jac >= 0.5
+"""
+
+    oracles["dedup_simhash"] = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+{SHINGLE_CTE},
+shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+v AS (SELECT doc_id,
+        ('0x' || substr(md5(shingle), 1, 4))::BIGINT AS val FROM shx),
+bits AS (SELECT doc_id, b.bit AS bit,
+           SUM(CASE WHEN (val >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         FROM v, (SELECT unnest(generate_series(0, 15)) AS bit) b
+         GROUP BY doc_id, b.bit)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit)
+                     ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+    knn_core = """
+vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+           AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM vecs WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, v.vec_id AS nbr_id,
+    list_reduce(list_transform(generate_series(1, len(v.e)),
+                i -> v.e[i] * q.qe[i]), (a, b) -> a + b)
+    / (sqrt(list_reduce(list_transform(v.e, x -> x*x), (a, b) -> a + b))
+       * sqrt(list_reduce(list_transform(q.qe, x -> x*x), (a, b) -> a + b)))
+      AS score
+  FROM vecs v, q WHERE v.vec_id != q.query_id {extra_cond}),
+ranked AS (SELECT query_id, nbr_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, nbr_id ASC) AS rn,
+             score
+           FROM scored)
+SELECT query_id, nbr_id, CAST(rn AS INT) AS rnk,
+       CAST(floor(score * 10000) AS BIGINT) AS score_e4
+FROM ranked WHERE rn <= 5
+"""
+    oracles["knn_cosine_bruteforce"] = "WITH " + knn_core.format(extra_cond="")
+
+    oracles["knn_cosine_lsh"] = """
+WITH vecs0 AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+buck AS (
+  SELECT vec_id, e,
+    (SELECT CAST(SUM(CASE WHEN list_reduce(
+         list_transform(generate_series(1, len(e)),
+           i -> e[i] * (CASE WHEN ('0x' || substr(md5(
+                    CAST(p.p AS VARCHAR) || ',' || CAST(i - 1 AS VARCHAR)),
+                    1, 4))::BIGINT >= 32768 THEN 1.0 ELSE -1.0 END)),
+         (a, b) -> a + b) >= 0
+       THEN (CAST(1 AS BIGINT) << p.p) ELSE 0 END) AS BIGINT)
+     FROM (SELECT unnest(generate_series(0, 7)) AS p) p) AS bucket
+  FROM vecs0),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket AS q_bucket
+      FROM buck WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, v.vec_id AS nbr_id,
+    list_reduce(list_transform(generate_series(1, len(v.e)),
+                i -> v.e[i] * q.qe[i]), (a, b) -> a + b)
+    / (sqrt(list_reduce(list_transform(v.e, x -> x*x), (a, b) -> a + b))
+       * sqrt(list_reduce(list_transform(q.qe, x -> x*x), (a, b) -> a + b)))
+      AS score
+  FROM buck v, q
+  WHERE v.vec_id != q.query_id AND v.bucket = q.q_bucket),
+ranked AS (SELECT query_id, nbr_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, nbr_id ASC) AS rn,
+             score
+           FROM scored)
+SELECT query_id, nbr_id, CAST(rn AS INT) AS rnk,
+       CAST(floor(score * 10000) AS BIGINT) AS score_e4
+FROM ranked WHERE rn <= 5
+"""
+
+    oracles["events_sessionize"] = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id,
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o)
+SELECT user_id, CAST(MAX(sess) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+    oracles["tpch_q1_pricing"] = """
+SELECT l_returnflag, l_linestatus,
+  CAST(floor(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100) AS BIGINT)
+    AS sum_qty_e2,
+  CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT)
+    AS sum_base_e2,
+  CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(12,2))
+                    - CAST(l_discount AS DECIMAL(12,2)))) * 10000) AS BIGINT)
+    AS sum_disc_price_e4,
+  COUNT(*) AS n_orders
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    return oracles

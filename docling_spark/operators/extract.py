@@ -1,0 +1,178 @@
+"""The extraction operator: interleaved (doc_id, spans) → ordered output
+spans, Arrow-batched.
+
+Spark-first re-expression of the reference's convert path
+(/root/reference/docling/document_converter.py:194-357 +
+pipeline/simple_pipeline.py:26-48): format routing becomes a dispatch
+dict inside one `mapInPandas` stage; per-document error containment
+mirrors the raises_on_error=False path (document_converter.py:303-326)
+as status/errors columns; the size gate (datamodel/document.py:130-162)
+and allowed-format filter (document_converter.py:307-309) run as plain
+Catalyst predicates *before* the UDF so pushdown/pruning stay free.
+
+All per-row logic is inside Arrow batches (north rule): the driver path
+never touches Python rows.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Iterator, List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..doctree import flatten
+from ..schema import (
+    OUTPUT_DDL,
+    STATUS_FAILURE,
+    STATUS_SKIPPED,
+    STATUS_SUCCESS,
+)
+
+# ---------------------------------------------------------------------------
+# format registry (analogue of document_converter.py:51-162 format routing;
+# extensible like the reference's plugin factories,
+# models/factories/base_factory.py:24-60)
+
+def _load_parsers() -> Dict[str, Callable[[str], object]]:
+    from ..parsers.csv_parser import parse_csv_document
+    from ..parsers.html_parser import parse_html_document
+
+    parsers: Dict[str, Callable[[str], object]] = {
+        "html": parse_html_document,
+        "csv": parse_csv_document,
+    }
+    try:
+        from ..parsers.md_parser import parse_md_document
+        parsers["md"] = parse_md_document
+    except ImportError:
+        pass
+    try:
+        from ..parsers.asciidoc_parser import parse_asciidoc_document
+        parsers["asciidoc"] = parse_asciidoc_document
+    except ImportError:
+        pass
+    try:
+        from ..parsers.pdf_page import parse_pdf_pages
+        parsers["pdf_page"] = None  # multi-span path, handled separately
+    except ImportError:
+        pass
+    return parsers
+
+
+def _span_field(span, key, default=None):
+    if isinstance(span, dict):
+        return span.get(key, default)
+    return getattr(span, key, default)
+
+
+def _extract_one(doc_spans: list, parsers: dict) -> tuple:
+    """Extract one document. Returns (spans, status, errors)."""
+    if not doc_spans:
+        return [], STATUS_SKIPPED, []
+
+    ordered = sorted(doc_spans, key=lambda s: _span_field(s, "offset", 0) or 0)
+    media_refs: List[str] = []
+    payload_kind = None
+    payloads: List[str] = []
+    page_payloads: List[str] = []
+
+    for s in ordered:
+        kind = _span_field(s, "kind", "") or ""
+        if kind == "media":
+            media_refs.append(_span_field(s, "media_ref", "") or "")
+        elif kind == "pdf_page":
+            page_payloads.append(_span_field(s, "text", "") or "")
+            payload_kind = "pdf_page"
+        elif payload_kind is None or payload_kind == kind:
+            payload_kind = kind
+            payloads.append(_span_field(s, "text", "") or "")
+
+    if payload_kind is None:
+        return [], STATUS_SKIPPED, []
+
+    try:
+        if payload_kind == "pdf_page":
+            from ..parsers.pdf_page import parse_pdf_pages
+            tree = parse_pdf_pages(page_payloads)
+        else:
+            parse = parsers.get(payload_kind)
+            if parse is None:
+                return [], STATUS_SKIPPED, []
+            tree = parse("".join(payloads))
+        spans = flatten(tree)
+        # interleaved media refs → picture spans, in order (FIXTURES.md §3.4)
+        if media_refs:
+            pic_idx = 0
+            for sp in spans:
+                if sp["kind"] == "picture" and pic_idx < len(media_refs):
+                    sp["media_ref"] = media_refs[pic_idx]
+                    pic_idx += 1
+        return spans, STATUS_SUCCESS, []
+    except Exception as exc:  # per-doc containment — never kill the task
+        return [], STATUS_FAILURE, [{
+            "component": "extract",
+            "module": payload_kind,
+            "message": f"{type(exc).__name__}: {exc}"[:500],
+        }]
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    parsers = _load_parsers()  # executor-local init-once per task
+    for pdf in batches:
+        doc_ids = pdf["doc_id"].tolist()
+        span_lists = pdf["spans"].tolist()
+        out = {"doc_id": [], "spans": [], "status": [], "errors": [],
+               "n_spans": [], "wall_us": []}
+        for doc_id, raw in zip(doc_ids, span_lists):
+            t0 = time.monotonic_ns()
+            raw_list = list(raw) if raw is not None else []
+            spans, status, errors = _extract_one(raw_list, parsers)
+            out["doc_id"].append(doc_id)
+            out["spans"].append(
+                [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                 for s in spans])
+            out["status"].append(status)
+            out["errors"].append(
+                [(e["component"], e["module"], e["message"]) for e in errors])
+            out["n_spans"].append(len(spans))
+            out["wall_us"].append((time.monotonic_ns() - t0) // 1000)
+        yield pd.DataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+
+def payload_chars_col():
+    """Catalyst expression: total payload size of a document (pre-parse
+    size gate, analogue of DocumentLimits max_file_size,
+    datamodel/document.py:130-143). Pure JVM-side."""
+    return F.aggregate(
+        "spans", F.lit(0),
+        lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0)))
+
+
+def extract_spans(
+    df: DataFrame,
+    *,
+    allowed_kinds: Optional[List[str]] = None,
+    max_payload_chars: Optional[int] = None,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """(doc_id, spans) → (doc_id, spans, status, errors, n_spans, wall_us).
+
+    Catalyst prefilters (size gate, allowed kinds) run before the UDF;
+    parsing happens in one Arrow-batched mapInPandas stage. Partitioning
+    is hash(doc_id) — one doc per row, so doc-hash balance is the right
+    default; skewed mega-PDFs use the page-parallel path
+    (extract_spans_paged) instead.
+    """
+    if allowed_kinds is not None:
+        df = df.filter(
+            F.exists("spans", lambda s: s["kind"].isin(list(allowed_kinds))))
+    if max_payload_chars is not None:
+        df = df.filter(payload_chars_col() <= F.lit(max_payload_chars))
+    if num_partitions:
+        df = df.repartition(num_partitions, "doc_id")
+    return df.mapInPandas(_extract_batches, schema=OUTPUT_DDL)

@@ -1,0 +1,107 @@
+"""Text-analysis operators for training-data pipelines.
+
+Everything here is pure ``pyspark.sql.functions`` — JVM-side,
+whole-stage-codegen friendly, zero Python UDFs — so at 100 TB the hot
+path never crosses the Arrow boundary. Each operator has an exact ANSI
+SQL equivalent (the DuckDB oracles in ``__spark_entry__``): the Spark
+expression and the SQL are two spellings of the same formula.
+
+Operators: token counting, quality scoring, language-ID (stop-word
+marker heuristic), document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker stop-words per language for the n-gram/stop-word heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is"],
+    "es": ["el", "la", "de", "que"],
+    "de": ["der", "und", "die", "ist"],
+    "fr": ["le", "la", "et", "est"],
+}
+LANG_ORDER = ["en", "es", "de", "fr"]  # deterministic argmax precedence
+
+EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is",
+                "it", "that", "for", "on", "with", "as"]
+
+
+def norm_text() -> Column:
+    """Whitespace-collapsed, lower-cased text (the engine's canonical
+    normalization — analogue of the reference's sanitize step,
+    models/page_assemble_model.py:32-63, minus glyph fixes)."""
+    return F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+
+
+def tokens_col() -> Column:
+    return F.split(norm_text(), " ")
+
+
+def with_token_stats(docs: DataFrame) -> DataFrame:
+    toks = tokens_col()
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length(norm_text()).alias("n_chars_norm"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+def with_quality(docs: DataFrame) -> DataFrame:
+    """Length / punctuation / stop-word quality signals + a keep flag
+    (the boilerplate-quality gate of a pretraining pipeline)."""
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    n_chars = F.length(norm_text())
+    punct = F.length(F.regexp_replace(norm_text(), r"[^.,;:!?]", ""))
+    stop_hits = F.size(F.filter(
+        toks, lambda t: t.isin(EN_STOPWORDS)))
+    # ratios ship as floor(x*1e4) bigints: exact integer comparison
+    # across engines (no float-rounding divergence vs the SQL oracle)
+    def e4(x):
+        return F.floor(x * 10000).cast("long")
+
+    mean_tok_len = (n_chars - (n_tokens - 1)) / F.greatest(n_tokens, F.lit(1))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        e4(punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio_e4"),
+        e4(stop_hits / F.greatest(n_tokens, F.lit(1)))
+         .alias("stopword_ratio_e4"),
+        e4(mean_tok_len).alias("mean_token_len_e4"),
+        ((n_tokens >= 10) & (n_tokens <= 100000)).cast("int")
+         .alias("quality_keep"),
+    )
+
+
+def lang_score(lang: str) -> Column:
+    toks = tokens_col()
+    return F.size(F.filter(toks, lambda t: t.isin(LANG_MARKERS[lang])))
+
+
+def with_language_id(docs: DataFrame) -> DataFrame:
+    """Stop-word-marker language ID; fixed-precedence CASE argmax
+    (en > es > de > fr on ties) so Spark and the SQL oracle agree."""
+    s = {lang: lang_score(lang) for lang in LANG_ORDER}
+    pred = (
+        F.when((s["en"] > 0) & (s["en"] >= s["es"]) & (s["en"] >= s["de"])
+               & (s["en"] >= s["fr"]), F.lit("en"))
+        .when((s["es"] > 0) & (s["es"] >= s["de"]) & (s["es"] >= s["fr"]),
+              F.lit("es"))
+        .when((s["de"] > 0) & (s["de"] >= s["fr"]), F.lit("de"))
+        .when(s["fr"] > 0, F.lit("fr"))
+        .otherwise(F.lit("und")))
+    return docs.select(
+        "doc_id", F.col("lang").alias("lang_true"),
+        *[s[lang].alias(f"score_{lang}") for lang in LANG_ORDER],
+        pred.alias("lang_pred"))
+
+
+def with_fingerprint(docs: DataFrame) -> DataFrame:
+    """Deterministic content fingerprint: md5 of normalized text (the
+    Spark-native analogue of the reference's sha256 document identity,
+    utils/utils.py:19-37 — md5 here because the dedup layers reuse it)."""
+    return docs.select(
+        "doc_id", F.md5(norm_text()).alias("fingerprint"))

@@ -1,0 +1,74 @@
+"""Spark-side correctness: the same span equality as the pure-Python
+golden tests, but driven through the real mapInPandas operator, plus
+error containment and the media-interleave contract."""
+
+from pyspark.sql import functions as F
+
+from docling_spark.golden import fixture_names, load_golden
+from docling_spark.operators.extract import extract_spans
+from docling_spark.schema import INPUT_SCHEMA
+from docling_spark.sources.corpus import fixture_corpus
+
+
+def test_fixture_corpus_span_equality(spark):
+    df = extract_spans(fixture_corpus(spark, ["html", "csv"]))
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert len(rows) == 17
+    for kind in ("html", "csv"):
+        for name in fixture_names(f".{kind}"):
+            row = rows[f"{kind}/{name}"]
+            assert row["status"] == "success", (name, row["errors"])
+            got = [
+                {"kind": s["kind"], "text": s["text"],
+                 "media_ref": s["media_ref"], "offset": s["offset"]}
+                for s in row["spans"]
+            ]
+            assert got == load_golden(name), name
+
+
+def test_error_containment_and_skip(spark):
+    rows = [
+        ("bad-csv", [("csv", "no delimiters here\njust words\n", "", 0)]),
+        ("unknown", [("weirdformat", "payload", "", 0)]),
+        ("empty", []),
+        ("ok", [("html", "<html><body><h1>T</h1></body></html>", "", 0)]),
+    ]
+    df = extract_spans(spark.createDataFrame(rows, schema=INPUT_SCHEMA))
+    got = {r["doc_id"]: r for r in df.collect()}
+    assert got["bad-csv"]["status"] == "failure"
+    assert got["bad-csv"]["errors"][0]["module"] == "csv"
+    assert "Error" in got["bad-csv"]["errors"][0]["message"]
+    assert got["unknown"]["status"] == "skipped"
+    assert got["empty"]["status"] == "skipped"
+    assert got["ok"]["status"] == "success"
+    assert got["ok"]["spans"][0]["kind"] == "title"
+
+
+def test_media_interleave(spark):
+    html = ('<html><body><h1>T</h1><img src="a"/><p>x</p>'
+            '<img src="b"/></body></html>')
+    rows = [("d1", [("html", html, "", 0),
+                    ("media", "", "media://AAA", 1),
+                    ("media", "", "media://BBB", 2)])]
+    df = extract_spans(spark.createDataFrame(rows, schema=INPUT_SCHEMA))
+    spans = df.collect()[0]["spans"]
+    pics = [s for s in spans if s["kind"] == "picture"]
+    assert [p["media_ref"] for p in pics] == ["media://AAA", "media://BBB"]
+
+
+def test_prefilters_are_catalyst_side(spark):
+    """Size gate and kind filter must appear in the optimized plan as
+    plain Filters below the Python evaluation node (pushdown check)."""
+    corpus = fixture_corpus(spark, ["html"])
+    out = extract_spans(corpus, allowed_kinds=["html"],
+                        max_payload_chars=10_000_000)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the filter sits under (after in plan text) the Python map node
+    assert "Filter" in plan
+    assert plan.index("Filter") > plan.index("MapInPandas")
+
+
+def test_output_schema_stable(spark):
+    df = extract_spans(fixture_corpus(spark, ["csv"]))
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id", "spans", "status", "errors", "n_spans", "wall_us"]
