@@ -52,8 +52,16 @@ sh AS (SELECT doc_id,
 """.format(norm=NORM_SQL)
 
 
+def _par(spark: SparkSession) -> int:
+    return spark.sparkContext.defaultParallelism
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # small-file sources arrive as 1 partition; spread the compute
+    # (at 100 TB the scan already yields thousands of splits and the
+    # ingest repartition is dropped)
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.repartition(_par(spark), "doc_id")
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -91,12 +99,12 @@ def _clone_corpus_near(docs: DataFrame) -> DataFrame:
 
 def q_extract_html_spans(spark, sf_dir):
     corpus = corpus_from_documents(spark, sf_dir)
-    return _exploded_spans(extract_spans(corpus))
+    return _exploded_spans(extract_spans(corpus, num_partitions=_par(spark)))
 
 
 def q_extract_media_manifest(spark, sf_dir):
     corpus = corpus_from_documents(spark, sf_dir)
-    out = _exploded_spans(extract_spans(corpus))
+    out = _exploded_spans(extract_spans(corpus, num_partitions=_par(spark)))
     return (out.filter(F.col("kind") == "picture")
             .select("doc_id", "media_ref"))
 
@@ -112,7 +120,7 @@ def q_extract_status_counts(spark, sf_dir):
             kind.alias("kind"), html_payload_col().alias("text"),
             F.lit("").alias("media_ref"),
             F.lit(0).cast("int").alias("offset"))).alias("spans"))
-    out = extract_spans(corpus)
+    out = extract_spans(corpus, num_partitions=_par(spark))
     return (out.groupBy("status")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_spans").alias("total_spans")))
@@ -164,7 +172,8 @@ def q_dedup_exact(spark, sf_dir):
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     corpus = _clone_corpus_near(_docs(spark, sf_dir))
-    out = minhash_dedup(corpus, n=3, num_hashes=16, bands=4, threshold=0.5)
+    out = minhash_dedup(corpus, n=3, num_hashes=16, bands=4, threshold=0.5,
+                        num_partitions=_par(spark))
     return out.select(
         "doc_a", "doc_b",
         F.floor(F.col("jaccard") * 10000).cast("long").alias("jaccard_e4"))
@@ -172,6 +181,22 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 def q_dedup_simhash(spark, sf_dir):
     return simhash16(_docs(spark, sf_dir), n=3)
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard on explicitly given pairs (no LSH filter) —
+    the verify primitive exposed as its own operator."""
+    from docling_spark.operators.dedup import exploded_shingles, ngram_jaccard
+    corpus = _clone_corpus_near(_docs(spark, sf_dir))
+    pairs = (corpus.filter(F.col("doc_id") >= 1000000)
+             .select((F.col("doc_id") - 1000000).alias("doc_a"),
+                     F.col("doc_id").alias("doc_b")))
+    sh = exploded_shingles(corpus, n=3)
+    out = ngram_jaccard(sh, pairs)
+    return (out.select("doc_a", "doc_b",
+                       F.floor(F.col("jaccard") * 10000).cast("long")
+                        .alias("jaccard_e4"))
+            .orderBy("doc_a"))
 
 
 def q_knn_cosine_bruteforce(spark, sf_dir):
@@ -247,6 +272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "knn_cosine_bruteforce": q_knn_cosine_bruteforce,
         "knn_cosine_lsh": q_knn_cosine_lsh,
         "events_sessionize": q_events_sessionize,
@@ -394,7 +420,8 @@ WITH corpus AS (
 sigs AS (SELECT doc_id, shingles,
            list_transform(generate_series(0, 15),
              s -> list_min(list_transform(shingles,
-                    x -> md5(x || ':' || CAST(s AS VARCHAR))))) AS sig
+                    x -> ('0x' || substr(md5(x || ':' || CAST(s AS VARCHAR)),
+                                         1, 15))::BIGINT))) AS sig
          FROM sh),
 bands AS (SELECT doc_id, b.b AS band_id,
             md5(array_to_string(sig[b.b*4+1 : b.b*4+4], '|')) AS band_hash
@@ -417,6 +444,31 @@ j AS (SELECT i.doc_a, i.doc_b,
       JOIN sizes sb ON i.doc_b = sb.doc_id)
 SELECT doc_a, doc_b, CAST(floor(jac * 10000) AS BIGINT) AS jaccard_e4
 FROM j WHERE jac >= 0.5
+"""
+
+    oracles["ngram_jaccard_pairs"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' extra trailing words appended here'
+  FROM documents WHERE doc_id < 30),
+{SHINGLE_CTE},
+pairs AS (SELECT doc_id - 1000000 AS doc_a, doc_id AS doc_b
+          FROM corpus WHERE doc_id >= 1000000),
+shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shx GROUP BY doc_id),
+inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+          FROM pairs p
+          JOIN shx a ON p.doc_a = a.doc_id
+          JOIN shx b ON p.doc_b = b.doc_id AND a.shingle = b.shingle
+          GROUP BY p.doc_a, p.doc_b)
+SELECT i.doc_a, i.doc_b,
+       CAST(floor(CAST(i.n_inter AS DOUBLE)
+                  / (sa.n_sh + sb.n_sh - i.n_inter) * 10000) AS BIGINT)
+         AS jaccard_e4
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
 """
 
     oracles["dedup_simhash"] = f"""

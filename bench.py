@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline `value` is total wall seconds across the query set; the
+extraction queries additionally report docs/sec throughput (the
+BASELINE.json metric) under "extra".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline set: flagship extraction + one per operator family.
+BENCH_QUERIES = [
+    "extract_html_spans",
+    "extract_status_counts",
+    "doc_token_stats",
+    "doc_quality",
+    "doc_language_id",
+    "token_histogram",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "knn_cosine_bruteforce",
+    "knn_cosine_lsh",
+    "events_sessionize",
+    "tpch_q1_pricing",
+]
+
+
+def build_spark(cpus: str) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"docling_spark-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # Spark 4.x ICU case mappings do a one-time multi-second ICU data
+        # load inside a class-init monitor that serializes all 32 tasks
+        # (measured: 20-60s stall on the first lower() stage); our corpus
+        # normalization is ASCII-semantics so the JVM case mapping is
+        # identical — and matches the DuckDB oracle's lower().
+        .config("spark.sql.icu.caseMappings.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def time_query(fn, spark, sf_dir: str) -> tuple:
+    t0 = time.monotonic()
+    df = fn(spark, sf_dir)
+    n = df.count()
+    return time.monotonic() - t0, n
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    qmap = entry_mod.queries()
+
+    # warm the JVM + parquet footers + Python worker daemons once so
+    # per-query numbers measure the plan, not session startup
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.select(F.lower(F.col("text"))).count()
+    docs.limit(64).mapInPandas(lambda it: it, schema=docs.schema).count()
+
+    results: dict = {}
+    counts: dict = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        if name not in qmap:
+            continue
+        sec, n = time_query(qmap[name], spark, SF_DIR)
+        results[name] = round(sec, 3)
+        counts[name] = n
+        total += sec
+
+    # extraction throughput (docs/sec end-to-end) — the BASELINE metric
+    from docling_spark.operators.extract import extract_spans
+    from docling_spark.sources.corpus import corpus_from_documents
+
+    corpus = corpus_from_documents(spark, SF_DIR)
+    n_docs = corpus.count()
+    t0 = time.monotonic()
+    extract_spans(corpus).select("n_spans").groupBy().sum().collect()
+    extract_sec = time.monotonic() - t0
+    docs_per_sec = n_docs / extract_sec if extract_sec > 0 else 0.0
+
+    print(json.dumps({
+        "metric": "headline query wall time (docling_spark engine)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR,
+        "extra": {
+            "cpus": int(CPUS),
+            "extract_docs": n_docs,
+            "extract_sec": round(extract_sec, 3),
+            "extract_docs_per_sec": round(docs_per_sec, 1),
+            "row_counts": counts,
+        },
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

