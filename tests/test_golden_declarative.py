@@ -8,11 +8,21 @@ import pytest
 
 from docling_spark.doctree import flatten
 from docling_spark.golden import fixture_names, fixture_payload, load_golden
+from docling_spark.golden_md import load_golden_md
 from docling_spark.parsers.csv_parser import parse_csv_document
 from docling_spark.parsers.html_parser import parse_html_document
+from docling_spark.parsers.md_parser import parse_md_document
 
 HTML_FIXTURES = fixture_names(".html")
 CSV_FIXTURES = fixture_names(".csv")
+
+# Markdown groundtruth ships only as the canonical .md.md re-export
+# (no DoclingDocument JSON) — goldens derive from it (golden_md.py).
+# Fixtures with raw HTML blocks are delegated to the HTML backend
+# (md_backend.py:389-423), which relabels paragraphs text.
+MD_FIXTURES = [("blocks.md", False), ("duck.md", False),
+               ("ending_with_table.md", False), ("mixed.md", True),
+               ("nested.md", True), ("wiki.md", False)]
 
 
 def test_fixture_sets_nonempty():
@@ -31,6 +41,13 @@ def test_html_span_equality(name):
 def test_csv_span_equality(name):
     got = flatten(parse_csv_document(fixture_payload(name)))
     want = load_golden(name)
+    assert got == want
+
+
+@pytest.mark.parametrize("name,delegated", MD_FIXTURES)
+def test_md_span_equality(name, delegated):
+    got = flatten(parse_md_document(fixture_payload(name)))
+    want = load_golden_md(name, delegated=delegated)
     assert got == want
 
 
