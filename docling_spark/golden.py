@@ -112,10 +112,18 @@ def fixture_names(suffix: str) -> List[str]:
     return out
 
 
+BINARY_SUFFIXES = {"docx", "xlsx", "pptx"}
+
+
 def fixture_payload(name: str) -> str:
-    """Raw input payload text for a fixture name like 'example_01.html'."""
+    """Raw input payload for a fixture name like 'example_01.html'.
+    Binary container formats (docx/xlsx/pptx) return base64 text —
+    the corpus carries them that way (FIXTURES.md §1)."""
     suffix = name.rsplit(".", 1)[-1]
     subdir = {"html": "html", "md": "md", "csv": "csv",
               "asciidoc": "asciidoc"}.get(suffix, suffix)
     path = TESTDATA_DIR / subdir / name
+    if suffix in BINARY_SUFFIXES:
+        import base64
+        return base64.b64encode(path.read_bytes()).decode("ascii")
     return path.read_text(encoding="utf-8")

@@ -55,6 +55,21 @@ def _load_parsers() -> Dict[str, Callable[[str], object]]:
     except ImportError:
         pass
     try:
+        from ..parsers.docx_parser import parse_docx_document
+        parsers["docx"] = parse_docx_document
+    except ImportError:
+        pass
+    try:
+        from ..parsers.xlsx_parser import parse_xlsx_document
+        parsers["xlsx"] = parse_xlsx_document
+    except ImportError:
+        pass
+    try:
+        from ..parsers.pptx_parser import parse_pptx_document
+        parsers["pptx"] = parse_pptx_document
+    except ImportError:
+        pass
+    try:
         from ..parsers.pdf_page import parse_pdf_pages
         parsers["pdf_page"] = None  # multi-span path, handled separately
     except ImportError:

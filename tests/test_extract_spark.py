@@ -26,6 +26,27 @@ def test_fixture_corpus_span_equality(spark):
             assert got == load_golden(name), name
 
 
+def test_binary_formats_through_spark(spark):
+    """docx/xlsx/pptx base64 payloads through the real mapInPandas path."""
+    df = extract_spans(fixture_corpus(spark, ["docx", "xlsx", "pptx"]))
+    rows = {r["doc_id"]: r for r in df.collect()}
+    checked = 0
+    for kind in ("docx", "xlsx", "pptx"):
+        for name in fixture_names(f".{kind}"):
+            if name == "equations.docx":
+                continue
+            row = rows[f"{kind}/{name}"]
+            assert row["status"] == "success", (name, row["errors"])
+            got = [
+                {"kind": s["kind"], "text": s["text"],
+                 "media_ref": s["media_ref"], "offset": s["offset"]}
+                for s in row["spans"]
+            ]
+            assert got == load_golden(name), name
+            checked += 1
+    assert checked == 11
+
+
 def test_error_containment_and_skip(spark):
     rows = [
         ("bad-csv", [("csv", "no delimiters here\njust words\n", "", 0)]),

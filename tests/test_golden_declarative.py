@@ -51,6 +51,34 @@ def test_md_span_equality(name, delegated):
     assert got == want
 
 
+# equations.docx requires the OMML→LaTeX converter
+# (reference backend/docx/latex/omml.py) — not implemented.
+DOCX_FIXTURES = [n for n in fixture_names(".docx") if n != "equations.docx"]
+XLSX_FIXTURES = fixture_names(".xlsx")
+PPTX_FIXTURES = fixture_names(".pptx")
+
+
+@pytest.mark.parametrize("name", DOCX_FIXTURES)
+def test_docx_span_equality(name):
+    from docling_spark.parsers.docx_parser import parse_docx_document
+    got = flatten(parse_docx_document(fixture_payload(name)))
+    assert got == load_golden(name)
+
+
+@pytest.mark.parametrize("name", XLSX_FIXTURES)
+def test_xlsx_span_equality(name):
+    from docling_spark.parsers.xlsx_parser import parse_xlsx_document
+    got = flatten(parse_xlsx_document(fixture_payload(name)))
+    assert got == load_golden(name)
+
+
+@pytest.mark.parametrize("name", PPTX_FIXTURES)
+def test_pptx_span_equality(name):
+    from docling_spark.parsers.pptx_parser import parse_pptx_document
+    got = flatten(parse_pptx_document(fixture_payload(name)))
+    assert got == load_golden(name)
+
+
 def test_table_serialization_roundtrip():
     from docling_spark.doctree import TableCell, TableData, serialize_table
 
