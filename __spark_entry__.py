@@ -126,6 +126,18 @@ def q_extract_status_counts(spark, sf_dir):
                  F.sum("n_spans").alias("total_spans")))
 
 
+def q_extract_pdf_paged(spark, sf_dir):
+    """Page-parallel PDF path: synthetic structured pages → explode to
+    page rows → page UDF (merge/layout/sanitize/reading-order) →
+    groupBy(doc_id) reassembly (SURVEY.md §3.3)."""
+    from docling_spark.operators.extract import extract_spans_paged
+    from docling_spark.sources.corpus import corpus_pdf_pages
+    corpus = corpus_pdf_pages(spark, sf_dir)
+    out = extract_spans_paged(corpus, num_partitions=_par(spark))
+    return _exploded_spans(out).select("doc_id", "span_offset", "kind",
+                                       "text")
+
+
 def q_doc_token_stats(spark, sf_dir):
     return with_token_stats(_docs(spark, sf_dir))
 
@@ -263,6 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_html_spans": q_extract_html_spans,
         "extract_media_manifest": q_extract_media_manifest,
         "extract_status_counts": q_extract_status_counts,
+        "extract_pdf_paged": q_extract_pdf_paged,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_language_id": q_doc_language_id,
@@ -318,6 +331,22 @@ FROM (SELECT CASE WHEN doc_id % 10 = 0 THEN 'skipped' ELSE 'success' END
            WHEN doc_id % 5 = 0 THEN 5 ELSE 4 END AS n
       FROM documents) t
 GROUP BY status
+"""
+
+    oracles["extract_pdf_paged"] = """
+WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                  string_split(text, ' ') AS toks
+           FROM documents),
+p AS (SELECT doc_id, toks,
+             CAST(ceil(len(toks) / 2.0) AS INT) AS h
+      FROM t)
+SELECT doc_id, CAST(0 AS INT) AS span_offset, 'text' AS kind,
+       array_to_string(toks[1:h], ' ') AS text
+FROM p
+UNION ALL
+SELECT doc_id, CAST(1 AS INT), 'text',
+       array_to_string(toks[h+1:len(toks)], ' ')
+FROM p WHERE len(toks) > h
 """
 
     oracles["doc_token_stats"] = f"""

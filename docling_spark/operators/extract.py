@@ -158,6 +158,78 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 # ---------------------------------------------------------------------------
+# page-parallel PDF path (SURVEY.md §3.3: explode doc → page rows →
+# page UDF → groupBy(doc_id) reassembly with sort_array(collect_list),
+# the Spark shape of standard_pdf_pipeline.py:182-199 document assembly).
+# This is the skew escape hatch: a mega-PDF splits into page tasks, so
+# one giant document can never serialize a partition (SURVEY.md §7.4).
+
+PAGE_OUT_DDL = ("doc_id string, page_offset int, blocks array<string>, "
+                "headers array<string>, footers array<string>, "
+                "error string")
+
+
+def _page_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..parsers.pdf_page import parse_page
+    for pdf in batches:
+        out = {"doc_id": [], "page_offset": [], "blocks": [],
+               "headers": [], "footers": [], "error": []}
+        for doc_id, off, payload in zip(
+                pdf["doc_id"], pdf["page_offset"], pdf["payload"]):
+            blocks: list = []
+            headers: list = []
+            footers: list = []
+            err = None
+            try:
+                page = parse_page(payload or "")
+                blocks, headers, footers = (
+                    page["blocks"], page["headers"], page["footers"])
+            except Exception as exc:  # per-page containment
+                err = f"{type(exc).__name__}: {exc}"[:500]
+            out["doc_id"].append(doc_id)
+            out["page_offset"].append(off)
+            out["blocks"].append(blocks)
+            out["headers"].append(headers)
+            out["footers"].append(footers)
+            out["error"].append(err)
+        yield pd.DataFrame(out)
+
+
+def extract_spans_paged(
+    df: DataFrame,
+    *,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """(doc_id, spans[kind=pdf_page]) → (doc_id, spans, status, n_spans)
+    via page-level parallelism. Page furniture (headers/footers) is
+    suppressed from the body span sequence, mirroring the reference's
+    furniture layer (readingorder_model.py:332-334)."""
+    pages = (df.select("doc_id", F.explode("spans").alias("s"))
+             .filter(F.col("s.kind") == "pdf_page")
+             .select("doc_id",
+                     F.col("s.offset").alias("page_offset"),
+                     F.col("s.text").alias("payload")))
+    if num_partitions:
+        pages = pages.repartition(num_partitions, "doc_id", "page_offset")
+    parsed = pages.mapInPandas(_page_batches, schema=PAGE_OUT_DDL)
+    assembled = (parsed.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("page_offset", "blocks")))
+         .alias("pages"),
+        F.max(F.col("error").isNotNull()).alias("any_error")))
+    texts = F.flatten(F.col("pages.blocks"))
+    spans = F.transform(
+        texts,
+        lambda x, i: F.struct(
+            F.lit("text").alias("kind"), x.alias("text"),
+            F.lit("").alias("media_ref"), i.cast("int").alias("offset")))
+    return assembled.select(
+        "doc_id", spans.alias("spans"),
+        F.when(F.col("any_error"), F.lit(STATUS_FAILURE))
+         .otherwise(F.lit(STATUS_SUCCESS)).alias("status"),
+        F.size(spans).alias("n_spans"))
+
+
+# ---------------------------------------------------------------------------
 
 def payload_chars_col():
     """Catalyst expression: total payload size of a document (pre-parse

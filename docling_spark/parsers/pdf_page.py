@@ -1,0 +1,258 @@
+"""PDF structured-page path — the NN-free layout pipeline over
+pre-extracted text cells (SURVEY.md §2.3-2.4, FIXTURES.md `pdf_page`).
+
+Input: one payload per page, JSON
+``{page_no, width, height, cells: [{index, text, l, t, r, b}]}``
+(top-left origin, the TextCell model of
+/root/reference/docling/backend/pypdfium2_backend.py:74-107).
+
+Algorithmic layers, ported from the reference where it implements them
+in-repo (the NN stages — layout model, TableFormer, OCR — are replaced
+by the geometry heuristics below, documented deviation):
+
+1. fragment merge — pypdfium2 sub-word cells merged into lines:
+   row grouping by vertical-overlap threshold 0.5×row-height, then
+   horizontal merge when gap ≤ 1.0×avg-height
+   (pypdfium2_backend.py:110-198, exact port)
+2. header/footer suppression — cells fully inside the top/bottom
+   5% page margin become page_header / page_footer furniture
+   (heuristic replacement for the layout NN's PAGE_HEADER/PAGE_FOOTER
+   labels routed to furniture, readingorder_model.py:332-334)
+3. column detection — x-coverage histogram gap split (heuristic
+   replacement for layout-NN block detection; SURVEY.md §2.4)
+4. block detection — vertical-gap grouping inside each column
+5. text sanitize — de-hyphenation across lines + unicode
+   normalization + \\x02→'-' (page_assemble_model.py:32-63, exact port)
+6. reading order — columns left→right, blocks top→bottom, pages in
+   offset order (column-aware replacement for the reading-order model,
+   readingorder_model.py:48-389)
+
+Pure stdlib — runs inside Arrow-batched pandas UDF workers.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Dict, List, Optional
+
+from ..doctree import DocTree
+
+# deviation-documented heuristic knobs
+HEADER_MARGIN_FRAC = 0.05
+FOOTER_MARGIN_FRAC = 0.05
+COLUMN_GAP_FRAC = 0.04       # min x-gap (fraction of page width) to split
+BLOCK_GAP_FACTOR = 1.8       # vertical gap > factor×median line height → new block
+
+
+class Cell:
+    __slots__ = ("index", "text", "l", "t", "r", "b")
+
+    def __init__(self, index: int, text: str, l: float, t: float,
+                 r: float, b: float) -> None:
+        self.index = index
+        self.text = text
+        self.l = l
+        self.t = t
+        self.r = r
+        self.b = b
+
+    @property
+    def height(self) -> float:
+        return self.b - self.t
+
+
+# ---------------------------------------------------------------------------
+# 1. fragment merge (pypdfium2_backend.py:110-198 — exact port)
+
+
+def merge_horizontal_cells(
+    cells: List[Cell],
+    horizontal_threshold_factor: float = 1.0,
+    vertical_threshold_factor: float = 0.5,
+) -> List[Cell]:
+    if not cells:
+        return []
+
+    def group_rows(cells: List[Cell]) -> List[List[Cell]]:
+        rows = []
+        current_row = [cells[0]]
+        row_top = cells[0].t
+        row_bottom = cells[0].b
+        row_height = cells[0].height
+        for cell in cells[1:]:
+            vertical_threshold = row_height * vertical_threshold_factor
+            if (abs(cell.t - row_top) <= vertical_threshold
+                    and abs(cell.b - row_bottom) <= vertical_threshold):
+                current_row.append(cell)
+                row_top = min(row_top, cell.t)
+                row_bottom = max(row_bottom, cell.b)
+                row_height = row_bottom - row_top
+            else:
+                rows.append(current_row)
+                current_row = [cell]
+                row_top = cell.t
+                row_bottom = cell.b
+                row_height = cell.height
+        if current_row:
+            rows.append(current_row)
+        return rows
+
+    def merge_group(group: List[Cell]) -> Cell:
+        if len(group) == 1:
+            return group[0]
+        return Cell(
+            index=group[0].index,
+            text="".join(c.text for c in group),
+            l=min(c.l for c in group), t=min(c.t for c in group),
+            r=max(c.r for c in group), b=max(c.b for c in group))
+
+    def merge_row(row: List[Cell]) -> List[Cell]:
+        merged = []
+        current_group = [row[0]]
+        for cell in row[1:]:
+            prev = current_group[-1]
+            avg_height = (prev.height + cell.height) / 2
+            if cell.l - prev.r <= avg_height * horizontal_threshold_factor:
+                current_group.append(cell)
+            else:
+                merged.append(merge_group(current_group))
+                current_group = [cell]
+        if current_group:
+            merged.append(merge_group(current_group))
+        return merged
+
+    rows = group_rows(cells)
+    merged_cells = [cell for row in rows for cell in merge_row(row)]
+    for i, cell in enumerate(merged_cells, 1):
+        cell.index = i
+    return merged_cells
+
+
+# ---------------------------------------------------------------------------
+# 5. sanitize (page_assemble_model.py:32-63 — exact port)
+
+
+def sanitize_text(lines: List[str]) -> str:
+    if len(lines) <= 1:
+        return " ".join(lines)
+    lines = list(lines)
+    for ix, line in enumerate(lines[1:]):
+        prev_line = lines[ix]
+        if prev_line.endswith("-"):
+            prev_words = re.findall(r"\b[\w]+\b", prev_line)
+            line_words = re.findall(r"\b[\w]+\b", line)
+            if (len(prev_words) and len(line_words)
+                    and prev_words[-1].isalnum() and line_words[0].isalnum()):
+                lines[ix] = prev_line[:-1]
+        else:
+            lines[ix] += " "
+    sanitized = "".join(lines)
+    for a, b in (("⁄", "/"), ("’", "'"), ("‘", "'"), ("“", '"'),
+                 ("”", '"'), ("•", "·")):
+        sanitized = sanitized.replace(a, b)
+    return sanitized.strip()
+
+
+# ---------------------------------------------------------------------------
+# 2-4, 6. layout heuristics
+
+
+def _split_columns(cells: List[Cell], page_width: float) -> List[List[Cell]]:
+    """Split cells into columns at x-coverage gaps wider than
+    COLUMN_GAP_FRAC × page width."""
+    if not cells:
+        return []
+    intervals = sorted((c.l, c.r) for c in cells)
+    merged: List[List[float]] = [list(intervals[0])]
+    for l, r in intervals[1:]:
+        if l <= merged[-1][1] + COLUMN_GAP_FRAC * page_width:
+            merged[-1][1] = max(merged[-1][1], r)
+        else:
+            merged.append([l, r])
+    if len(merged) == 1:
+        return [cells]
+    columns: List[List[Cell]] = [[] for _ in merged]
+    for c in cells:
+        center = (c.l + c.r) / 2
+        for i, (gl, gr) in enumerate(merged):
+            if gl - 1e-9 <= center <= gr + 1e-9:
+                columns[i].append(c)
+                break
+        else:
+            columns[-1].append(c)
+    return [col for col in columns if col]
+
+
+def _split_blocks(lines: List[Cell]) -> List[List[Cell]]:
+    """Group top-sorted line cells into blocks at large vertical gaps."""
+    if not lines:
+        return []
+    lines = sorted(lines, key=lambda c: (c.t, c.l))
+    heights = sorted(c.height for c in lines)
+    median_h = heights[len(heights) // 2] or 1.0
+    blocks: List[List[Cell]] = [[lines[0]]]
+    for cell in lines[1:]:
+        gap = cell.t - blocks[-1][-1].b
+        if gap > BLOCK_GAP_FACTOR * median_h:
+            blocks.append([cell])
+        else:
+            blocks[-1].append(cell)
+    return blocks
+
+
+def parse_page(payload: str) -> Dict:
+    """One structured-page payload → dict with body block texts and
+    furniture (header/footer) texts, in reading order."""
+    page = json.loads(payload)
+    width = float(page.get("width", 612.0))
+    height = float(page.get("height", 792.0))
+    cells = [Cell(int(c.get("index", i)), c.get("text", ""),
+                  float(c["l"]), float(c["t"]), float(c["r"]), float(c["b"]))
+             for i, c in enumerate(page.get("cells", []))]
+    cells.sort(key=lambda c: c.index)
+    merged = merge_horizontal_cells(cells)
+
+    headers = [c for c in merged if c.b <= HEADER_MARGIN_FRAC * height]
+    footers = [c for c in merged if c.t >= (1 - FOOTER_MARGIN_FRAC) * height]
+    body = [c for c in merged if c not in headers and c not in footers]
+
+    blocks: List[str] = []
+    for column in _split_columns(body, width):
+        for block in _split_blocks(column):
+            lines = [c.text.replace("\x02", "-").strip() for c in block
+                     if c.text.strip()]
+            if lines:
+                blocks.append(sanitize_text(lines))
+
+    def _furn(cs: List[Cell]) -> List[str]:
+        out = []
+        for c in sorted(cs, key=lambda c: (c.t, c.l)):
+            t = c.text.replace("\x02", "-").strip()
+            if t:
+                out.append(sanitize_text([t]))
+        return out
+
+    return {
+        "page_no": int(page.get("page_no", 0)),
+        "blocks": blocks,
+        "headers": _furn(headers),
+        "footers": _furn(footers),
+    }
+
+
+def parse_pdf_pages(page_payloads: List[str]) -> DocTree:
+    """All pages of a document (offset order) → DocTree. Furniture
+    headers/footers attach as furniture-layer items (excluded from the
+    body span sequence, like the reference's page furniture,
+    readingorder_model.py:332-334)."""
+    tree = DocTree()
+    for payload in page_payloads:
+        page = parse_page(payload)
+        for text in page["headers"]:
+            tree.add_text("page_header", text, layer="furniture")
+        for text in page["blocks"]:
+            tree.add_text("text", text)
+        for text in page["footers"]:
+            tree.add_text("page_footer", text, layer="furniture")
+    return tree

@@ -100,6 +100,60 @@ def corpus_from_documents(
                     spans.alias("spans")))
 
 
+PDF_PAGES_PER_DOC = 2
+PDF_LINE_H = 10.0
+PDF_LINE_STEP = 12.0
+PDF_TOP = 50.0
+
+
+def corpus_pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → (doc_id, spans) corpus of structured PDF
+    pages: each document's words become one line cell each, split over
+    two pages (first ceil(n/2) words on page 0). Geometry is a single
+    column with uniform line spacing, away from the header/footer
+    margins — so the expected extraction output is exactly one 'text'
+    span per page whose text is the page's words joined by spaces,
+    predictable in ANSI SQL by the DuckDB oracle.
+
+    Built entirely with Catalyst expressions (to_json over struct
+    arrays) — zero Python in corpus synthesis."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    half = F.ceil(n / F.lit(2.0)).cast("int")
+
+    def page_payload(page_no: int, page_toks):
+        cells = F.transform(
+            page_toks,
+            lambda tok, i: F.struct(
+                i.cast("int").alias("index"),
+                tok.alias("text"),
+                F.lit(50.0).alias("l"),
+                (F.lit(PDF_TOP) + i.cast("double") * PDF_LINE_STEP).alias("t"),
+                F.lit(400.0).alias("r"),
+                (F.lit(PDF_TOP) + i.cast("double") * PDF_LINE_STEP
+                 + PDF_LINE_H).alias("b")))
+        return F.to_json(F.struct(
+            F.lit(page_no).alias("page_no"),
+            F.lit(612.0).alias("width"),
+            F.lit(792.0).alias("height"),
+            cells.alias("cells")))
+
+    p0 = F.struct(
+        F.lit("pdf_page").alias("kind"),
+        page_payload(0, F.slice(toks, F.lit(1), half)).alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).cast("int").alias("offset"))
+    p1 = F.struct(
+        F.lit("pdf_page").alias("kind"),
+        page_payload(1, F.slice(toks, half + 1, n - half)).alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(1).cast("int").alias("offset"))
+    spans = F.when(n > half, F.array(p0, p1)).otherwise(F.array(p0))
+    return docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                       spans.alias("spans"))
+
+
 def fixture_rows(kinds: Optional[List[str]] = None) -> List[Tuple[str, list]]:
     """Reference groundtruth fixture payloads as (doc_id, spans) rows."""
     from ..golden import fixture_names, fixture_payload

@@ -1,0 +1,134 @@
+"""Unit tests for the NN-free PDF page path: fragment merge (exact
+port of pypdfium2_backend.py:110-198), sanitize
+(page_assemble_model.py:32-63), column-aware reading order, and
+header/footer furniture suppression."""
+
+import json
+
+from docling_spark.doctree import flatten
+from docling_spark.parsers.pdf_page import (
+    Cell,
+    merge_horizontal_cells,
+    parse_page,
+    parse_pdf_pages,
+    sanitize_text,
+)
+
+
+def _cell(i, text, l, t, r, b):
+    return {"index": i, "text": text, "l": l, "t": t, "r": r, "b": b}
+
+
+def _page(cells, page_no=0, width=612.0, height=792.0):
+    return json.dumps({"page_no": page_no, "width": width,
+                       "height": height, "cells": cells})
+
+
+# -- fragment merge ---------------------------------------------------------
+
+
+def test_merge_subword_fragments():
+    # "Hel" "lo" " wo" "rld" at sub-word granularity, height 10
+    cells = [
+        Cell(1, "Hel", 10, 100, 25, 110),
+        Cell(2, "lo", 25.5, 100, 33, 110),
+        Cell(3, " wo", 34, 100, 50, 110),
+        Cell(4, "rld", 50.2, 100, 64, 110),
+    ]
+    merged = merge_horizontal_cells(cells)
+    assert len(merged) == 1
+    assert merged[0].text == "Hello world"
+    assert (merged[0].l, merged[0].r) == (10, 64)
+
+
+def test_merge_respects_horizontal_gap():
+    # gap (15) > avg height (10) → two cells (columns on the same row)
+    cells = [
+        Cell(1, "left", 10, 100, 50, 110),
+        Cell(2, "right", 65, 100, 100, 110),
+    ]
+    merged = merge_horizontal_cells(cells)
+    assert [c.text for c in merged] == ["left", "right"]
+
+
+def test_merge_rows_by_vertical_overlap():
+    # second cell 12pt lower than the 10pt-high row → new row
+    cells = [
+        Cell(1, "line1", 10, 100, 50, 110),
+        Cell(2, "line2", 10, 112, 50, 122),
+    ]
+    merged = merge_horizontal_cells(cells)
+    assert [c.text for c in merged] == ["line1", "line2"]
+    assert [c.index for c in merged] == [1, 2]  # re-indexed 1-based
+
+
+# -- sanitize ---------------------------------------------------------------
+
+
+def test_sanitize_dehyphenation():
+    assert sanitize_text(["experi-", "ment works"]) == "experiment works"
+
+
+def test_sanitize_keeps_hyphen_before_nonalnum():
+    # next line starts with punctuation-only word list → no word match
+    assert sanitize_text(["state-", "of-the-art"]) == "stateof-the-art"
+    assert sanitize_text(["ends-", "…"]) == "ends-…"
+
+
+def test_sanitize_joins_with_space_and_normalizes():
+    assert sanitize_text(["a “quote”", "and ‘more’"]) == 'a "quote" and \'more\''
+    # single-line early return skips normalization (reference behavior,
+    # page_assemble_model.py:33-34)
+    assert sanitize_text(["• item ⁄ half"]) == "• item ⁄ half"
+    assert sanitize_text(["• item x", "y ⁄ half"]) == "· item x y / half"
+
+
+# -- page parse: columns, blocks, furniture ---------------------------------
+
+
+def test_two_column_reading_order():
+    cells = [
+        _cell(1, "L1", 50, 100, 250, 110),
+        _cell(2, "R1", 350, 100, 550, 110),
+        _cell(3, "L2", 50, 112, 250, 122),
+        _cell(4, "R2", 350, 112, 550, 122),
+    ]
+    page = parse_page(_page(cells))
+    # left column fully before right column
+    assert page["blocks"] == ["L1 L2", "R1 R2"]
+
+
+def test_block_split_on_vertical_gap():
+    cells = [
+        _cell(1, "para1 line1", 50, 100, 400, 110),
+        _cell(2, "para1 line2", 50, 112, 400, 122),
+        _cell(3, "para2 line1", 50, 180, 400, 190),
+    ]
+    page = parse_page(_page(cells))
+    assert page["blocks"] == ["para1 line1 para1 line2", "para2 line1"]
+
+
+def test_header_footer_furniture():
+    cells = [
+        _cell(1, "Journal header", 50, 5, 400, 20),     # top 5% of 792
+        _cell(2, "Body text", 50, 100, 400, 110),
+        _cell(3, "Page 7", 280, 760, 330, 780),          # bottom margin
+    ]
+    page = parse_page(_page(cells))
+    assert page["blocks"] == ["Body text"]
+    assert page["headers"] == ["Journal header"]
+    assert page["footers"] == ["Page 7"]
+
+    tree = parse_pdf_pages([_page(cells)])
+    spans = flatten(tree)
+    # furniture excluded from the body span sequence
+    assert [s["text"] for s in spans] == ["Body text"]
+    assert spans[0]["kind"] == "text"
+
+
+def test_control_char_and_page_order():
+    p0 = _page([_cell(1, "soft\x02hyphen", 50, 100, 400, 110)], page_no=0)
+    p1 = _page([_cell(1, "second page", 50, 100, 400, 110)], page_no=1)
+    spans = flatten(parse_pdf_pages([p0, p1]))
+    assert [s["text"] for s in spans] == ["soft-hyphen", "second page"]
+    assert [s["offset"] for s in spans] == [0, 1]
