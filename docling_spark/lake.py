@@ -1,0 +1,125 @@
+"""Snapshot table — the checkpoint/resume layer (north rule:
+"resumable from checkpoint with per-partition lineage + metrics").
+
+Iceberg semantics over plain Parquet + an atomic JSON snapshot
+manifest: a snapshot's data files only become visible when the
+manifest is atomically replaced (os.replace), so a killed job never
+exposes partial output, and the next run resumes by anti-joining its
+input against the committed keys (SURVEY.md §4 "resume = anti-join
+input against committed output snapshot").
+
+When a real Iceberg runtime jar is on the classpath, the same API can
+be backed by `spark.read.table` / `writeTo(...).append()` — this file
+is the offline-safe default that preserves the semantics
+(SURVEY.md §7.0).
+
+Layout:
+    <root>/_snapshots.json          atomic manifest (committed snapshots)
+    <root>/snap-<id>/part-*.parquet data files of one snapshot
+    <root>/metrics/snap-<id>/       per-partition lineage + metrics rows
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SnapshotTable:
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.manifest_path = os.path.join(root, "_snapshots.json")
+
+    # -- manifest ----------------------------------------------------------
+
+    def _read_manifest(self) -> dict:
+        if not os.path.exists(self.manifest_path):
+            return {"snapshots": []}
+        with open(self.manifest_path, "r", encoding="utf-8") as f:
+            return json.load(f)
+
+    def _commit_manifest(self, manifest: dict) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self.manifest_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.manifest_path)  # atomic commit point
+
+    def snapshots(self) -> List[dict]:
+        return self._read_manifest()["snapshots"]
+
+    # -- write -------------------------------------------------------------
+
+    def write_snapshot(self, df: DataFrame,
+                       metrics: Optional[DataFrame] = None,
+                       key_col: str = "doc_id") -> dict:
+        """Write df as a new snapshot; data lands first, the manifest
+        flip is the single atomic commit point. Returns the snapshot
+        entry."""
+        snap_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        data_dir = os.path.join(self.root, f"snap-{snap_id}")
+        df.write.mode("errorifexists").parquet(data_dir)
+        metrics_dir = None
+        if metrics is not None:
+            metrics_dir = os.path.join(self.root, "metrics",
+                                       f"snap-{snap_id}")
+            metrics.write.mode("errorifexists").parquet(metrics_dir)
+        manifest = self._read_manifest()
+        entry = {"id": snap_id, "data": data_dir, "metrics": metrics_dir,
+                 "key_col": key_col, "committed_at": time.time()}
+        manifest["snapshots"].append(entry)
+        self._commit_manifest(manifest)
+        return entry
+
+    # -- read --------------------------------------------------------------
+
+    def read(self, spark: SparkSession) -> Optional[DataFrame]:
+        dirs = [s["data"] for s in self.snapshots()]
+        if not dirs:
+            return None
+        return spark.read.parquet(*dirs)
+
+    def read_metrics(self, spark: SparkSession) -> Optional[DataFrame]:
+        dirs = [s["metrics"] for s in self.snapshots() if s.get("metrics")]
+        if not dirs:
+            return None
+        return spark.read.parquet(*dirs)
+
+    def committed_keys(self, spark: SparkSession,
+                       key_col: str = "doc_id") -> Optional[DataFrame]:
+        df = self.read(spark)
+        return None if df is None else df.select(key_col).distinct()
+
+
+def resume_filter(input_df: DataFrame, table: SnapshotTable,
+                  key_col: str = "doc_id") -> DataFrame:
+    """Drop rows whose key is already committed (the resume anti-join).
+    At scale the committed-keys side is a column-pruned parquet scan of
+    just the key column; AQE broadcasts it when small."""
+    committed = table.committed_keys(input_df.sparkSession, key_col)
+    if committed is None:
+        return input_df
+    return input_df.join(committed, on=key_col, how="left_anti")
+
+
+def partition_metrics(output: DataFrame) -> DataFrame:
+    """Per-partition lineage + span-count/error metrics (north rule).
+    One row per task partition: doc/span/error counts + wall time."""
+    return (output
+            .withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_spans").alias("n_spans"),
+                 F.sum((F.col("status") != "success").cast("long"))
+                  .alias("n_errors"),
+                 F.sum("wall_us").alias("wall_us"),
+                 F.min("doc_id").alias("min_doc_id"),
+                 F.max("doc_id").alias("max_doc_id")))

@@ -263,3 +263,36 @@ def extract_spans(
     if num_partitions:
         df = df.repartition(num_partitions, "doc_id")
     return df.mapInPandas(_extract_batches, schema=OUTPUT_DDL)
+
+
+def extract_routed(
+    df: DataFrame,
+    *,
+    num_partitions: Optional[int] = None,
+    allowed_kinds: Optional[List[str]] = None,
+    max_payload_chars: Optional[int] = None,
+) -> DataFrame:
+    """Production entry: paginated documents (pdf_page spans) take the
+    page-parallel path (skew-safe for mega-documents); everything else
+    takes the one-doc-one-task path. Both run from the same input scan;
+    results union to one output table.
+
+    This IS the salting strategy for this workload: doc-level hash
+    partitioning is uniform in row count, and the only size-skew that
+    matters (one mega document serializing a partition, SURVEY.md §7.4)
+    is removed structurally by exploding pages before the UDF rather
+    than by key-salting an aggregation."""
+    is_paged = F.exists("spans", lambda s: s["kind"] == "pdf_page")
+    doc_side = extract_spans(
+        df.filter(~is_paged), allowed_kinds=allowed_kinds,
+        max_payload_chars=max_payload_chars, num_partitions=num_partitions)
+    paged_side = extract_spans_paged(
+        df.filter(is_paged), num_partitions=num_partitions)
+    paged_full = paged_side.select(
+        "doc_id", "spans", "status",
+        F.array().cast(
+            "array<struct<component:string,module:string,message:string>>")
+         .alias("errors"),
+        "n_spans",
+        F.lit(0).cast("long").alias("wall_us"))
+    return doc_side.unionByName(paged_full)

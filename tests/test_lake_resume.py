@@ -1,0 +1,72 @@
+"""Checkpoint/resume semantics: atomic snapshot commit, resume
+anti-join, per-partition lineage metrics (north-rule requirements)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from docling_spark.lake import SnapshotTable, partition_metrics, resume_filter
+from docling_spark.operators.extract import extract_spans
+from docling_spark.schema import INPUT_SCHEMA
+
+
+def _corpus(spark, ids):
+    rows = [(f"d{i}",
+             [("html", f"<html><body><h1>T{i}</h1></body></html>", "", 0)])
+            for i in ids]
+    return spark.createDataFrame(rows, schema=INPUT_SCHEMA)
+
+
+def test_empty_table_reads_none(spark, tmp_path):
+    table = SnapshotTable(str(tmp_path / "lake"))
+    assert table.read(spark) is None
+    assert table.snapshots() == []
+
+
+def test_resume_skips_committed(spark, tmp_path):
+    table = SnapshotTable(str(tmp_path / "lake"))
+
+    # run 1: commit the first half
+    first = extract_spans(_corpus(spark, range(0, 5)))
+    table.write_snapshot(first, metrics=partition_metrics(first))
+    assert len(table.snapshots()) == 1
+
+    # run 2: full input arrives again; resume must keep only d5..d9
+    todo = resume_filter(_corpus(spark, range(0, 10)), table)
+    todo_ids = sorted(r["doc_id"] for r in todo.select("doc_id").collect())
+    assert todo_ids == [f"d{i}" for i in range(5, 10)]
+
+    second = extract_spans(todo)
+    table.write_snapshot(second, metrics=partition_metrics(second))
+
+    # combined table is complete, no duplicates
+    all_rows = table.read(spark)
+    ids = sorted(r["doc_id"] for r in all_rows.select("doc_id").collect())
+    assert ids == sorted(f"d{i}" for i in range(10))
+
+    # run 3: everything committed → resume leaves nothing
+    assert resume_filter(_corpus(spark, range(0, 10)), table).count() == 0
+
+
+def test_uncommitted_data_is_invisible(spark, tmp_path):
+    """A killed job leaves data dirs but no manifest entry — readers
+    must not see them (the manifest flip is the only commit point)."""
+    root = str(tmp_path / "lake")
+    table = SnapshotTable(root)
+    out = extract_spans(_corpus(spark, range(0, 3)))
+    # simulate the crash: data written, manifest never updated
+    out.write.parquet(os.path.join(root, "snap-dead-beef"))
+    assert table.read(spark) is None
+    assert resume_filter(_corpus(spark, range(0, 3)), table).count() == 3
+
+
+def test_partition_metrics_totals(spark):
+    out = extract_spans(_corpus(spark, range(0, 8)), num_partitions=4)
+    m = partition_metrics(out)
+    totals = m.agg(F.sum("n_docs"), F.sum("n_spans"),
+                   F.sum("n_errors")).collect()[0]
+    assert totals[0] == 8
+    assert totals[1] == 8  # one title span per doc
+    assert totals[2] == 0
+    assert {f.name for f in m.schema.fields} >= {
+        "partition_id", "n_docs", "n_spans", "n_errors", "wall_us"}
