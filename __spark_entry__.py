@@ -242,6 +242,55 @@ def q_events_sessionize(spark, sf_dir):
                  F.count("*").alias("n_events")))
 
 
+def q_format_sniff(spark, sf_dir):
+    """Format routing probe (SURVEY §2.1 _guess_format): mixed-format
+    payloads → detected format + sha256 identity, pure Catalyst."""
+    from docling_spark.operators.sniff import format_col, sha256_col
+    docs = _docs(spark, sf_dir)
+    payload = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("<html><body><p>"), F.col("text"),
+                        F.lit("</p></body></html>")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("a,b,c\n1,2,3\n"), F.col("text")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("# Doc\n"), F.col("text")))
+        .otherwise(F.col("text")))
+    return docs.select(
+        "doc_id",
+        format_col(payload).alias("format"),
+        sha256_col(payload).alias("sha256"))
+
+
+def q_embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup: exact clones injected, LSH-bucketed
+    candidate join, Arrow-batched cosine verify."""
+    from docling_spark.operators.dedup import embedding_dedup
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = (emb.filter(F.col("vec_id") < 50)
+              .select((F.col("vec_id") + 100000).alias("vec_id"),
+                      "embedding"))
+    return embedding_dedup(emb.unionByName(clones), threshold=0.98)
+
+
+def q_events_windowed(spark, sf_dir):
+    """Tumbling 1h event rollup — the batch spelling of the streaming
+    watermarked windowed aggregation (docling_spark.streaming)."""
+    from docling_spark.streaming.stream import windowed_event_counts
+    return windowed_event_counts(_read(spark, sf_dir, "events"))
+
+
+def q_events_json_props(spark, sf_dir):
+    """JSON prop extraction + top-k (string/JSON function surface)."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.max("k").alias("max_k")))
+
+
 def q_tpch_q1_pricing(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     dec = lambda c, p, s: F.col(c).cast(f"decimal({p},{s})")
@@ -289,6 +338,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine_bruteforce": q_knn_cosine_bruteforce,
         "knn_cosine_lsh": q_knn_cosine_lsh,
         "events_sessionize": q_events_sessionize,
+        "format_sniff": q_format_sniff,
+        "embedding_dedup": q_embedding_dedup,
+        "events_windowed": q_events_windowed,
+        "events_json_props": q_events_json_props,
         "tpch_q1_pricing": q_tpch_q1_pricing,
     }
 
@@ -590,6 +643,95 @@ s AS (SELECT user_id,
 SELECT user_id, CAST(MAX(sess) AS BIGINT) AS n_sessions,
        COUNT(*) AS n_events
 FROM s GROUP BY user_id
+"""
+
+    oracles["format_sniff"] = """
+WITH p AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0
+           THEN '<html><body><p>' || text || '</p></body></html>'
+         WHEN doc_id % 4 = 1 THEN 'a,b,c' || chr(10) || '1,2,3'
+                                  || chr(10) || text
+         WHEN doc_id % 4 = 2 THEN '# Doc' || chr(10) || text
+         ELSE text END AS payload
+  FROM documents),
+d AS (SELECT doc_id, payload,
+        string_split(payload, chr(10)) AS lines FROM p),
+x AS (SELECT doc_id, payload,
+        lines[1] AS l1, coalesce(lines[2], '') AS l2 FROM d)
+SELECT doc_id,
+  CASE
+    WHEN contains(lower(substr(payload, 1, 1024)), '<!doctype html')
+         OR contains(lower(substr(payload, 1, 1024)), '<html')
+      THEN 'html'
+    WHEN starts_with(payload, '<?xml') THEN 'xml'
+    WHEN starts_with(payload, '# ')
+         OR contains(payload, chr(10) || '# ') THEN 'md'
+    WHEN (length(l1) - length(replace(l1, ',', '')) > 0
+          AND length(l1) - length(replace(l1, ',', ''))
+              = length(l2) - length(replace(l2, ',', '')))
+      OR (length(l1) - length(replace(l1, ';', '')) > 0
+          AND length(l1) - length(replace(l1, ';', ''))
+              = length(l2) - length(replace(l2, ';', '')))
+      OR (length(l1) - length(replace(l1, chr(9), '')) > 0
+          AND length(l1) - length(replace(l1, chr(9), ''))
+              = length(l2) - length(replace(l2, chr(9), '')))
+      OR (length(l1) - length(replace(l1, '|', '')) > 0
+          AND length(l1) - length(replace(l1, '|', ''))
+              = length(l2) - length(replace(l2, '|', '')))
+      THEN 'csv'
+    ELSE 'text' END AS format,
+  sha256(payload) AS sha256
+FROM x
+"""
+
+    oracles["embedding_dedup"] = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 50),
+vecs0 AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM corpus),
+buck AS (
+  SELECT vec_id, e,
+    (SELECT CAST(SUM(CASE WHEN list_reduce(
+         list_transform(generate_series(1, len(e)),
+           i -> e[i] * (CASE WHEN ('0x' || substr(md5(
+                    CAST(p.p AS VARCHAR) || ',' || CAST(i - 1 AS VARCHAR)),
+                    1, 4))::BIGINT >= 32768 THEN 1.0 ELSE -1.0 END)),
+         (a, b) -> a + b) >= 0
+       THEN (CAST(1 AS BIGINT) << p.p) ELSE 0 END) AS BIGINT)
+     FROM (SELECT unnest(generate_series(0, 7)) AS p) p) AS bucket
+  FROM vecs0),
+pairs AS (
+  SELECT a.vec_id AS doc_a, c.vec_id AS doc_b,
+    list_reduce(list_transform(generate_series(1, len(a.e)),
+                i -> a.e[i] * c.e[i]), (x, y) -> x + y)
+    / (sqrt(list_reduce(list_transform(a.e, x -> x*x), (x, y) -> x + y))
+       * sqrt(list_reduce(list_transform(c.e, x -> x*x), (x, y) -> x + y)))
+      AS score
+  FROM buck a JOIN buck c
+    ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+SELECT doc_a, doc_b,
+       CAST(floor(score * 10000 + 1e-6) AS BIGINT) AS score_e4
+FROM pairs WHERE score >= 0.98
+"""
+
+    oracles["events_windowed"] = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(floor(SUM(value) * 100) AS BIGINT) AS sum_value_e2
+FROM events GROUP BY 1, 2
+"""
+
+    oracles["events_json_props"] = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS max_k
+FROM events GROUP BY event_type
 """
 
     oracles["tpch_q1_pricing"] = """

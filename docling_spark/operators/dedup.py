@@ -155,6 +155,36 @@ def minhash_dedup(docs: DataFrame, *, n: int = 3, num_hashes: int = 16,
             .orderBy("doc_a", "doc_b"))
 
 
+def embedding_dedup(embeddings: DataFrame, *, threshold: float = 0.98,
+                    n_planes: int = 8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: random-hyperplane LSH
+    buckets the corpus once (one shuffle on an 8-bit key), candidate
+    pairs come only from the bucket equijoin (never an all-pairs
+    product), and the exact cosine (Arrow-batched NumPy) verifies
+    candidates. At 10^12 rows the bucket join is the only quadratic
+    risk and its blow-up is bounded per bucket, not per corpus."""
+    from .similarity import cosine_udf, lsh_buckets
+
+    b = lsh_buckets(embeddings, n_planes)
+    left = b.alias("a")
+    right = b.alias("c")
+    pairs = (left.join(right,
+                       (F.col("a.bucket") == F.col("c.bucket"))
+                       & (F.col("a.vec_id") < F.col("c.vec_id")))
+             .select(F.col("a.vec_id").alias("doc_a"),
+                     F.col("c.vec_id").alias("doc_b"),
+                     cosine_udf(F.col("a.embedding"),
+                                F.col("c.embedding")).alias("score")))
+    # +1e-6 before floor: identical vectors give cosine 1.0-ε under
+    # float summation-order differences; the epsilon makes the scaled
+    # integer stable across engines (same term in the SQL oracle)
+    return (pairs.filter(F.col("score") >= threshold)
+            .select("doc_a", "doc_b",
+                    F.floor(F.col("score") * 10000 + F.lit(1e-6))
+                     .cast("long").alias("score_e4"))
+            .orderBy("doc_a", "doc_b"))
+
+
 def simhash16(docs: DataFrame, *, n: int = 3,
               num_partitions: int = 0) -> DataFrame:
     """16-bit SimHash over word n-gram shingles with portable md5 bits:

@@ -1,0 +1,87 @@
+"""Structured Streaming parity: the streaming extraction and windowed
+rollup must produce exactly the batch results on the same input."""
+
+from pyspark.sql import functions as F
+
+from docling_spark.operators.extract import extract_spans
+from docling_spark.schema import INPUT_SCHEMA
+from docling_spark.streaming.stream import (
+    corpus_stream,
+    extract_stream,
+    run_stream_to_table,
+    windowed_event_counts,
+)
+
+
+def _write_corpus(spark, path, n=20):
+    rows = [(f"d{i}",
+             [("html", f"<html><body><h1>T{i}</h1><p>body {i}</p>"
+                       f"</body></html>", "", 0)])
+            for i in range(n)]
+    df = spark.createDataFrame(rows, schema=INPUT_SCHEMA)
+    df.repartition(4).write.parquet(path)
+    return df
+
+
+def test_streaming_extraction_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batch_input = _write_corpus(spark, src)
+
+    stream = extract_stream(corpus_stream(spark, src,
+                                          max_files_per_trigger=2))
+    assert stream.isStreaming
+    run_stream_to_table(stream, out, ckpt, available_now=True)
+
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    want = {r["doc_id"]: r
+            for r in extract_spans(batch_input).collect()}
+    assert set(got) == set(want)
+    for doc_id in want:
+        assert got[doc_id]["spans"] == want[doc_id]["spans"]
+        assert got[doc_id]["status"] == "success"
+
+
+def test_streaming_restart_is_exactly_once(spark, tmp_path):
+    """Re-running the drained stream with the same checkpoint must not
+    duplicate output rows."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_corpus(spark, src, n=10)
+
+    for _ in range(2):  # second run replays nothing
+        stream = extract_stream(corpus_stream(spark, src))
+        run_stream_to_table(stream, out, ckpt, available_now=True)
+    assert spark.read.parquet(out).count() == 10
+
+
+def test_windowed_counts_streaming_vs_batch(spark, tmp_path):
+    import datetime
+
+    rows = [(i, datetime.datetime(2024, 1, 1, hour, minute), "click",
+             1.0 + i)
+            for i, (hour, minute) in enumerate(
+                [(0, 5), (0, 55), (1, 5), (2, 30), (2, 45)])]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, "
+              "value double")
+    src = str(tmp_path / "events")
+    df.write.parquet(src)
+
+    batch = {(r["window_start"], r["event_type"]):
+             (r["n_events"], r["sum_value_e2"])
+             for r in windowed_event_counts(df).collect()}
+    assert len(batch) == 3  # hours 0, 1, 2
+
+    stream_df = (spark.readStream.schema(df.schema).parquet(src))
+    windowed = windowed_event_counts(stream_df)
+    q = (windowed.writeStream.format("memory")
+         .queryName("win_test").outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["window_start"], r["event_type"]):
+           (r["n_events"], r["sum_value_e2"])
+           for r in spark.sql("SELECT * FROM win_test").collect()}
+    assert got == batch
