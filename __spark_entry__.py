@@ -291,6 +291,55 @@ def q_events_json_props(spark, sf_dir):
                  F.max("k").alias("max_k")))
 
 
+def _media_table(spark, sf_dir):
+    """Synthetic binary media table (Catalyst-only): every 5th doc gets
+    an IMG1 blob — 4-byte magic + 2-byte w/h + md5(doc_id) payload."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    w = (F.col("doc_id") % 32 + 16).cast("int")
+    h = (F.col("doc_id") % 24 + 16).cast("int")
+    hexstr = F.concat(
+        F.lit("494d4731"),
+        F.lpad(F.lower(F.hex(w)), 4, "0"),
+        F.lpad(F.lower(F.hex(h)), 4, "0"),
+        F.md5(F.col("doc_id").cast("string")))
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("media://"), F.col("doc_id").cast("string"))
+         .alias("media_ref"),
+        F.unhex(hexstr).alias("bytes"))
+
+
+def q_media_decode_meta(spark, sf_dir):
+    """Binary media plumbing: opaque bytes column → Arrow-batched
+    header parse (width/height/mime) + content hash."""
+    from docling_spark.operators.multimodal import with_image_meta
+    media = _media_table(spark, sf_dir)
+    out = with_image_meta(media)
+    # content identity compared as sha256 over the hex form: DuckDB
+    # cannot hash BLOBs; the UDF's raw-byte sha256 is covered by pytest
+    return out.select(
+        "doc_id", "media_ref",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.sha2(F.lower(F.hex(F.col("bytes"))), 256).alias("sha256_hex"))
+
+
+def q_media_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan (pure metadata math): events.value
+    stands in for a duration_ms column."""
+    from docling_spark.operators.multimodal import frame_sample_plan
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    dur = F.round(F.col("value") * 100).cast("long")
+    plan = frame_sample_plan(dur.cast("double"), fps=1.0, max_frames=8)
+    return ev.select(
+        "event_id", dur.alias("duration_ms"),
+        F.size(plan).alias("n_frames"),
+        F.element_at(plan, 1).alias("first_ms"),
+        F.element_at(plan, -1).alias("last_ms"))
+
+
 def q_tpch_q1_pricing(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     dec = lambda c, p, s: F.col(c).cast(f"decimal({p},{s})")
@@ -342,6 +391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": q_embedding_dedup,
         "events_windowed": q_events_windowed,
         "events_json_props": q_events_json_props,
+        "media_decode_meta": q_media_decode_meta,
+        "media_frame_plan": q_media_frame_plan,
         "tpch_q1_pricing": q_tpch_q1_pricing,
     }
 
@@ -732,6 +783,37 @@ SELECT event_type, COUNT(*) AS n,
        CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
             AS BIGINT) AS max_k
 FROM events GROUP BY event_type
+"""
+
+    oracles["media_decode_meta"] = """
+WITH m AS (
+  SELECT doc_id,
+    'media://' || CAST(doc_id AS VARCHAR) AS media_ref,
+    CAST(doc_id % 32 + 16 AS INT) AS w,
+    CAST(doc_id % 24 + 16 AS INT) AS h,
+    from_hex('494d4731' || printf('%04x', doc_id % 32 + 16)
+             || printf('%04x', doc_id % 24 + 16)
+             || md5(CAST(doc_id AS VARCHAR))) AS bytes
+  FROM documents WHERE doc_id % 5 = 0)
+SELECT doc_id, media_ref, w AS width, h AS height,
+       'image/x-img1' AS mime,
+       CAST(octet_length(bytes) AS INT) AS n_bytes,
+       sha256(lower(to_hex(bytes))) AS sha256_hex
+FROM m
+"""
+
+    oracles["media_frame_plan"] = """
+WITH e AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS duration_ms
+  FROM events WHERE event_id < 200),
+n AS (SELECT event_id, duration_ms,
+        least(CAST(floor(duration_ms / 1000.0) AS INT) + 1, 8) AS nf
+      FROM e)
+SELECT event_id, duration_ms, nf AS n_frames,
+       CAST(0 AS BIGINT) AS first_ms,
+       CAST(floor((nf - 1) * (duration_ms / CAST(nf AS DOUBLE)))
+            AS BIGINT) AS last_ms
+FROM n
 """
 
     oracles["tpch_q1_pricing"] = """

@@ -27,7 +27,9 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # Headline set: flagship extraction + one per operator family.
 BENCH_QUERIES = [
     "extract_html_spans",
+    "extract_pdf_paged",
     "extract_status_counts",
+    "format_sniff",
     "doc_token_stats",
     "doc_quality",
     "doc_language_id",
@@ -35,9 +37,12 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "embedding_dedup",
     "knn_cosine_bruteforce",
     "knn_cosine_lsh",
     "events_sessionize",
+    "events_windowed",
+    "media_decode_meta",
     "tpch_q1_pricing",
 ]
 

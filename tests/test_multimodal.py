@@ -1,0 +1,90 @@
+"""Multimodal binary-column plumbing: real header parsing (PNG built
+from stdlib zlib — no codec needed), deterministic fake features,
+frame-sample planning, and the Arrow batch path through Spark."""
+
+import hashlib
+import struct
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_spark.operators.multimodal import (
+    decode_image,
+    frame_sample_plan,
+    parse_image_header,
+    with_image_features,
+    with_image_meta,
+)
+
+
+def make_png(width: int, height: int) -> bytes:
+    """Minimal valid grayscale PNG via stdlib only."""
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(width) for _ in range(height))
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def test_png_header_parse():
+    data = make_png(320, 200)
+    assert parse_image_header(data) == (320, 200, "image/png")
+
+
+def test_gif_and_unknown_headers():
+    gif = b"GIF89a" + struct.pack("<HH", 12, 34) + b"\x00" * 10
+    assert parse_image_header(gif) == (12, 34, "image/gif")
+    assert parse_image_header(b"garbage")[2] == "application/octet-stream"
+
+
+def test_jpeg_sof_scan():
+    # minimal JPEG: SOI + APP0 stub + SOF0 with dims + EOI
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 8, 8, 99, 101, 1)
+    jpg = b"\xff\xd8\xff\xe0" + struct.pack(">H", 4) + b"JF" + sof
+    w, h, mime = parse_image_header(jpg)
+    assert (w, h, mime) == (101, 99, "image/jpeg")
+
+
+def test_decode_is_an_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_meta_and_features_through_spark(spark):
+    rows = [(f"m{i}", make_png(16 + i, 24 + i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "media_ref string, bytes binary")
+    meta = with_image_meta(df).select("media_ref", "meta.*").collect()
+    by_ref = {r["media_ref"]: r for r in meta}
+    for i in range(10):
+        r = by_ref[f"m{i}"]
+        assert (r["width"], r["height"]) == (16 + i, 24 + i)
+        assert r["mime"] == "image/png"
+        assert r["sha256"] == hashlib.sha256(rows[i][1]).hexdigest()
+
+    feats = with_image_features(df).select("media_ref", "features.*")
+    out = {r["media_ref"]: r for r in feats.collect()}
+    # deterministic fake decode → stable features across runs
+    again = {r["media_ref"]: r for r in feats.collect()}
+    for k in out:
+        assert out[k]["mean_e4"] == again[k]["mean_e4"]
+        assert 0 <= out[k]["p_dark_e4"] <= 10000
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(1, 5500.0), (2, 500.0), (3, 100000.0)],
+        "vid long, duration_ms double")
+    plan = df.select(
+        "vid", frame_sample_plan(F.col("duration_ms"), fps=1.0,
+                                 max_frames=8).alias("p"))
+    got = {r["vid"]: r["p"] for r in plan.collect()}
+    assert len(got[1]) == 6          # 5.5s at 1 fps → 6 frames
+    assert got[2] == [0]             # sub-second clip → 1 frame
+    assert len(got[3]) == 8          # capped at max_frames
+    assert got[1][0] == 0 and got[1][-1] < 5500
