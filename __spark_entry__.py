@@ -138,6 +138,24 @@ def q_extract_pdf_paged(spark, sf_dir):
                                        "text")
 
 
+def q_export_markdown(spark, sf_dir):
+    """Sink: extraction output rendered to markdown, pure Catalyst
+    (SURVEY §2.5)."""
+    from docling_spark.operators.export import export_markdown
+    corpus = corpus_from_documents(spark, sf_dir)
+    out = extract_spans(corpus, num_partitions=_par(spark))
+    return export_markdown(out)
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Token-budgeted chunking with heading context over the extracted
+    span table (docling HybridChunker analogue, fully relational)."""
+    from docling_spark.operators.chunking import chunk_documents
+    corpus = corpus_from_documents(spark, sf_dir)
+    out = extract_spans(corpus, num_partitions=_par(spark))
+    return chunk_documents(out, max_tokens=16)
+
+
 def q_doc_token_stats(spark, sf_dir):
     return with_token_stats(_docs(spark, sf_dir))
 
@@ -374,6 +392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_media_manifest": q_extract_media_manifest,
         "extract_status_counts": q_extract_status_counts,
         "extract_pdf_paged": q_extract_pdf_paged,
+        "export_markdown": q_export_markdown,
+        "chunk_documents": q_chunk_documents,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_language_id": q_doc_language_id,
@@ -435,6 +455,56 @@ FROM (SELECT CASE WHEN doc_id % 10 = 0 THEN 'skipped' ELSE 'success' END
            WHEN doc_id % 5 = 0 THEN 5 ELSE 4 END AS n
       FROM documents) t
 GROUP BY status
+"""
+
+    oracles["export_markdown"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+       || text || chr(10) || chr(10)
+       || '## Stats' || chr(10) || chr(10)
+       || CAST(n_chars AS VARCHAR) || ' chars'
+       || CASE WHEN doc_id % 5 = 0
+               THEN chr(10) || chr(10) || '<!-- image -->' ELSE '' END
+         AS markdown
+FROM documents
+"""
+
+    oracles["chunk_documents"] = """
+WITH spans AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS span_offset,
+         'title' AS kind, 'Doc ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 1, 'text', text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 2, 'section_header', 'Stats'
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 3, 'text',
+         CAST(n_chars AS VARCHAR) || ' chars' FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 4, 'picture', '' FROM documents
+  WHERE doc_id % 5 = 0),
+tok AS (
+  SELECT *, CASE WHEN kind = 'picture' THEN 0
+                 ELSE len(string_split(text, ' ')) END AS n_tok
+  FROM spans),
+win AS (
+  SELECT *,
+    coalesce(SUM(n_tok) OVER (PARTITION BY doc_id ORDER BY span_offset
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+    last_value(CASE WHEN kind IN ('title', 'section_header') THEN text
+               END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY span_offset
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS heading
+  FROM tok)
+SELECT doc_id,
+       CAST(floor(cum_before / 16) AS INT) AS chunk_id,
+       arg_min(heading, span_offset) AS heading,
+       string_agg(text, chr(10) ORDER BY span_offset) AS text,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM win
+GROUP BY doc_id, CAST(floor(cum_before / 16) AS INT)
 """
 
     oracles["extract_pdf_paged"] = """

@@ -75,6 +75,11 @@ def _load_parsers() -> Dict[str, Callable[[str], object]]:
     except ImportError:
         pass
     try:
+        from ..parsers.docling_json import parse_docling_json
+        parsers["docling_json"] = parse_docling_json
+    except ImportError:
+        pass
+    try:
         from ..parsers.pdf_page import parse_pdf_pages
         parsers["pdf_page"] = None  # multi-span path, handled separately
     except ImportError:
