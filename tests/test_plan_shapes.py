@@ -1,0 +1,89 @@
+"""Physical-plan shape assertions — the scale contract, checked in CI:
+filters reach the scan, small sides broadcast, aggregations have
+map-side partial phases, and the hot expressions stay inside
+whole-stage codegen. A regression here is a 100-TB regression even
+when results stay correct."""
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_doc_filter_pushes_to_parquet_scan(spark):
+    df = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .filter(F.col("doc_id") < 100)
+          .select("doc_id", "n_chars"))
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" \
+        in plan
+    # column pruning: only the 2 projected columns are read
+    assert "ReadSchema: struct<doc_id:bigint,n_chars" in plan
+
+
+def test_knn_broadcasts_query_side(spark):
+    from docling_spark.operators.similarity import knn_bruteforce
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding")
+    out = knn_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    plan = _plan(out)
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan  # corpus side must never shuffle
+
+
+def test_minhash_has_partial_aggregation(spark):
+    from docling_spark.operators.dedup import (
+        exploded_shingles,
+        minhash_signatures,
+    )
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text")
+    sigs = minhash_signatures(exploded_shingles(docs))
+    plan = _plan(sigs)
+    # two HashAggregate nodes (partial + final) around one exchange on
+    # doc_id, min() on primitive longs — never sort-based aggregation
+    # (AQE shows codegen annotations only post-execution, so assert on
+    # the aggregate strategy instead)
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("partial_min") >= 16
+    assert "SortAggregate" not in plan
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
+
+
+def test_extraction_prefilters_stay_under_python_node(spark):
+    from docling_spark.operators.extract import extract_spans
+    from docling_spark.sources.corpus import corpus_from_documents
+    corpus = corpus_from_documents(spark, "/root/testdata/sf0.001")
+    out = extract_spans(corpus, allowed_kinds=["html"],
+                        max_payload_chars=1_000_000)
+    plan = _optimized(out)
+    assert plan.index("Filter") > plan.index("MapInPandas")
+
+
+def test_export_is_pure_projection(spark):
+    from docling_spark.operators.export import export_markdown
+    from docling_spark.operators.extract import extract_spans
+    from docling_spark.sources.corpus import corpus_from_documents
+    corpus = corpus_from_documents(spark, "/root/testdata/sf0.001")
+    out = export_markdown(extract_spans(corpus))
+    plan = _plan(out)
+    # no exchange between extraction and the rendered output: the sink
+    # renderer must not introduce a shuffle
+    python_idx = plan.index("MapInPandas")
+    assert "Exchange" not in plan[:python_idx]
+
+
+def test_sessionize_single_shuffle_per_key(spark):
+    import __spark_entry__ as e
+    df = e.q_events_sessionize(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    # one hash exchange on user_id feeds both the window and the final
+    # aggregation (no second shuffle on the same key)
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
