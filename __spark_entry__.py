@@ -785,6 +785,19 @@ SELECT doc_id,
     WHEN contains(lower(substr(payload, 1, 1024)), '<!doctype html')
          OR contains(lower(substr(payload, 1, 1024)), '<html')
       THEN 'html'
+    WHEN starts_with(payload, 'PATN' || chr(10))
+         OR (contains(lower(substr(payload, 1, 1024)), '<!doctype')
+             AND (contains(lower(substr(payload, 1, 1024)), 'us-patent')
+                  OR contains(lower(substr(payload, 1, 1024)), 'us-grant-025')
+                  OR contains(lower(substr(payload, 1, 1024)),
+                              'patent-application-publication')))
+      THEN 'uspto'
+    WHEN contains(lower(substr(payload, 1, 1024)), '<!doctype')
+         AND (contains(lower(substr(payload, 1, 1024)), '//nlm//dtd')
+              OR contains(lower(substr(payload, 1, 1024)),
+                          'jats-journalpublishing')
+              OR contains(lower(substr(payload, 1, 1024)), '//jats//'))
+      THEN 'jats'
     WHEN starts_with(payload, '<?xml') THEN 'xml'
     WHEN starts_with(payload, '# ')
          OR contains(payload, chr(10) || '# ') THEN 'md'

@@ -80,6 +80,11 @@ def _load_parsers() -> Dict[str, Callable[[str], object]]:
     except ImportError:
         pass
     try:
+        from ..parsers.uspto_parser import parse_uspto_document
+        parsers["uspto"] = parse_uspto_document
+    except ImportError:
+        pass
+    try:
         from ..parsers.pdf_page import parse_pdf_pages
         parsers["pdf_page"] = None  # multi-span path, handled separately
     except ImportError:

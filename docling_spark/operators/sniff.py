@@ -14,11 +14,14 @@ actually reaches the per-format parser, which re-sniffs exactly
 
 Probe rules (deterministic, documented):
   1. first 1 KB contains '<!doctype html' or '<html'   → html
-  2. payload starts with '<?xml'                        → xml
-  3. payload starts with '# ' or contains '\\n# '       → md
-  4. first two lines both contain the same candidate
+  2. USPTO patent DOCTYPE markers, or an APS 'PATN'
+     first line (document.py:313-346 dispatch)          → uspto
+  3. JATS journal-article DTD markers                   → jats
+  4. payload starts with '<?xml'                        → xml
+  5. payload starts with '# ' or contains '\\n# '       → md
+  6. first two lines both contain the same candidate
      delimiter (',' ';' '\\t' '|') with equal counts     → csv
-  5. otherwise                                          → text
+  7. otherwise                                          → text
 """
 
 from __future__ import annotations
@@ -46,9 +49,19 @@ def format_col(payload: Column) -> Column:
         hit = (c1 > 0) & (c1 == c2)
         csv_hit = hit if csv_hit is None else (csv_hit | hit)
 
+    uspto_doctype = (head.contains("us-patent")
+                     | head.contains("us-grant-025")
+                     | head.contains("patent-application-publication"))
+    jats_doctype = (head.contains("//nlm//dtd")
+                    | head.contains("jats-journalpublishing")
+                    | head.contains("//jats//"))
     return (
         F.when(head.contains("<!doctype html") | head.contains("<html"),
                F.lit("html"))
+        .when(payload.startswith("PATN\n")
+              | (head.contains("<!doctype") & uspto_doctype),
+              F.lit("uspto"))
+        .when(head.contains("<!doctype") & jats_doctype, F.lit("jats"))
         .when(payload.startswith("<?xml"), F.lit("xml"))
         .when(payload.startswith("# ") | payload.contains("\n# "),
               F.lit("md"))

@@ -1,0 +1,726 @@
+"""USPTO patent parser: 4 bulk-data dialects -> DocTree.
+
+Clean-room re-implementation of the semantics of the reference's USPTO
+backend (/root/reference/docling/backend/xml/uspto_backend.py) on the
+Python stdlib, structured for Arrow-batched UDF execution:
+
+* dialect sniff on the DOCTYPE / ``PATN`` first line
+  (uspto_backend.py:87-105)
+* Grant APS full-text (1976-2001): line-oriented key/value parser
+  (uspto_backend.py:850-1063)
+* Grant/Application XML v4.x "ICE" (2005-): SAX walk over
+  invention-title / abstract / claims / p / heading
+  (uspto_backend.py:169-503)
+* Grant XML v2.5 (2002-2004): SAX walk where all text lives in
+  ``<PDAT>`` leaves under container tags (uspto_backend.py:505-848)
+* Application XML v1.x (2001-2004): SAX walk over subdoc-* containers
+  (uspto_backend.py:1065-1410)
+
+Instead of the reference's four near-identical handler classes, one
+handler runs a per-dialect tag table; the accumulated state machine
+(claims list, abstract buffer, heading level/parent bookkeeping) matches
+the reference's observable output ordering exactly.
+
+Tables are ``<table>`` islands in the OASIS Exchange (CALS) model; they
+are regex-extracted and parsed separately, then slotted into the table
+placeholders in document order (uspto_backend.py:182-212,1402-1699 —
+ours is a direct OASIS colspec/namest/nameend/morerows reading rather
+than the reference's width-offset normalization).
+
+Undefined SGML entities (ISO 8879 Greek etc.) arrive via the SAX
+``skippedEntity`` hook and resolve through a public ISOgrk table; sup/
+sub/italic styling maps to the Unicode super/subscript and mathematical
+italic ranges (uspto_backend.py:1701-1910 equivalents).
+"""
+
+from __future__ import annotations
+
+import html
+import re
+import xml.etree.ElementTree as ET
+import xml.sax
+import xml.sax.handler
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from ..doctree import DocTree, Node, TableCell, TableData
+
+KIND_PARAGRAPH = "paragraph"
+
+ABSTRACT_HEADING = ("ABSTRACT", 2)
+CLAIMS_HEADING = ("CLAIMS", 2)
+
+# --------------------------------------------------------------------------
+# character tables (public Unicode ranges / ISO 8879 entity names)
+
+_SUPERSCRIPT = str.maketrans({
+    "0": "⁰", "1": "¹", "2": "²", "3": "³",
+    "4": "⁴", "5": "⁵", "6": "⁶", "7": "⁷",
+    "8": "⁸", "9": "⁹", "+": "⁺", "-": "⁻",
+    "−": "⁻", "=": "⁼", "(": "⁽", ")": "⁾",
+    "n": "ⁿ", "i": "ⁱ",
+})
+
+_SUBSCRIPT = str.maketrans({
+    "0": "₀", "1": "₁", "2": "₂", "3": "₃",
+    "4": "₄", "5": "₅", "6": "₆", "7": "₇",
+    "8": "₈", "9": "₉", "+": "₊", "-": "₋",
+    "−": "₋", "=": "₌", "(": "₍", ")": "₎",
+    "a": "ₐ", "e": "ₑ", "h": "ₕ", "i": "ᵢ",
+    "j": "ⱼ", "k": "ₖ", "l": "ₗ", "m": "ₘ",
+    "n": "ₙ", "o": "ₒ", "p": "ₚ", "r": "ᵣ",
+    "s": "ₛ", "t": "ₜ", "u": "ᵤ", "v": "ᵥ",
+    "x": "ₓ",
+})
+
+
+def _math_italic_table() -> dict:
+    # Mathematical Italic block U+1D434.. with the reserved Planck-h hole
+    # mapped to U+210E (Unicode standard carve-out).
+    table = {}
+    for i, ch in enumerate("ABCDEFGHIJKLMNOPQRSTUVWXYZ"):
+        table[ord(ch)] = chr(0x1D434 + i)
+    for i, ch in enumerate("abcdefghijklmnopqrstuvwxyz"):
+        table[ord(ch)] = chr(0x210E) if ch == "h" else chr(0x1D44E + i)
+    return table
+
+
+_MATH_ITALIC = _math_italic_table()
+
+# ISO 8879 ISOgrk1/ISOgrk3 Greek entity names (public SGML standard).
+_GREEK_BASE = {
+    "agr": "α", "bgr": "β", "ggr": "γ", "dgr": "δ",
+    "egr": "ε", "zgr": "ζ", "eegr": "η", "thgr": "θ",
+    "igr": "ι", "kgr": "κ", "lgr": "λ", "mgr": "μ",
+    "ngr": "ν", "xgr": "ξ", "ogr": "ο", "pgr": "π",
+    "rgr": "ρ", "sgr": "σ", "sfgr": "ς", "tgr": "τ",
+    "ugr": "υ", "phgr": "φ", "khgr": "χ", "psgr": "ψ",
+    "ohgr": "ω",
+}
+_GREEK_UPPER = {
+    "Agr": "Α", "Bgr": "Β", "Ggr": "Γ", "Dgr": "Δ",
+    "Egr": "Ε", "Zgr": "Ζ", "EEgr": "Η", "THgr": "Θ",
+    "Igr": "Ι", "Kgr": "Κ", "Lgr": "Λ", "Mgr": "Μ",
+    "Ngr": "Ν", "Xgr": "Ξ", "Ogr": "Ο", "Pgr": "Π",
+    "Rgr": "Ρ", "Sgr": "Σ", "Tgr": "Τ", "Ugr": "Υ",
+    "PHgr": "Φ", "KHgr": "Χ", "PSgr": "Ψ", "OHgr": "Ω",
+}
+_ISO8879_GREEK = {f"&{k};": v for k, v in {**_GREEK_BASE, **_GREEK_UPPER}.items()}
+
+
+def _resolve_entity(name: str) -> Optional[str]:
+    """&name; -> unicode via the Greek table or HTML5 names; None if unknown
+    (unknown entities are dropped, uspto_backend.py:284-316)."""
+    raw = f"&{name};"
+    mapped = _ISO8879_GREEK.get(raw, raw)
+    unescaped = html.unescape(mapped)
+    return None if unescaped == mapped else unescaped
+
+
+def _style(text: str, role: str) -> str:
+    if role == "sup":
+        return text.translate(_SUPERSCRIPT)
+    if role == "sub":
+        return text.translate(_SUBSCRIPT)
+    if role == "italic":
+        return text.translate(_MATH_ITALIC)
+    return text
+
+
+# --------------------------------------------------------------------------
+# dialect sniff (uspto_backend.py:87-105)
+
+def sniff_uspto_dialect(payload: str) -> Optional[str]:
+    for line in payload.splitlines():
+        if line == "PATN":
+            return "aps"
+        if line.startswith("<!DOCTYPE"):
+            low = line.lower()
+            if ("us-patent-application-v4" in low
+                    or "us-patent-grant-v4" in low):
+                return "ice"
+            if "us-grant-025" in low:
+                return "grant2"
+            if "patent-application-publication" in low and "pap-v1" in low:
+                return "app1"
+            return None
+    return None
+
+
+# --------------------------------------------------------------------------
+# Grant APS (text format, 1976-2001) — uspto_backend.py:850-1063
+
+_APS_SECTIONS_PLAIN = ("BSUM", "DETD", "DRWD")
+_APS_PARAGRAPH_KEYS = ("PAR", "PA1", "PA2", "PA3")
+_STR_IMAGE_RE = re.compile(r"^##STR\d+##$")
+
+
+class _ApsBuilder:
+    """Hierarchy bookkeeping shared with the XML dialects: a level ->
+    parent-node map seeded at {1: None} (None = body root)."""
+
+    def __init__(self, tree: DocTree) -> None:
+        self.tree = tree
+        self.level = 1
+        self.parents: Dict[int, Optional[Node]] = {1: None}
+
+    def add_fixed_heading(self, spec: Tuple[str, int]) -> None:
+        text, lvl = spec
+        self.level = lvl if lvl in self.parents else 1
+        node = self.tree.add_heading(text, level=self.level,
+                                     parent=self.parents[self.level])
+        self.parents[self.level + 1] = node
+        self.level += 1
+
+    def add_title(self, text: str) -> None:
+        node = self.tree.add_title(text, parent=self.parents[self.level])
+        self.parents[self.level + 1] = node
+        self.level += 1
+
+    def add_caption_heading(self, text: str) -> None:
+        # section captions are siblings of ABSTRACT (no level info in APS)
+        lvl = ABSTRACT_HEADING[1]
+        self.level = lvl if lvl in self.parents else 1
+        node = self.tree.add_heading(text, level=self.level,
+                                     parent=self.parents[self.level])
+        self.parents[self.level + 1] = node
+        self.level += 1
+
+    def add_paragraph(self, text: str) -> Node:
+        return self.tree.add_text(KIND_PARAGRAPH, text,
+                                  parent=self.parents[self.level])
+
+    def last_paragraph(self) -> Optional[Node]:
+        parent = self.parents.get(self.level)
+        kids = parent.children if parent is not None else self.tree.root.children
+        for node in reversed(kids):
+            if not node.is_group and node.table is None and node.kind != "picture":
+                return node
+        return None
+
+
+def _aps_store(b: _ApsBuilder, section: str, key: str, value: str) -> None:
+    if key == "TTL":
+        b.add_title(value)
+    elif key == "PAL" and section == "ABST":
+        last = b.last_paragraph()
+        if last is not None:
+            last.text += " " + value
+        else:
+            b.add_paragraph(value)
+    elif key == "NUM" and section == "CLMS":
+        b.add_paragraph("")
+    elif key in _APS_PARAGRAPH_KEYS and section == "CLMS":
+        last = b.last_paragraph()
+        if last is None:
+            last = b.add_paragraph("")
+        last.text += f" {value.strip()}" if last.text else value.strip()
+    elif key == "PAC" and section in _APS_SECTIONS_PLAIN:
+        b.add_caption_heading(value)
+    elif key in _APS_PARAGRAPH_KEYS and section in _APS_SECTIONS_PLAIN:
+        b.add_paragraph(value)
+
+
+def _parse_aps(payload: str) -> DocTree:
+    tree = DocTree()
+    b = _ApsBuilder(tree)
+    section = key = value = ""
+    for line in payload.splitlines():
+        cols = re.split(r"\s{2,}", line, maxsplit=1)
+        starts_record = len(cols) == 1 or (len(cols) == 2 and cols[0])
+        if key and value and starts_record:
+            _aps_store(b, section, key, value)
+            key = value = ""
+        if len(cols) == 1:  # section marker line
+            section = cols[0]
+            if section == "ABST":
+                b.add_fixed_heading(ABSTRACT_HEADING)
+            elif section == "CLMS":
+                b.add_fixed_heading(CLAIMS_HEADING)
+        elif cols[0]:  # new key/value
+            key, value = cols
+        elif not _STR_IMAGE_RE.match(cols[1]):  # continuation line
+            value += " " + cols[1]
+    if key and value:
+        _aps_store(b, section, key, value)
+    return tree
+
+
+# --------------------------------------------------------------------------
+# XML dialects — one SAX handler driven by a tag-role table
+
+@dataclass(frozen=True)
+class _XmlDialect:
+    name: str
+    doc_roots: Tuple[str, ...]
+    roles: Dict[str, str]          # tag -> role
+    text_roles: frozenset          # roles whose chardata accumulates
+    heading_attr: str              # heading level attribute name
+    pdat: bool = False             # grant-v2: text lives in PDAT leaves
+
+
+# roles: title abstract claims claim claim_text paragraph heading table
+#        sup sub italic opaque pdat number
+_ICE = _XmlDialect(
+    name="ice",
+    doc_roots=("us-patent-application", "us-patent-grant"),
+    roles={
+        "invention-title": "title", "abstract": "abstract",
+        "claims": "claims", "claim": "claim", "claim-text": "claim_text",
+        "p": "paragraph", "heading": "heading", "description": "opaque_desc",
+        "table": "table", "description-of-drawings": "drawings",
+        "sup": "sup", "sub": "sub", "maths": "opaque",
+    },
+    text_roles=frozenset(
+        {"title", "claim_text", "paragraph", "heading", "drawings",
+         "sup", "sub"}),
+    heading_attr="level",
+)
+
+_GRANT2 = _XmlDialect(
+    name="grant2",
+    doc_roots=("PATDOC",),
+    roles={
+        "PDAT": "pdat", "SDOAB": "abstract", "SDOCL": "claims_stmt",
+        "B540": "title", "CL": "claims", "CLM": "claim",
+        "PARA": "paragraph", "H": "heading", "DRWDESC": "drawings",
+        "SP": "sup", "SB": "sub", "ITALIC": "italic",
+        "CWU": "opaque", "table": "table",
+    },
+    text_roles=frozenset({"pdat", "paragraph", "heading"}),
+    heading_attr="LVL",
+    pdat=True,
+)
+
+_APP1 = _XmlDialect(
+    name="app1",
+    doc_roots=("patent-application-publication",),
+    roles={
+        "brief-description-of-drawings": "drawings_grp",
+        "subdoc-abstract": "abstract", "title-of-invention": "title",
+        "subdoc-claims": "claims", "claim": "claim",
+        "claim-text": "claim_text", "number": "number",
+        "paragraph": "paragraph", "heading": "heading",
+        "superscript": "sup", "subscript": "sub",
+        "table": "table", "math-cwu": "opaque",
+    },
+    text_roles=frozenset(
+        {"title", "claim_text", "paragraph", "heading", "sup", "sub"}),
+    heading_attr="lvl",
+)
+
+_DIALECTS = {"ice": _ICE, "grant2": _GRANT2, "app1": _APP1}
+
+
+class _PatentHandler(xml.sax.handler.ContentHandler):
+    def __init__(self, spec: _XmlDialect) -> None:
+        super().__init__()
+        self.spec = spec
+        self.tree = DocTree()
+        self.table_nodes: List[Node] = []
+        self.level = 1
+        self.parents: Dict[int, Optional[Node]] = {1: None}
+        self.stack: List[str] = []   # tracked tags only
+        self.text = ""
+        self.claim = ""
+        self.claims: List[str] = []
+        self.abstract = ""
+        self.paragraph = ""          # grant-v2 PARA accumulator
+
+    # -- helpers ----------------------------------------------------------
+
+    def _role(self, tag: str) -> Optional[str]:
+        return self.spec.roles.get(tag)
+
+    def _top_role(self, depth: int = 1) -> Optional[str]:
+        if len(self.stack) < depth:
+            return None
+        return self._role(self.stack[-depth])
+
+    def _in(self, role: str) -> bool:
+        return any(self._role(t) == role for t in self.stack)
+
+    def _reset_buffers(self) -> None:
+        self.text = ""
+        self.claim = ""
+        self.claims = []
+        self.abstract = ""
+        self.paragraph = ""
+        self.stack = []
+
+    def _fixed_heading(self, spec_: Tuple[str, int]) -> Node:
+        text, lvl = spec_
+        at = lvl if lvl in self.parents else 1
+        return self.tree.add_heading(text, level=at, parent=self.parents[at])
+
+    def _push_heading(self, text: str) -> None:
+        node = self.tree.add_heading(text, level=self.level,
+                                     parent=self.parents[self.level])
+        self.parents[self.level + 1] = node
+        self.level += 1
+
+    def _push_title(self, text: str) -> None:
+        node = self.tree.add_title(text, parent=self.parents[self.level])
+        self.parents[self.level + 1] = node
+        self.level += 1
+
+    def _emit_abstract(self, text: str) -> None:
+        head = self._fixed_heading(ABSTRACT_HEADING)
+        self.tree.add_text(KIND_PARAGRAPH, text, parent=head)
+
+    def _emit_claims(self) -> None:
+        head = self._fixed_heading(CLAIMS_HEADING)
+        for text in self.claims:
+            self.tree.add_text(KIND_PARAGRAPH, text, parent=head)
+
+    def _emit_table_placeholder(self) -> None:
+        node = self.tree.add_table(TableData(num_rows=0, num_cols=0),
+                                   parent=self.parents[self.level])
+        self.table_nodes.append(node)
+
+    def _set_heading_level(self, attributes) -> None:
+        raw = attributes.get(self.spec.heading_attr, "")
+        new_level = int(raw) if raw.isnumeric() else 1
+        self.level = (new_level + 1 if (new_level + 1) in self.parents
+                      else min(self.parents))
+
+    # -- SAX events -------------------------------------------------------
+
+    def startElement(self, tag, attributes):  # noqa: N802
+        if tag in self.spec.doc_roots:
+            self.text = ""
+        role = self._role(tag)
+        if role is None:
+            return
+        if role == "claim_text" and self._top_role() == "claim_text" \
+                and self.text.strip():
+            # claim lines may open before the previous one closes
+            chunk = (self.text.strip() if self.spec.name == "ice"
+                     else self.text.strip("\n"))
+            self.claim += " " + chunk
+            self.text = ""
+        elif role == "heading" and not (self.spec.pdat
+                                        and self._in("claims_stmt")):
+            self._set_heading_level(attributes)
+        self.stack.append(tag)
+
+    def endElement(self, tag):  # noqa: N802
+        if tag in self.spec.doc_roots:
+            self._reset_buffers()
+            return
+        if self._role(tag) is None or not self.stack:
+            return
+        current = self.stack.pop()
+        # ICE hands the accumulated run pre-stripped to the role logic;
+        # grant-v2 and app-v1 hand it through raw
+        payload = self.text.strip() if self.spec.name == "ice" else self.text
+        self._finish(self._role(current) or "", payload)
+
+    def characters(self, content):
+        self._append_chardata(content)
+
+    def skippedEntity(self, name):  # noqa: N802
+        resolved = _resolve_entity(name)
+        if resolved is not None:
+            self._append_chardata(resolved)
+
+    def _append_chardata(self, content: str) -> None:
+        role = self._top_role()
+        if role is None or role not in self.spec.text_roles:
+            return
+        if role in ("sup", "sub"):
+            # styled runs count only when nested in a text-bearing element
+            parent_role = self._top_role(2)
+            if parent_role in self.spec.text_roles:
+                self.text += _style(content, role)
+        else:
+            self.text += content
+
+    # -- role completion --------------------------------------------------
+
+    def _finish(self, role: str, text: str) -> None:
+        if self.spec.pdat:
+            self._finish_grant2(role, text)
+        else:
+            self._finish_leaf(role, text)
+
+    def _finish_leaf(self, role: str, text: str) -> None:
+        """ICE / AppV1: text accumulates directly under semantic tags."""
+        spec = self.spec
+        if role == "title":
+            if text:
+                self._push_title(text)
+            self.text = ""
+        elif role == "abstract":
+            if spec.name == "ice":
+                if self.abstract:
+                    self._emit_abstract(self.abstract)
+            else:
+                if self.abstract.strip():
+                    self._emit_abstract(self.abstract)
+                    self.abstract = ""
+                self.text = ""
+        elif role == "claim_text":
+            if spec.name == "ice":
+                squashed = re.sub(r"\s+", " ", text).strip()
+                if squashed:
+                    self.claim += " " + squashed
+            else:
+                if text:
+                    self.claim += self.text.strip("\n")
+            self.text = ""
+        elif role == "claim":
+            claim = self.claim.strip()
+            if claim:
+                self.claims.append(claim)
+            self.claim = ""
+        elif role == "claims":
+            if self.claims:
+                self._emit_claims()
+        elif role in ("paragraph", "heading"):
+            if spec.name == "app1":
+                if text and self._in("abstract"):
+                    self.abstract = ((self.abstract + text)
+                                     if self.abstract else text)
+                elif text.strip():
+                    squashed = re.sub(r"\s+", " ", text).strip()
+                    if role == "heading":
+                        self._push_heading(squashed)
+                    else:
+                        self.tree.add_text(KIND_PARAGRAPH, squashed,
+                                           parent=self.parents[self.level])
+            elif role == "paragraph" and text:
+                squashed = re.sub(r"\s+", " ", text)
+                if self._in("abstract"):
+                    self.abstract = ((self.abstract + " " + squashed)
+                                     if self.abstract else squashed)
+                else:
+                    self.tree.add_text(KIND_PARAGRAPH, squashed,
+                                       parent=self.parents[self.level])
+            elif role == "heading" and text:
+                self._push_heading(text)
+            self.text = ""
+        elif role == "table":
+            self._emit_table_placeholder()
+
+    def _finish_grant2(self, role: str, text: str) -> None:
+        """Grant v2.5: all chardata arrives via PDAT leaves; the enclosing
+        container (title/abstract/claim/paragraph/heading) decides where
+        the accumulated run lands."""
+        if role == "pdat" and text:
+            if not self.stack:
+                self.text = ""
+                return
+            wrapper_role = self._top_role() or ""
+            text = _style(text, wrapper_role)
+            if self._in("title") and text.strip():
+                self._push_title(text.strip())
+            elif self._in("abstract"):
+                self.abstract += text
+            elif self._in("claim"):
+                self.claim += text
+            elif self._in("paragraph"):
+                self.paragraph += text
+            elif (self._in("heading") and not self._in("claims_stmt")
+                  and text.strip()):
+                self._push_heading(text.strip())
+            self.text = ""
+        elif role == "claim":
+            if self.claim.strip():
+                self.claims.append(self.claim.strip())
+            self.claim = ""
+        elif role == "claims":
+            if self.claims:
+                self._emit_claims()
+        elif role == "abstract":
+            if self.abstract.strip():
+                self._emit_abstract(self.abstract.strip())
+        elif role == "paragraph":
+            para = self.paragraph.strip()
+            if para and not self._in("claim"):
+                self.tree.add_text(KIND_PARAGRAPH, para,
+                                   parent=self.parents[self.level])
+            elif self._in("claim"):
+                self.claim += " "  # paragraph break inside a claim
+            self.paragraph = ""
+        elif role == "table":
+            self._emit_table_placeholder()
+
+
+# --------------------------------------------------------------------------
+# OASIS Exchange (CALS) table islands
+
+_TABLE_RE = re.compile(r"^(<table .*?</table>)", re.MULTILINE | re.DOTALL)
+
+
+def _col_widths(tgroup: ET.Element) -> List[float]:
+    """colspec widths in declaration order; 'pt'/'mm' units stripped."""
+    widths: List[float] = []
+    for colspec in tgroup.findall("colspec"):
+        raw = re.sub("pt|mm", "", colspec.get("colwidth") or "0",
+                     flags=re.I)
+        try:
+            widths.append(int(raw))
+        except ValueError:
+            try:
+                widths.append(float(raw))
+            except ValueError:
+                widths.append(0)
+    return widths
+
+
+def _unified_columns(per_group_widths: List[List[float]]):
+    """Merge every tgroup's column boundaries into one global column grid
+    (the reference's colinfo normalization, uspto_backend.py:1432-1512):
+    boundary = cumulative width offset; the global grid is the union of
+    all boundaries (zero-width columns keep a duplicated boundary); each
+    tgroup column then spans 1+ global columns.
+
+    Returns (per-group global-column prefix offsets, or None if a group's
+    boundaries don't nest into the union)."""
+    per_group_offsets: List[List[float]] = []
+    zero_width_marks: List[float] = []
+    for widths in per_group_widths:
+        offsets = [0.0]
+        for w in widths:
+            if w == 0:
+                zero_width_marks.append(offsets[-1])
+            offsets.append(offsets[-1] + w)
+        per_group_offsets.append(offsets)
+    union = sorted(set(x for off in per_group_offsets for x in off))
+    union = sorted(union + sorted(set(zero_width_marks)))
+
+    group_cell_offsets: List[List[int]] = []
+    for offsets in per_group_offsets:
+        prefix = [0]
+        i = 1
+        span = 1
+        for k in range(1, len(union)):
+            if i >= len(offsets):
+                break
+            if union[k] == offsets[i]:
+                if i + 1 == len(offsets) and k + 1 < len(union):
+                    span += 1  # trailing union boundaries fold into last col
+                else:
+                    prefix.append(prefix[-1] + span)
+                    span = 1
+                    i += 1
+            elif union[k] < offsets[i]:
+                span += 1
+            else:
+                return None  # misaligned boundaries: broken table
+        group_cell_offsets.append(prefix)
+    return group_cell_offsets
+
+
+def _row_elements(tgroup: ET.Element):
+    """(row, is_header) pairs in document order."""
+    out = []
+    for sec in list(tgroup):
+        if sec.tag in ("thead", "tbody"):
+            out.extend((row, sec.tag == "thead")
+                       for row in sec if row.tag in ("row", "tr"))
+        elif sec.tag in ("row", "tr"):
+            out.append((sec, False))
+    return out
+
+
+_ENTITY_RE = re.compile(r"&(\w+);")
+_XML_BUILTIN = {"amp", "lt", "gt", "quot", "apos"}
+
+
+def _substitute_entities(text: str) -> str:
+    def sub(m: "re.Match") -> str:
+        if m.group(1) in _XML_BUILTIN:
+            return m.group(0)
+        return _resolve_entity(m.group(1)) or ""
+    return _ENTITY_RE.sub(sub, text)
+
+
+def _parse_oasis_table(xml_text: str) -> TableData:
+    try:
+        root = ET.fromstring(xml_text)
+    except ET.ParseError:
+        try:  # SGML entities (ISO 8879 Greek etc.) trip strict XML
+            root = ET.fromstring(_substitute_entities(xml_text))
+        except ET.ParseError:
+            return TableData(num_rows=0, num_cols=0)
+    tgroups = list(root.iter("tgroup"))
+    widths = [_col_widths(tg) for tg in tgroups]
+    cell_offsets = _unified_columns(widths)
+    if cell_offsets is None or not tgroups:
+        return TableData(num_rows=0, num_cols=0)
+
+    ncols_max = max(len(w) for w in widths) if widths else 0
+    cells: List[TableCell] = []
+    n_rows = 0
+    for tg, offsets in zip(tgroups, cell_offsets):
+        for row, is_header in _row_elements(tg):
+            entries = [e for e in row if e.tag in ("entry", "td")]
+            local: List[TableCell] = []
+            filled = 0
+            has_content = False
+            overflow = False
+            for ientry, entry in enumerate(entries):
+                namest = entry.get("namest")
+                nameend = entry.get("nameend")
+                # numeric namest/nameend are 1-based column indices
+                start = (int(namest) if namest and namest.isnumeric()
+                         else ientry + 1)
+                if nameend and nameend.isnumeric():
+                    end, shift = int(nameend), 0
+                else:
+                    end, shift = ientry + 2, 1
+                if end > len(offsets):
+                    overflow = True
+                    break
+                first = offsets[start - 1]
+                last = offsets[end - 1] - shift
+                text = "".join(entry.itertext()).strip()
+                if text:
+                    has_content = True
+                # replicate over every covered global column (dense grid)
+                for col in range(first, last + 1):
+                    filled += 1
+                    local.append(TableCell(
+                        text=text, row_span=1,
+                        col_span=last - first + 1,
+                        start_row=n_rows, start_col=first,
+                        column_header=is_header))
+            if overflow:
+                local, filled = [], 0
+            if entries:
+                for col in range(filled, ncols_max):
+                    local.append(TableCell(
+                        text="", row_span=1, col_span=1,
+                        start_row=n_rows, start_col=col,
+                        column_header=is_header))
+            if has_content:  # empty rows are dropped
+                cells.extend(local)
+                n_rows += 1
+    return TableData(num_rows=n_rows, num_cols=ncols_max, cells=cells)
+
+
+def _fill_tables(payload: str, placeholders: List[Node]) -> None:
+    raw = _TABLE_RE.findall(payload)
+    parsed = [_parse_oasis_table(x) for x in raw]
+    # only slot in when counts line up, as the reference does
+    # (uspto_backend.py:203-212)
+    if len(parsed) == len(placeholders):
+        for node, data in zip(placeholders, parsed):
+            node.table = data
+
+
+# --------------------------------------------------------------------------
+
+def parse_uspto_document(payload: str) -> DocTree:
+    dialect = sniff_uspto_dialect(payload)
+    if dialect is None:
+        raise ValueError("unrecognized USPTO dialect (no DOCTYPE/PATN header)")
+    if dialect == "aps":
+        return _parse_aps(payload)
+    handler = _PatentHandler(_DIALECTS[dialect])
+    xml.sax.parseString(payload.encode("utf-8"), handler)
+    if handler.table_nodes:
+        _fill_tables(payload, handler.table_nodes)
+    return handler.tree
