@@ -620,12 +620,17 @@ WITH corpus AS (
   SELECT doc_id + 1000000, text || ' extra trailing words appended here'
   FROM documents WHERE doc_id < 30),
 {SHINGLE_CTE},
+mixed AS (SELECT doc_id, shingles,
+            list_transform(shingles,
+              x -> ('0x' || substr(md5(x), 1, 12))::BIGINT) AS la,
+            list_transform(shingles,
+              x -> ('0x' || substr(md5(x), 13, 12))::BIGINT) AS lb
+          FROM sh),
 sigs AS (SELECT doc_id, shingles,
            list_transform(generate_series(0, 15),
-             s -> list_min(list_transform(shingles,
-                    x -> ('0x' || substr(md5(x || ':' || CAST(s AS VARCHAR)),
-                                         1, 15))::BIGINT))) AS sig
-         FROM sh),
+             s -> list_min(list_transform(generate_series(1, len(la)),
+                    i -> la[i] + s * lb[i]))) AS sig
+         FROM mixed),
 bands AS (SELECT doc_id, b.b AS band_id,
             md5(array_to_string(sig[b.b*4+1 : b.b*4+4], '|')) AS band_hash
           FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b) b),
