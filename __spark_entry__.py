@@ -147,6 +147,25 @@ def q_export_markdown(spark, sf_dir):
     return export_markdown(out)
 
 
+def q_export_doctags(spark, sf_dir):
+    """Sink: extraction output rendered to DocTags (SURVEY §2.5), pure
+    Catalyst projection over the span table."""
+    from docling_spark.operators.export import export_doctags
+    corpus = corpus_from_documents(spark, sf_dir)
+    out = extract_spans(corpus, num_partitions=_par(spark))
+    return export_doctags(out)
+
+
+def q_export_html(spark, sf_dir):
+    """Sink: extraction output rendered to a standalone HTML document
+    (SURVEY §2.5), pure Catalyst projection with SQL-replayable
+    escaping."""
+    from docling_spark.operators.export import export_html
+    corpus = corpus_from_documents(spark, sf_dir)
+    out = extract_spans(corpus, num_partitions=_par(spark))
+    return export_html(out)
+
+
 def q_chunk_documents(spark, sf_dir):
     """Token-budgeted chunking with heading context over the extracted
     span table (docling HybridChunker analogue, fully relational)."""
@@ -393,6 +412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_status_counts": q_extract_status_counts,
         "extract_pdf_paged": q_extract_pdf_paged,
         "export_markdown": q_export_markdown,
+        "export_doctags": q_export_doctags,
+        "export_html": q_export_html,
         "chunk_documents": q_chunk_documents,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
@@ -466,6 +487,38 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        || CASE WHEN doc_id % 5 = 0
                THEN chr(10) || chr(10) || '<!-- image -->' ELSE '' END
          AS markdown
+FROM documents
+"""
+
+    oracles["export_doctags"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       '<doctag>'
+       || '<title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>' || chr(10)
+       || '<text>' || text || '</text>' || chr(10)
+       || '<section_header_level_1>Stats</section_header_level_1>'
+       || chr(10)
+       || '<text>' || CAST(n_chars AS VARCHAR) || ' chars</text>'
+       || CASE WHEN doc_id % 5 = 0
+               THEN chr(10) || '<picture></picture>' ELSE '' END
+       || '</doctag>' AS doctags
+FROM documents
+"""
+
+    oracles["export_html"] = """
+WITH esc AS (
+  SELECT doc_id, n_chars,
+         replace(replace(replace(text, '&', '&amp;'),
+                         '<', '&lt;'), '>', '&gt;') AS text
+  FROM documents)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       '<!DOCTYPE html>' || chr(10) || '<html><body>' || chr(10)
+       || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10)
+       || '<p>' || text || '</p>' || chr(10)
+       || '<h2>Stats</h2>' || chr(10)
+       || '<p>' || CAST(n_chars AS VARCHAR) || ' chars</p>'
+       || CASE WHEN doc_id % 5 = 0
+               THEN chr(10) || '<figure></figure>' ELSE '' END
+       || chr(10) || '</body></html>' AS html
 FROM documents
 """
 
