@@ -16,10 +16,11 @@ Reproduced behaviors (reference line cites):
 * pictures from a:blip drawings (msword_backend.py:616-647) — media
   bytes are opaque here, picture spans carry no media_ref by default
 
-OMML equations (backend/docx/latex/omml.py) are not implemented: the
-reference's own fallback path (msword_backend.py:264-283: if the plain
-text cannot be reconstructed, return raw text and no equations) is the
-permanent behavior here.
+* OMML equations → LaTeX (msword_backend.py:264-283 text/equation
+  interleave + the standalone/inline split :349-389), converted by the
+  stdlib walker in parsers/omml.py; if the plain text cannot be
+  reconstructed from the runs the paragraph falls back to raw text with
+  no equations, exactly like the reference.
 
 Pure stdlib — runs inside Arrow-batched pandas UDF workers.
 """
@@ -81,6 +82,29 @@ def _paragraph_text(p: ET.Element) -> str:
             elif tag in (f"{W}br", f"{W}cr"):
                 parts.append("\n")
     return "".join(parts)
+
+
+def _equations_in_text(p: ET.Element, raw_text: str):
+    """Interleave run text with converted equations
+    (msword_backend.py:264-283). Returns (text, equations); when the
+    plain runs can't reconstruct the paragraph text (tabs/breaks), the
+    raw text passes through untouched with no equations."""
+    from .omml import omml_to_latex
+
+    only_texts: List[str] = []
+    interleaved: List[str] = []
+    equations: List[str] = []
+    for sub in p.iter():
+        if sub.tag == f"{W}t":
+            only_texts.append(sub.text or "")
+            interleaved.append(sub.text or "")
+        elif sub.tag == f"{M}oMath":
+            latex = omml_to_latex(sub)
+            equations.append(latex)
+            interleaved.append(latex)
+    if "".join(only_texts).strip() != raw_text.strip():
+        return raw_text, []
+    return "".join(interleaved), equations
 
 
 def _style_id(p: ET.Element, default_style: str) -> str:
@@ -201,7 +225,9 @@ class _DocxWalker:
     # -- text / headings / lists (msword_backend.py:285-418) ----------------
 
     def _handle_text(self, p: ET.Element) -> None:
-        text = _paragraph_text(p).strip()
+        raw_text = _paragraph_text(p)
+        text, equations = _equations_in_text(p, raw_text)
+        text = text.strip()
         style_id = _style_id(p, self.default_style)
         p_style_id, p_level = _label_and_level(style_id)
         numid, ilevel = _num_id_and_ilvl(p)
@@ -232,6 +258,8 @@ class _DocxWalker:
             self.parents[0] = self.tree.add_title(text)
         elif "Heading" in p_style_id:
             self._add_header(p_level, text)
+        elif equations:
+            self._add_equations(raw_text, text, equations)
         else:
             # every other style → paragraph (msword_backend.py:389-418)
             level = self._get_level()
@@ -239,6 +267,30 @@ class _DocxWalker:
                                parent=self.parents[level - 1])
 
         self._update_history(p_style_id, p_level, numid, ilevel)
+
+    def _add_equations(self, raw_text: str, text: str,
+                       equations: List[str]) -> None:
+        """Standalone vs inline equations (msword_backend.py:349-389):
+        a paragraph with no run text is one formula item; otherwise the
+        combined text splits around each equation into an inline group
+        of paragraph/formula slices."""
+        level = self._get_level()
+        if not raw_text and text:
+            self.tree.add_text("formula", text,
+                               parent=self.parents[level - 1])
+            return
+        group = self.tree.add_group("inline",
+                                    parent=self.parents[level - 1])
+        remaining = text
+        for eq in equations:
+            if not remaining:
+                break
+            before, _, remaining = remaining.partition(eq)
+            if before:
+                self.tree.add_text("paragraph", before, parent=group)
+            self.tree.add_text("formula", eq, parent=group)
+        if remaining:
+            self.tree.add_text("paragraph", remaining, parent=group)
 
     def _add_header(self, curr_level: Optional[int], text: str) -> None:
         level = self._get_level()

@@ -51,9 +51,7 @@ def test_md_span_equality(name, delegated):
     assert got == want
 
 
-# equations.docx requires the OMML→LaTeX converter
-# (reference backend/docx/latex/omml.py) — not implemented.
-DOCX_FIXTURES = [n for n in fixture_names(".docx") if n != "equations.docx"]
+DOCX_FIXTURES = fixture_names(".docx")  # incl. equations.docx (OMML→LaTeX)
 XLSX_FIXTURES = fixture_names(".xlsx")
 PPTX_FIXTURES = fixture_names(".pptx")
 
