@@ -166,6 +166,38 @@ def q_export_html(spark, sf_dir):
     return export_html(out)
 
 
+def q_enrich_spans(spark, sf_dir):
+    """Enrichment second pass (SURVEY §2.4 base_pipeline.py:66-89):
+    synthetic code/formula/picture spans → Arrow-batched pluggable
+    enrichers (deterministic defaults) → (doc_id, offset, enrichment)
+    side-table."""
+    from docling_spark.operators.enrich import enrich_spans
+    docs = _docs(spark, sf_dir)
+    span = lambda k, t, m, o: F.struct(  # noqa: E731
+        F.lit(k).alias("kind"), t.alias("text"),
+        m.alias("media_ref"), F.lit(o).cast("int").alias("offset"))
+    code_text = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("def f(x): return "), F.col("text")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("#include <stdio.h> "), F.col("text")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("SELECT x FROM t WHERE "), F.col("text")))
+        .otherwise(F.col("text")))
+    formula_text = (
+        F.when(F.col("doc_id") % 2 == 0, F.lit("\\frac{a}{b}+c"))
+        .otherwise(F.lit("a/b + c")))
+    media = (F.when(F.col("doc_id") % 3 == 0,
+                    F.concat(F.lit("m://"), F.col("doc_id").cast("string")))
+             .otherwise(F.lit("")))
+    extracted = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(span("code", code_text, F.lit(""), 0),
+                span("formula", formula_text, F.lit(""), 1),
+                span("picture", F.lit(""), media, 2)).alias("spans"))
+    return enrich_spans(extracted)
+
+
 def q_chunk_documents(spark, sf_dir):
     """Token-budgeted chunking with heading context over the extracted
     span table (docling HybridChunker analogue, fully relational)."""
@@ -415,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_doctags": q_export_doctags,
         "export_html": q_export_html,
         "chunk_documents": q_chunk_documents,
+        "enrich_spans": q_enrich_spans,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_language_id": q_doc_language_id,
@@ -488,6 +521,48 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                THEN chr(10) || chr(10) || '<!-- image -->' ELSE '' END
          AS markdown
 FROM documents
+"""
+
+    oracles["enrich_spans"] = """
+WITH items AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS "offset",
+         'code' AS kind,
+         CASE WHEN doc_id % 4 = 0 THEN 'def f(x): return ' || text
+              WHEN doc_id % 4 = 1 THEN '#include <stdio.h> ' || text
+              WHEN doc_id % 4 = 2 THEN 'SELECT x FROM t WHERE ' || text
+              ELSE text END AS text,
+         '' AS media_ref
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 1, 'formula',
+         CASE WHEN doc_id % 2 = 0 THEN '\\frac{a}{b}+c'
+              ELSE 'a/b + c' END, ''
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 2, 'picture', '',
+         CASE WHEN doc_id % 3 = 0 THEN 'm://' || CAST(doc_id AS VARCHAR)
+              ELSE '' END
+  FROM documents)
+SELECT doc_id, "offset", kind,
+  CASE kind
+    WHEN 'code' THEN
+      CASE WHEN contains(text, '#include') THEN 'c'
+           WHEN contains(text, 'def ') AND contains(text, ':')
+             THEN 'python'
+           WHEN contains(text, 'function') AND contains(text, '{')
+             THEN 'javascript'
+           WHEN contains(text, 'public static') THEN 'java'
+           WHEN contains(text, 'SELECT') AND contains(text, 'FROM')
+             THEN 'sql'
+           WHEN contains(text, 'package main') THEN 'go'
+           WHEN contains(text, 'fn ') AND contains(text, '->')
+             THEN 'rust'
+           ELSE 'unknown' END
+    WHEN 'formula' THEN
+      CASE WHEN contains(text, '\\') THEN 'latex' ELSE 'plain' END
+    ELSE CASE WHEN media_ref <> '' THEN 'media' ELSE 'inline' END
+  END AS enrichment
+FROM items
 """
 
     oracles["export_doctags"] = """
