@@ -87,3 +87,17 @@ def test_sessionize_single_shuffle_per_key(spark):
     # one hash exchange on user_id feeds both the window and the final
     # aggregation (no second shuffle on the same key)
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_enrichment_filters_before_python_stage(spark):
+    from docling_spark.operators.enrich import enrich_spans
+    df = spark.createDataFrame(
+        [("d1", [("code", "def f(): pass", "", 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    plan = _optimized(enrich_spans(df))
+    # the processable-kind gate runs before the Arrow stage, and the
+    # enrichment pass introduces no shuffle at all
+    assert plan.index("Filter") > plan.index("MapInPandas")
+    assert "kind IN (code,formula,picture)" in plan
+    assert "Exchange" not in plan
