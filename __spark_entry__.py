@@ -102,6 +102,28 @@ def q_extract_html_spans(spark, sf_dir):
     return _exploded_spans(extract_spans(corpus, num_partitions=_par(spark)))
 
 
+def q_extract_uspto_spans(spark, sf_dir):
+    """USPTO patent branch of the extraction UDF: synthetic APS
+    full-text payloads (PATN/TTL/ABST/PAL key-value records) built with
+    pure Catalyst, extracted by the same mapInPandas stage as every
+    other format."""
+    docs = _docs(spark, sf_dir)
+    nl = "\n"
+    payload = F.concat(
+        F.lit(f"PATN{nl}"),
+        F.lit("TTL  Doc "), F.col("doc_id").cast("string"), F.lit(nl),
+        F.lit(f"ABST{nl}"),
+        F.lit("PAL  "), F.col("text"), F.lit(nl))
+    corpus = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(F.struct(
+            F.lit("uspto").alias("kind"), payload.alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"))).alias("spans"))
+    out = _exploded_spans(extract_spans(corpus, num_partitions=_par(spark)))
+    return out.select("doc_id", "span_offset", "kind", "text")
+
+
 def q_extract_media_manifest(spark, sf_dir):
     corpus = corpus_from_documents(spark, sf_dir)
     out = _exploded_spans(extract_spans(corpus, num_partitions=_par(spark)))
@@ -136,6 +158,16 @@ def q_extract_pdf_paged(spark, sf_dir):
     out = extract_spans_paged(corpus, num_partitions=_par(spark))
     return _exploded_spans(out).select("doc_id", "span_offset", "kind",
                                        "text")
+
+
+def q_page_dump(spark, sf_dir):
+    """Per-page multimodal dump (utils/export.py:13-148 analogue):
+    page-parallel all the way, no doc-level reassembly shuffle."""
+    from docling_spark.operators.extract import page_dump
+    from docling_spark.sources.corpus import corpus_pdf_pages
+    corpus = corpus_pdf_pages(spark, sf_dir)
+    out = page_dump(corpus, num_partitions=_par(spark))
+    return out.select("doc_id", "page_no", "text", "markdown", "n_blocks")
 
 
 def q_export_markdown(spark, sf_dir):
@@ -441,9 +473,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_spans": q_extract_html_spans,
         "extract_media_manifest": q_extract_media_manifest,
+        "extract_uspto_spans": q_extract_uspto_spans,
         "extract_status_counts": q_extract_status_counts,
         "extract_pdf_paged": q_extract_pdf_paged,
         "export_markdown": q_export_markdown,
+        "page_dump": q_page_dump,
         "export_doctags": q_export_doctags,
         "export_html": q_export_html,
         "chunk_documents": q_chunk_documents,
@@ -493,6 +527,19 @@ UNION ALL
 SELECT CAST(doc_id AS VARCHAR), CAST(4 AS INT), 'picture', '',
        'media://' || CAST(doc_id AS VARCHAR)
 FROM documents WHERE doc_id % 5 = 0
+"""
+
+    oracles["extract_uspto_spans"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS INT) AS span_offset,
+       'title' AS kind, 'Doc ' || CAST(doc_id AS VARCHAR) AS text
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(1 AS INT), 'section_header',
+       'ABSTRACT'
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(2 AS INT), 'paragraph', text
+FROM documents
 """
 
     oracles["extract_media_manifest"] = """
@@ -648,6 +695,26 @@ FROM p
 UNION ALL
 SELECT doc_id, CAST(1 AS INT), 'text',
        array_to_string(toks[h+1:len(toks)], ' ')
+FROM p WHERE len(toks) > h
+"""
+
+    oracles["page_dump"] = """
+WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                  string_split(text, ' ') AS toks
+           FROM documents),
+p AS (SELECT doc_id, toks,
+             CAST(ceil(len(toks) / 2.0) AS INT) AS h
+      FROM t)
+SELECT doc_id, CAST(0 AS INT) AS page_no,
+       array_to_string(toks[1:h], ' ') AS text,
+       array_to_string(toks[1:h], ' ') AS markdown,
+       1 AS n_blocks
+FROM p
+UNION ALL
+SELECT doc_id, CAST(1 AS INT),
+       array_to_string(toks[h+1:len(toks)], ' '),
+       array_to_string(toks[h+1:len(toks)], ' '),
+       1
 FROM p WHERE len(toks) > h
 """
 

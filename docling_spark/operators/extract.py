@@ -210,22 +210,37 @@ def _page_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-def extract_spans_paged(
-    df: DataFrame,
-    *,
-    num_partitions: Optional[int] = None,
-) -> DataFrame:
-    """(doc_id, spans[kind=pdf_page]) → (doc_id, spans, status, n_spans)
-    via page-level parallelism. Page furniture (headers/footers) is
-    suppressed from the body span sequence, mirroring the reference's
-    furniture layer (readingorder_model.py:332-334)."""
+def _page_rows(df: DataFrame, page_range: Optional[tuple],
+               num_partitions: Optional[int]) -> DataFrame:
+    """Explode paged documents to (doc_id, page_offset, payload) rows.
+    ``page_range=(first, last)`` is the pre-parse page slice gate
+    (DocumentLimits.page_range, datamodel/settings.py:9-25 +
+    base_pipeline.py:143-146) — a pure Catalyst predicate, so out-of-
+    range pages are never deserialized into the page UDF."""
     pages = (df.select("doc_id", F.explode("spans").alias("s"))
              .filter(F.col("s.kind") == "pdf_page")
              .select("doc_id",
                      F.col("s.offset").alias("page_offset"),
                      F.col("s.text").alias("payload")))
+    if page_range is not None:
+        lo, hi = page_range
+        pages = pages.filter(F.col("page_offset").between(lo, hi))
     if num_partitions:
         pages = pages.repartition(num_partitions, "doc_id", "page_offset")
+    return pages
+
+
+def extract_spans_paged(
+    df: DataFrame,
+    *,
+    num_partitions: Optional[int] = None,
+    page_range: Optional[tuple] = None,
+) -> DataFrame:
+    """(doc_id, spans[kind=pdf_page]) → (doc_id, spans, status, n_spans)
+    via page-level parallelism. Page furniture (headers/footers) is
+    suppressed from the body span sequence, mirroring the reference's
+    furniture layer (readingorder_model.py:332-334)."""
+    pages = _page_rows(df, page_range, num_partitions)
     parsed = pages.mapInPandas(_page_batches, schema=PAGE_OUT_DDL)
     assembled = (parsed.groupBy("doc_id").agg(
         F.array_sort(F.collect_list(F.struct("page_offset", "blocks")))
@@ -242,6 +257,31 @@ def extract_spans_paged(
         F.when(F.col("any_error"), F.lit(STATUS_FAILURE))
          .otherwise(F.lit(STATUS_SUCCESS)).alias("status"),
         F.size(spans).alias("n_spans"))
+
+
+def page_dump(
+    df: DataFrame,
+    *,
+    num_partitions: Optional[int] = None,
+    page_range: Optional[tuple] = None,
+) -> DataFrame:
+    """Per-page multimodal dump — the analogue of the reference's
+    ``generate_multimodal_pages`` export (utils/export.py:13-148: one
+    tuple per page with its text, markdown, and segment data). Output:
+    (doc_id, page_no, text, markdown, n_blocks, headers, footers,
+    error). Stays page-parallel end-to-end: no doc-level reassembly
+    shuffle — the per-page projection renders straight off the page
+    UDF output."""
+    pages = _page_rows(df, page_range, num_partitions)
+    parsed = pages.mapInPandas(_page_batches, schema=PAGE_OUT_DDL)
+    return parsed.select(
+        "doc_id",
+        F.col("page_offset").alias("page_no"),
+        F.array_join("blocks", "\n\n").alias("text"),
+        # block-level markdown: plain blocks joined as paragraphs
+        F.array_join("blocks", "\n\n").alias("markdown"),
+        F.size("blocks").alias("n_blocks"),
+        "headers", "footers", "error")
 
 
 # ---------------------------------------------------------------------------

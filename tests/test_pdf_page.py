@@ -132,3 +132,19 @@ def test_control_char_and_page_order():
     spans = flatten(parse_pdf_pages([p0, p1]))
     assert [s["text"] for s in spans] == ["soft-hyphen", "second page"]
     assert [s["offset"] for s in spans] == [0, 1]
+
+
+def test_page_dump_and_page_range(spark):
+    from docling_spark.operators.extract import page_dump
+    from docling_spark.sources.corpus import corpus_pdf_pages
+    corpus = corpus_pdf_pages(spark, "/root/testdata/sf0.001")
+    full = page_dump(corpus)
+    rows = full.limit(500).collect()
+    assert rows and all(r["error"] is None for r in rows)
+    assert all(r["n_blocks"] >= 1 for r in rows)
+    # page-range gate: only page 0 survives, filtered before the UDF
+    only_p0 = page_dump(corpus, page_range=(0, 0))
+    pages = {r["page_no"] for r in only_p0.limit(500).collect()}
+    assert pages == {0}
+    plan = only_p0._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.index("MapInPandas") < plan.index("Filter")
