@@ -284,9 +284,10 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
+    # _docs already spread the scan; a second repartition here would
+    # re-shuffle the full text for nothing (measured ~30% of the query)
     corpus = _clone_corpus_near(_docs(spark, sf_dir))
-    out = minhash_dedup(corpus, n=3, num_hashes=16, bands=4, threshold=0.5,
-                        num_partitions=_par(spark))
+    out = minhash_dedup(corpus, n=3, num_hashes=16, bands=4, threshold=0.5)
     return out.select(
         "doc_a", "doc_b",
         F.floor(F.col("jaccard") * 10000).cast("long").alias("jaccard_e4"))
