@@ -233,11 +233,23 @@ def parse_page(payload: str) -> Dict:
                 out.append(sanitize_text([t]))
         return out
 
+    # OCR slot: plan query regions from any bitmap rects in the payload
+    # (base_ocr_model.py:36-106); running an actual OCR engine over them
+    # is a pluggable UDF slot (no engines in this environment). Planned
+    # regions ride along so a downstream OCR pass needs no re-parse.
+    bitmaps = [(float(r["l"]), float(r["t"]), float(r["r"]), float(r["b"]))
+               for r in page.get("bitmap_rects", [])]
+    ocr_regions: List = []
+    if bitmaps:
+        from .ocr_plan import plan_ocr_regions
+        ocr_regions = plan_ocr_regions(width, height, bitmaps)
+
     return {
         "page_no": int(page.get("page_no", 0)),
         "blocks": blocks,
         "headers": _furn(headers),
         "footers": _furn(footers),
+        "ocr_regions": ocr_regions,
     }
 
 
