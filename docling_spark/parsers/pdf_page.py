@@ -233,6 +233,32 @@ def parse_page(payload: str) -> Dict:
                 out.append(sanitize_text([t]))
         return out
 
+    # Model-driven branch: when the payload carries layout-model
+    # cluster predictions, the full reference postprocessing pipeline
+    # runs (layout_postprocessor.py) and blocks come out labeled; the
+    # geometric column/block heuristic above remains the model-free
+    # default. Output: (label, text) pairs in reading order, furniture
+    # labels included (page assembly routes them,
+    # page_assemble_model.py:83-155).
+    labeled_blocks: List = []
+    if page.get("clusters"):
+        from .layout_post import LayoutCluster, postprocess_layout
+        predictions = [
+            LayoutCluster(
+                id=int(cl.get("id", i)),
+                label=str(cl.get("label", "text")),
+                bbox=(float(cl["l"]), float(cl["t"]),
+                      float(cl["r"]), float(cl["b"])),
+                confidence=float(cl.get("confidence", 1.0)))
+            for i, cl in enumerate(page["clusters"])]
+        for cluster in postprocess_layout(merged, predictions,
+                                          (width, height)):
+            lines = [c.text.replace("\x02", "-").strip()
+                     for c in cluster.cells if c.text.strip()]
+            text = sanitize_text(lines) if lines else ""
+            if text or cluster.label == "picture":
+                labeled_blocks.append((cluster.label, text))
+
     # OCR slot: plan query regions from any bitmap rects in the payload
     # (base_ocr_model.py:36-106); running an actual OCR engine over them
     # is a pluggable UDF slot (no engines in this environment). Planned
@@ -250,6 +276,7 @@ def parse_page(payload: str) -> Dict:
         "headers": _furn(headers),
         "footers": _furn(footers),
         "ocr_regions": ocr_regions,
+        "labeled_blocks": labeled_blocks,
     }
 
 
@@ -261,6 +288,16 @@ def parse_pdf_pages(page_payloads: List[str]) -> DocTree:
     tree = DocTree()
     for payload in page_payloads:
         page = parse_page(payload)
+        if page["labeled_blocks"]:
+            # model-driven path: label routing per
+            # page_assemble_model.py:83-155 — furniture labels go to
+            # the furniture layer, everything else keeps its label
+            for label, text in page["labeled_blocks"]:
+                if label in ("page_header", "page_footer"):
+                    tree.add_text(label, text, layer="furniture")
+                else:
+                    tree.add_text(label, text)
+            continue
         for text in page["headers"]:
             tree.add_text("page_header", text, layer="furniture")
         for text in page["blocks"]:
