@@ -36,7 +36,7 @@ import json
 import re
 from typing import Dict, List, Optional
 
-from ..doctree import DocTree
+from ..doctree import DocTree, TableCell, TableData, serialize_table
 
 # deviation-documented heuristic knobs
 HEADER_MARGIN_FRAC = 0.05
@@ -201,6 +201,80 @@ def _split_blocks(lines: List[Cell]) -> List[List[Cell]]:
     return blocks
 
 
+def get_text_in_rect(cells: List[Cell], l: float, t: float, r: float,
+                     b: float) -> str:
+    """Text of cells overlapping a query bbox by more than half their
+    own area, joined by spaces in cell order — the reference's
+    page-local range join (docling_parse_v4_backend.py:33-56)."""
+    out = []
+    for c in cells:
+        area = max(c.r - c.l, 0.0) * max(c.b - c.t, 0.0)
+        if area <= 0:
+            continue
+        w = min(c.r, r) - max(c.l, l)
+        h = min(c.b, b) - max(c.t, t)
+        inter = w * h if w > 0 and h > 0 else 0.0
+        if inter / area > 0.5:
+            out.append(c.text)
+    return " ".join(out)
+
+
+def table_grid_from_cells(cells: List[Cell]) -> TableData:
+    """Heuristic table structure from the text cells inside a table
+    cluster — the model-free stand-in for TableFormer
+    (models/table_structure_model.py:171-297, an NN): column cuts come
+    from gaps in the union of cell x-intervals, row groups from
+    vertical overlap (same rule as fragment merge); each cell lands in
+    the row/column its center falls into. First row = column headers."""
+    if not cells:
+        return TableData(num_rows=0, num_cols=0)
+    # column boundaries: project x-intervals, split where a gap appears
+    xs = sorted((c.l, c.r) for c in cells)
+    col_edges = [xs[0][0]]
+    reach = xs[0][1]
+    for l, r in xs[1:]:
+        if l > reach:  # true vertical gutter
+            col_edges.append(l)
+            reach = r
+        else:
+            reach = max(reach, r)
+    # row groups by vertical overlap, top-to-bottom
+    rows: List[List[Cell]] = []
+    for c in sorted(cells, key=lambda c: (c.t, c.l)):
+        placed = False
+        for row in rows:
+            ref = row[0]
+            overlap = min(c.b, ref.b) - max(c.t, ref.t)
+            if overlap > 0.5 * min(c.height, ref.height):
+                row.append(c)
+                placed = True
+                break
+        if not placed:
+            rows.append([c])
+
+    def col_of(c: Cell) -> int:
+        center = (c.l + c.r) / 2
+        idx = 0
+        for j, edge in enumerate(col_edges):
+            if center >= edge:
+                idx = j
+        return idx
+
+    data = TableData(num_rows=len(rows), num_cols=len(col_edges))
+    for ri, row in enumerate(rows):
+        by_col: Dict[int, List[Cell]] = {}
+        for c in row:
+            by_col.setdefault(col_of(c), []).append(c)
+        for ci, group in by_col.items():
+            text = " ".join(g.text.strip() for g in
+                            sorted(group, key=lambda g: g.l)
+                            if g.text.strip())
+            data.cells.append(TableCell(
+                text=text, start_row=ri, start_col=ci,
+                column_header=(ri == 0)))
+    return data
+
+
 def parse_page(payload: str) -> Dict:
     """One structured-page payload → dict with body block texts and
     furniture (header/footer) texts, in reading order."""
@@ -253,6 +327,12 @@ def parse_page(payload: str) -> Dict:
             for i, cl in enumerate(page["clusters"])]
         for cluster in postprocess_layout(merged, predictions,
                                           (width, height)):
+            if cluster.label == "table":
+                # model-free structure recovery (TableFormer slot)
+                grid = table_grid_from_cells(cluster.cells)
+                labeled_blocks.append(
+                    ("table", serialize_table(grid)))
+                continue
             lines = [c.text.replace("\x02", "-").strip()
                      for c in cluster.cells if c.text.strip()]
             text = sanitize_text(lines) if lines else ""

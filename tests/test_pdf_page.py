@@ -148,3 +148,48 @@ def test_page_dump_and_page_range(spark):
     assert pages == {0}
     plan = only_p0._jdf.queryExecution().optimizedPlan().toString()
     assert plan.index("MapInPandas") < plan.index("Filter")
+
+
+def test_get_text_in_rect():
+    from docling_spark.parsers.pdf_page import Cell, get_text_in_rect
+    cells = [Cell(0, "inside", 10, 10, 50, 20),
+             Cell(1, "half", 40, 10, 80, 20),    # 25% inside → dropped
+             Cell(2, "outside", 200, 200, 240, 210)]
+    assert get_text_in_rect(cells, 0, 0, 60, 30) == "inside"
+    assert get_text_in_rect(cells, 0, 0, 75, 30) == "inside half"
+
+
+def test_table_grid_from_cells():
+    from docling_spark.doctree import serialize_table
+    from docling_spark.parsers.pdf_page import Cell, table_grid_from_cells
+    # 2x3 grid: two rows of three cells with clear column gutters
+    cells = [
+        Cell(0, "H1", 10, 10, 50, 20), Cell(1, "H2", 70, 10, 110, 20),
+        Cell(2, "H3", 130, 10, 170, 20),
+        Cell(3, "a", 10, 30, 50, 40), Cell(4, "b", 70, 30, 110, 40),
+        Cell(5, "c", 130, 30, 170, 40),
+    ]
+    grid = table_grid_from_cells(cells)
+    assert (grid.num_rows, grid.num_cols) == (2, 3)
+    assert serialize_table(grid) == \
+        "2x3\nH1\tH2\tH3\na\tb\tc\nH:1\t1\t1"
+
+
+def test_model_driven_table_block():
+    import json
+    from docling_spark.doctree import flatten
+    from docling_spark.parsers.pdf_page import parse_pdf_pages
+    payload = json.dumps({
+        "page_no": 0, "width": 612.0, "height": 792.0,
+        "cells": [
+            {"index": 0, "text": "K", "l": 50, "t": 50, "r": 90, "b": 60},
+            {"index": 1, "text": "V", "l": 120, "t": 50, "r": 160, "b": 60},
+            {"index": 2, "text": "k2", "l": 50, "t": 70, "r": 90, "b": 80},
+            {"index": 3, "text": "v2", "l": 120, "t": 70, "r": 160, "b": 80},
+        ],
+        "clusters": [{"id": 1, "label": "table", "confidence": 0.95,
+                      "l": 45, "t": 45, "r": 165, "b": 85}],
+    })
+    spans = flatten(parse_pdf_pages([payload]))
+    assert [s["kind"] for s in spans] == ["table"]
+    assert spans[0]["text"] == "2x2\nK\tV\nk2\tv2\nH:1\t1"
