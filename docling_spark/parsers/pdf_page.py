@@ -275,6 +275,61 @@ def table_grid_from_cells(cells: List[Cell]) -> TableData:
     return data
 
 
+def _cluster_reading_order(clusters: List) -> List:
+    """Column-aware reading order over labeled clusters: split into
+    columns by x-gutters, read columns left-to-right, each top-to-
+    bottom — the heuristic stand-in for the external reading-order
+    predictor (readingorder_model.py:48-389; geometry-based so
+    cell-less clusters like pictures land where they sit on the page,
+    not at the end of the native-index sort)."""
+    if not clusters:
+        return clusters
+    xs = sorted((c.bbox[0], c.bbox[2]) for c in clusters)
+    edges = [xs[0][0]]
+    reach = xs[0][1]
+    for l, r in xs[1:]:
+        if l > reach:
+            edges.append(l)
+            reach = r
+        else:
+            reach = max(reach, r)
+
+    def col(c) -> int:
+        center = (c.bbox[0] + c.bbox[2]) / 2
+        idx = 0
+        for j, e in enumerate(edges):
+            if center >= e:
+                idx = j
+        return idx
+
+    return sorted(clusters, key=lambda c: (col(c), c.bbox[1], c.bbox[0]))
+
+
+def _bind_captions(clusters: List) -> List:
+    """Move each caption cluster to directly after its nearest table or
+    picture (vertical-gap nearest-above/below rule) — the heuristic
+    stand-in for the reading-order model's caption→parent mapping
+    (readingorder_model.py:371-377). Captions with no target stay put."""
+    targets = [c for c in clusters if c.label in ("table", "picture")]
+    if not targets:
+        return clusters
+    bound: Dict[int, List] = {}
+    loose = []
+    for c in clusters:
+        if c.label != "caption":
+            loose.append(c)
+            continue
+        best = min(targets, key=lambda t: min(
+            abs(c.bbox[1] - t.bbox[3]),   # caption below target
+            abs(t.bbox[1] - c.bbox[3])))  # caption above target
+        bound.setdefault(best.id, []).append(c)
+    out = []
+    for c in loose:
+        out.append(c)
+        out.extend(bound.get(c.id, []))
+    return out
+
+
 def parse_page(payload: str) -> Dict:
     """One structured-page payload → dict with body block texts and
     furniture (header/footer) texts, in reading order."""
@@ -325,8 +380,9 @@ def parse_page(payload: str) -> Dict:
                       float(cl["r"]), float(cl["b"])),
                 confidence=float(cl.get("confidence", 1.0)))
             for i, cl in enumerate(page["clusters"])]
-        for cluster in postprocess_layout(merged, predictions,
-                                          (width, height)):
+        ordered = postprocess_layout(merged, predictions, (width, height))
+        ordered = _bind_captions(_cluster_reading_order(ordered))
+        for cluster in ordered:
             if cluster.label == "table":
                 # model-free structure recovery (TableFormer slot)
                 grid = table_grid_from_cells(cluster.cells)

@@ -137,3 +137,31 @@ def test_model_driven_page_path():
              .flatten(parse_pdf_pages([payload]))]
     assert spans == [("section_header", "Section One"),
                      ("text", "Body text here.")]
+
+
+def test_caption_binds_to_nearest_picture():
+    # caption cell appears FIRST in native index order, but binds to the
+    # picture it sits under and follows it in the emitted sequence
+    payload = json.dumps({
+        "page_no": 0, "width": 612.0, "height": 792.0,
+        "cells": [
+            {"index": 0, "text": "Figure 1: a duck",
+             "l": 50, "t": 210, "r": 300, "b": 222},
+            {"index": 1, "text": "Body paragraph.",
+             "l": 50, "t": 400, "r": 300, "b": 412},
+        ],
+        "clusters": [
+            {"id": 1, "label": "picture", "confidence": 0.9,
+             "l": 50, "t": 80, "r": 300, "b": 200},
+            {"id": 2, "label": "caption", "confidence": 0.9,
+             "l": 48, "t": 205, "r": 305, "b": 226},
+            {"id": 3, "label": "text", "confidence": 0.9,
+             "l": 45, "t": 396, "r": 305, "b": 416},
+        ],
+    })
+    from docling_spark.doctree import flatten
+    spans = [(s["kind"], s["text"]) for s in
+             flatten(parse_pdf_pages([payload]))]
+    assert spans == [("picture", ""),
+                     ("caption", "Figure 1: a duck"),
+                     ("text", "Body paragraph.")]
