@@ -62,6 +62,11 @@ def main(argv=None) -> int:
     ap.add_argument("--max-payload-chars", type=int, default=None)
     ap.add_argument("--allowed-kinds", type=str, default=None,
                     help="comma-separated input kinds filter")
+    ap.add_argument("--export", default=None,
+                    choices=["markdown", "text", "doctags", "html"],
+                    help="also render spans to this sink format")
+    ap.add_argument("--enrich", action="store_true",
+                    help="also write the enrichment side-table")
     args = ap.parse_args(argv)
 
     from docling_spark.lake import (
@@ -104,6 +109,20 @@ def main(argv=None) -> int:
     metrics = partition_metrics(out)
     entry = table.write_snapshot(out, metrics=metrics)
     counters = obs.get
+
+    side_outputs = {}
+    if args.export:
+        from docling_spark.operators import export as ex
+        render = {"markdown": ex.export_markdown, "text": ex.export_text,
+                  "doctags": ex.export_doctags, "html": ex.export_html}
+        path = f"{args.output}/exports/{args.export}"
+        render[args.export](out).write.mode("overwrite").parquet(path)
+        side_outputs["export"] = path
+    if args.enrich:
+        from docling_spark.operators.enrich import enrich_spans
+        path = f"{args.output}/enrichment"
+        enrich_spans(out).write.mode("overwrite").parquet(path)
+        side_outputs["enrichment"] = path
     out.unpersist()
 
     print(json.dumps({
@@ -116,6 +135,7 @@ def main(argv=None) -> int:
         "docs_per_sec": round(
             (counters.get("docs") or 0)
             / max(time.monotonic() - t0, 1e-9), 1),
+        **({"side_outputs": side_outputs} if side_outputs else {}),
     }))
     spark.stop()
     return 0
