@@ -460,6 +460,77 @@ def q_tpch_q1_pricing(spark, sf_dir):
                 F.count("*").alias("n_orders")))
 
 
+def q_tpch_q3_shipping(spark, sf_dir):
+    """TPC-H Q3 shape: fact-fact equi-join on the shuffle key plus a
+    broadcast dim filter, decimal-exact revenue, deterministic top-10.
+    Plan contract: customer broadcasts (no shuffle of the fact side for
+    the dim join); orders/lineitem co-shuffle on the order key once."""
+    dec = lambda c, p, s: F.col(c).cast(f"decimal({p},{s})")  # noqa: E731
+    cust = (_read(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (_read(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate")
+                      < F.lit("1997-06-30").cast("timestamp"))
+              .select("o_orderkey", "o_custkey", "o_orderdate",
+                      "o_orderpriority"))
+    li = (_read(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate")
+                  > F.lit("1997-06-30").cast("timestamp"))
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    j = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")))
+    revenue = F.sum(dec("l_extendedprice", 18, 2)
+                    * (F.lit(1).cast("decimal(12,2)")
+                       - dec("l_discount", 12, 2)))
+    agg = (j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+           .agg(F.floor(revenue * 10000).cast("long").alias("revenue_e4")))
+    return (agg.orderBy(F.col("revenue_e4").desc(), F.col("l_orderkey"))
+            .limit(10)
+            .select("l_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                     .alias("o_orderdate"),
+                    "o_orderpriority", "revenue_e4"))
+
+
+def q_tpch_q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 shape: five-way join chain with every dimension
+    broadcast (region→nation→customer/supplier are all tiny) so the
+    only shuffle is the lineitem⋈orders equi-join + the final
+    aggregation."""
+    dec = lambda c, p, s: F.col(c).cast(f"decimal({p},{s})")  # noqa: E731
+    region = (_read(spark, sf_dir, "region")
+              .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
+    nation = _read(spark, sf_dir, "nation")
+    cust = _read(spark, sf_dir, "customer").select("c_custkey",
+                                                   "c_nationkey")
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey",
+                                                   "s_nationkey")
+    orders = (_read(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate")
+                       >= F.lit("1996-01-01").cast("timestamp"))
+                      & (F.col("o_orderdate")
+                         < F.lit("1997-01-01").cast("timestamp")))
+              .select("o_orderkey", "o_custkey"))
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    dims = (F.broadcast(nation)
+            .join(F.broadcast(region),
+                  F.col("n_regionkey") == F.col("r_regionkey")))
+    j = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(supp),
+               (F.col("l_suppkey") == F.col("s_suppkey"))
+               & (F.col("s_nationkey") == F.col("c_nationkey")))
+         .join(F.broadcast(dims), F.col("c_nationkey") == F.col("n_nationkey")))
+    revenue = F.sum(dec("l_extendedprice", 18, 2)
+                    * (F.lit(1).cast("decimal(12,2)")
+                       - dec("l_discount", 12, 2)))
+    return (j.groupBy("n_name")
+            .agg(F.floor(revenue * 10000).cast("long").alias("revenue_e4"))
+            .orderBy(F.col("revenue_e4").desc(), "n_name"))
+
+
 # ---------------------------------------------------------------------------
 # driver API
 
@@ -503,6 +574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_meta": q_media_decode_meta,
         "media_frame_plan": q_media_frame_plan,
         "tpch_q1_pricing": q_tpch_q1_pricing,
+        "tpch_q3_shipping": q_tpch_q3_shipping,
+        "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
     }
 
 
@@ -1114,6 +1187,44 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
+"""
+
+    oracles["tpch_q3_shipping"] = """
+SELECT l_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+       o_orderpriority,
+       CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(12,2))
+                         - CAST(l_discount AS DECIMAL(12,2)))) * 10000)
+            AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_e4 DESC, l_orderkey
+LIMIT 10
+"""
+
+    oracles["tpch_q5_local_supplier"] = """
+SELECT n_name,
+       CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(12,2))
+                         - CAST(l_discount AS DECIMAL(12,2)))) * 10000)
+            AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue_e4 DESC, n_name
 """
 
     return oracles

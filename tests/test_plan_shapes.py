@@ -101,3 +101,13 @@ def test_enrichment_filters_before_python_stage(spark):
     assert plan.index("Filter") > plan.index("MapInPandas")
     assert "kind IN (code,formula,picture)" in plan
     assert "Exchange" not in plan
+
+
+def test_tpch_q5_broadcasts_all_dimensions(spark):
+    import __spark_entry__ as e
+    plan = _plan(e.queries()["tpch_q5_local_supplier"](
+        spark, "/root/testdata/sf0.001"))
+    # every dimension ships as a broadcast; the only shuffle joins are
+    # the lineitem-orders equi-join and the final aggregation exchange
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 1
