@@ -327,6 +327,16 @@ def q_knn_cosine_lsh(spark, sf_dir):
     return out.withColumnRenamed("rank", "rnk")
 
 
+def q_knn_cosine_ivf(spark, sf_dir):
+    """IVF-probed ANN: deterministic sampled coarse quantizer, cell
+    assignment by max cosine, n_probe-cell candidate equijoin."""
+    from docling_spark.operators.similarity import knn_ivf
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = knn_ivf(emb, queries, k=5)
+    return out.withColumnRenamed("rank", "rnk")
+
+
 def q_events_sessionize(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -566,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "knn_cosine_bruteforce": q_knn_cosine_bruteforce,
         "knn_cosine_lsh": q_knn_cosine_lsh,
+        "knn_cosine_ivf": q_knn_cosine_ivf,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
         "embedding_dedup": q_embedding_dedup,
@@ -1187,6 +1198,50 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
+"""
+
+    oracles["knn_cosine_ivf"] = """
+WITH vecs AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings),
+cents AS (SELECT vec_id AS cell, e AS ce FROM vecs WHERE vec_id < 16),
+cscore AS (
+  SELECT v.vec_id, v.e, c.cell,
+    list_reduce(list_transform(generate_series(1, len(v.e)),
+                i -> v.e[i] * c.ce[i]), (a, b) -> a + b)
+    / (sqrt(list_reduce(list_transform(v.e, x -> x*x), (a, b) -> a + b))
+       * sqrt(list_reduce(list_transform(c.ce, x -> x*x), (a, b) -> a + b)))
+      AS cs
+  FROM vecs v, cents c),
+assigned AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT vec_id, e, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, cell ASC) AS rn
+    FROM cscore) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, e AS qe, cell FROM (
+    SELECT vec_id, e, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, cell ASC) AS rn
+    FROM cscore WHERE vec_id < 10) WHERE rn <= 4),
+scored AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS nbr_id,
+    list_reduce(list_transform(generate_series(1, len(a.e)),
+                i -> a.e[i] * p.qe[i]), (x, y) -> x + y)
+    / (sqrt(list_reduce(list_transform(a.e, x -> x*x), (x, y) -> x + y))
+       * sqrt(list_reduce(list_transform(p.qe, x -> x*x), (x, y) -> x + y)))
+      AS score
+  FROM assigned a JOIN probes p ON a.cell = p.cell
+  WHERE a.vec_id != p.query_id),
+ranked AS (SELECT query_id, nbr_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, nbr_id ASC) AS rn,
+             score
+           FROM scored)
+SELECT query_id, nbr_id, CAST(rn AS INT) AS rnk,
+       CAST(floor(score * 10000) AS BIGINT) AS score_e4
+FROM ranked WHERE rn <= 5
 """
 
     oracles["tpch_q3_shipping"] = """

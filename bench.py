@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "embedding_dedup",
     "knn_cosine_bruteforce",
     "knn_cosine_lsh",
+    "knn_cosine_ivf",
     "events_sessionize",
     "events_windowed",
     "media_decode_meta",

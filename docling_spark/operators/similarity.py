@@ -142,6 +142,65 @@ def lsh_buckets(embeddings: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
                     "embedding")
 
 
+N_CELLS = 16
+N_PROBE = 4
+
+
+def ivf_assign(embeddings: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
+    """IVF coarse quantization: (vec_id, cell, embedding).
+
+    The coarse quantizer is the first ``n_cells`` corpus vectors
+    (vec_id < n_cells) — a deterministic sampled quantizer (the
+    zero-training-budget initialization FAISS also accepts) so the SQL
+    oracle can replay it. Every vector joins the cell of its
+    max-cosine centroid. At 10^12 rows this is one broadcast join +
+    a per-row argmax; the index build never shuffles the corpus."""
+    e = _as_double(embeddings)
+    centroids = (e.filter(F.col("vec_id") < n_cells)
+                 .select(F.col("vec_id").alias("cell"),
+                         F.col("embedding").alias("c_emb")))
+    scored = (e.join(F.broadcast(centroids))
+              .select("vec_id", "cell", "embedding",
+                      cosine_udf(F.col("embedding"), F.col("c_emb"))
+                      .alias("c_score")))
+    w = (Window.partitionBy("vec_id")
+         .orderBy(F.col("c_score").desc(), F.col("cell").asc()))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cell", "embedding"))
+
+
+def knn_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+            n_cells: int = N_CELLS, n_probe: int = N_PROBE) -> DataFrame:
+    """Approximate top-k via inverted-file probing: each query scores
+    only the corpus vectors whose cell is among its ``n_probe``
+    nearest centroids. Candidate generation is a cell equijoin —
+    the scale path when bucket collisions (LSH) are too coarse."""
+    e = _as_double(embeddings)
+    index = ivf_assign(embeddings, n_cells)
+    centroids = (e.filter(F.col("vec_id") < n_cells)
+                 .select(F.col("vec_id").alias("cell"),
+                         F.col("embedding").alias("c_emb")))
+    q = _as_double(queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    probe_w = (Window.partitionBy("query_id")
+               .orderBy(F.col("c_score").desc(), F.col("cell").asc()))
+    probes = (q.join(F.broadcast(centroids))
+              .select("query_id", "q_emb", "cell",
+                      cosine_udf(F.col("q_emb"), F.col("c_emb"))
+                      .alias("c_score"))
+              .withColumn("rn", F.row_number().over(probe_w))
+              .filter(F.col("rn") <= n_probe)
+              .select("query_id", "q_emb", "cell"))
+    scored = (index.join(F.broadcast(probes), "cell")
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", F.col("vec_id").alias("nbr_id"),
+                      cosine_udf(F.col("q_emb"), F.col("embedding"))
+                      .alias("score"))
+              .dropDuplicates(["query_id", "nbr_id"]))
+    return _topk(scored, k)
+
+
 def knn_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             n_planes: int = N_PLANES) -> DataFrame:
     """Approximate top-k: only corpus vectors in the query's LSH bucket
