@@ -96,6 +96,76 @@ spark.stop()
 """
 
 
+# replicate 16x with distinct ids AND distinct tokens (every word gets
+# a per-replica suffix): identical replicas would form 16-cliques in
+# every LSH bucket and blow the verify stage up quadratically, turning
+# the benchmark into a pathological-duplicate stress test instead of a
+# throughput-scaling measurement; a smaller corpus would leave fixed
+# stage costs dominant. Materialized once to many-file parquet so every
+# level reads the same input with real split parallelism.
+PREPARE_DEDUP = r"""
+import sys
+sys.path.insert(0, {root!r})
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sf_dir, out_dir, n_files = sys.argv[1], sys.argv[2], int(sys.argv[3])
+spark = (SparkSession.builder.master("local[32]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.driver.memory", "24g").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+docs = (spark.read.parquet(f"{{sf_dir}}/documents.parquet")
+        .repartition(64, "doc_id"))
+corpus = (docs.select("doc_id", "text",
+                      F.explode(F.sequence(F.lit(0), F.lit(15))).alias("rep"))
+          .select(
+              (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+              F.array_join(
+                  F.transform(F.split("text", " "),
+                              lambda w: F.concat(
+                                  w, F.lit("~"),
+                                  F.col("rep").cast("string"))),
+                  " ").alias("text")))
+corpus.repartition(n_files).write.mode("overwrite").parquet(out_dir)
+print("prepared", corpus.count())
+spark.stop()
+"""
+
+DEDUP_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, {root!r})
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from docling_spark.operators.dedup import minhash_dedup
+
+cpus = int(sys.argv[1]); corpus_dir = sys.argv[2]
+spark = (SparkSession.builder.master(f"local[{{cpus}}]")
+         .appName(f"scaling-dedup-{{cpus}}")
+         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.icu.caseMappings.enabled", "false")
+         .config("spark.driver.memory", "24g")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+corpus = spark.read.parquet(corpus_dir)
+n_docs = corpus.count()
+minhash_dedup(corpus.limit(512)).count()  # warm workers + codegen
+
+best = None
+for _ in range(3):
+    t0 = time.monotonic()
+    n_pairs = minhash_dedup(corpus).count()
+    wall = time.monotonic() - t0
+    if best is None or wall < best:
+        best = wall
+print(json.dumps({{"cpus": cpus, "docs": n_docs, "pairs": int(n_pairs),
+                  "wall_sec": round(best, 3),
+                  "docs_per_sec": round(n_docs / best, 1)}}))
+spark.stop()
+"""
+
+
 def _run_py(code: str, *args: str) -> str:
     out = subprocess.run([sys.executable, "-c", code, *args],
                          capture_output=True, text=True, check=True)
@@ -174,11 +244,56 @@ Method notes:
   (SURVEY.md §6); throughput baselines for this engine are recorded
   per-round by bench.py (BENCH_r{{N}}.json)
 """
+
+    # second evidence axis: a SHUFFLE-HEAVY operator (extraction is
+    # embarrassingly parallel; near-dup has 3 shuffles + a self-join)
+    dedup_dir = f"/tmp/scaling_dedup_{os.path.basename(sf_dir)}_x16"
+    if not os.path.exists(os.path.join(dedup_dir, "_SUCCESS")):
+        _run_py(PREPARE_DEDUP.format(root=ROOT), sf_dir, dedup_dir,
+                str(n_files))
+    dresults: dict = {}
+    for _pass in range(2):
+        for cpus in (4, 8, 16, 32):
+            line = [ln for ln in
+                    _run_py(DEDUP_WORKER.format(root=ROOT), str(cpus),
+                            dedup_dir).strip().splitlines()
+                    if ln.startswith("{")][-1]
+            r = json.loads(line)
+            if (cpus not in dresults
+                    or r["docs_per_sec"] > dresults[cpus]["docs_per_sec"]):
+                dresults[cpus] = r
+    d_eff_4_16 = (dresults[16]["docs_per_sec"]
+                  / (4 * dresults[4]["docs_per_sec"]))
+    d_eff_8_32 = (dresults[32]["docs_per_sec"]
+                  / (4 * dresults[8]["docs_per_sec"]))
+    drows = "\n".join(
+        f"| local[{c}] | {r['docs']} | {r['wall_sec']} | {r['docs_per_sec']} |"
+        for c, r in dresults.items())
+    md += f"""
+## Shuffle-heavy operator: MinHash+LSH near-dup
+
+Extraction is embarrassingly parallel; the near-dup pipeline is the
+opposite stressor — shingle explode, minhash aggregation, band-bucket
+self-join and Jaccard verify (3 shuffles). Same method: fresh JVM per
+level, best of runs, {dresults[4]["docs"]} documents (sf0.1 ×16
+replicas with per-replica token suffixes, so the shuffle volume scales
+linearly instead of forming pathological duplicate cliques).
+
+| config | docs | wall (s) | docs/sec |
+|---|---|---|---|
+{drows}
+
+N=4 vs 4N=16 efficiency: **{d_eff_4_16:.3f}** · N=8 vs 4N=32:
+{d_eff_8_32:.3f} (same local-mode oversubscription caveat as above).
+"""
     with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(json.dumps({"levels": results,
                       "eff_4_to_16": round(eff_4_16, 3),
-                      "eff_8_to_32": round(eff_8_32, 3)}))
+                      "eff_8_to_32": round(eff_8_32, 3),
+                      "dedup_levels": dresults,
+                      "dedup_eff_4_to_16": round(d_eff_4_16, 3),
+                      "dedup_eff_8_to_32": round(d_eff_8_32, 3)}))
 
 
 if __name__ == "__main__":
