@@ -102,6 +102,127 @@ def q_extract_html_spans(spark, sf_dir):
     return _exploded_spans(extract_spans(corpus, num_partitions=_par(spark)))
 
 
+def _single_span_corpus(docs: DataFrame, kind: str, payload) -> DataFrame:
+    """(doc_id, …) → interleaved corpus with one payload span of the
+    given kind (Catalyst-templated, SQL-replayable)."""
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(F.struct(
+            F.lit(kind).alias("kind"), payload.alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"))).alias("spans"))
+
+
+def q_extract_md_spans(spark, sf_dir):
+    """Markdown branch of the extraction UDF: Catalyst-templated
+    CommonMark payloads (headings, paragraphs, bullet list, pipe table)
+    through the same mapInPandas stage."""
+    docs = _docs(spark, sf_dir)
+    nl = "\n"
+    payload = F.concat(
+        F.lit("# Doc "), F.col("doc_id").cast("string"), F.lit(f"{nl}{nl}"),
+        F.col("text"), F.lit(f"{nl}{nl}## Stats{nl}{nl}"),
+        F.col("n_chars").cast("string"),
+        F.lit(f" chars{nl}{nl}- alpha beta{nl}- gamma delta{nl}{nl}"),
+        F.lit(f"| k | v |{nl}|---|---|{nl}| chars | "),
+        F.col("n_chars").cast("string"), F.lit(f" |{nl}"))
+    corpus = _single_span_corpus(docs, "md", payload)
+    out = _exploded_spans(extract_spans(corpus, num_partitions=_par(spark)))
+    return out.select("doc_id", "span_offset", "kind", "text")
+
+
+def q_extract_csv_spans(spark, sf_dir):
+    """CSV branch: dialect sniff + strict parse + first-row headers;
+    whole file becomes one table span (csv_backend.py semantics)."""
+    docs = _docs(spark, sf_dir)
+    nl = "\n"
+    payload = F.concat(
+        F.lit(f"name,value{nl}doc,"), F.col("doc_id").cast("string"),
+        F.lit(f"{nl}chars,"), F.col("n_chars").cast("string"), F.lit(nl))
+    corpus = _single_span_corpus(docs, "csv", payload)
+    out = _exploded_spans(extract_spans(corpus, num_partitions=_par(spark)))
+    return out.select("doc_id", "span_offset", "kind", "text")
+
+
+def q_extract_asciidoc_spans(spark, sf_dir):
+    """AsciiDoc branch: title/section/list state machine
+    (asciidoc_backend.py semantics)."""
+    docs = _docs(spark, sf_dir)
+    nl = "\n"
+    payload = F.concat(
+        F.lit("= Doc "), F.col("doc_id").cast("string"), F.lit(f"{nl}{nl}"),
+        F.col("text"), F.lit(f"{nl}{nl}== Stats{nl}{nl}"),
+        F.col("n_chars").cast("string"),
+        F.lit(f" chars{nl}{nl}* alpha beta{nl}* "), F.col("lang"),
+        F.lit(f" words{nl}"))
+    corpus = _single_span_corpus(docs, "asciidoc", payload)
+    out = _exploded_spans(extract_spans(corpus, num_partitions=_par(spark)))
+    return out.select("doc_id", "span_offset", "kind", "text")
+
+
+def q_extract_jats_spans(spark, sf_dir):
+    """JATS XML branch: front-matter (title, abstract) + body sections
+    (jats_backend.py semantics)."""
+    docs = _docs(spark, sf_dir)
+    payload = F.concat(
+        F.lit('<?xml version="1.0"?>\n<!DOCTYPE article PUBLIC '
+              '"-//NLM//DTD JATS (Z39.96) Journal Publishing DTD v1.2 '
+              '20190208//EN" "JATS-journalpublishing1.dtd">\n'
+              "<article>\n<front><article-meta>\n"
+              "<title-group><article-title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</article-title></title-group>\n<abstract><p>"),
+        F.col("text"),
+        F.lit("</p></abstract>\n</article-meta></front>\n<body>\n"
+              "<sec><title>Stats</title><p>"),
+        F.col("n_chars").cast("string"),
+        F.lit(" chars</p></sec>\n</body>\n</article>"))
+    corpus = _single_span_corpus(docs, "jats", payload)
+    out = _exploded_spans(extract_spans(corpus, num_partitions=_par(spark)))
+    return out.select("doc_id", "span_offset", "kind", "text")
+
+
+def q_extract_docling_json_spans(spark, sf_dir):
+    """Docling-JSON passthrough branch: serialized DoclingDocument JSON
+    (Catalyst-templated) → validated span emission."""
+    docs = _docs(spark, sf_dir)
+    payload = F.concat(
+        F.lit('{"schema_name":"DoclingDocument","body":{"children":'
+              '[{"$ref":"#/texts/0"},{"$ref":"#/texts/1"}]},'
+              '"texts":[{"self_ref":"#/texts/0","label":"title",'
+              '"text":"Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('"},{"self_ref":"#/texts/1","label":"text","text":"'),
+        F.col("text"), F.lit('"}]}'))
+    corpus = _single_span_corpus(docs, "docling_json", payload)
+    out = _exploded_spans(extract_spans(corpus, num_partitions=_par(spark)))
+    return out.select("doc_id", "span_offset", "kind", "text")
+
+
+def _office_query(kind: str):
+    """Shared builder for the binary-container branches: each doc
+    carries variant ``doc_id % N_VARIANTS`` of a driver-built minimal
+    OOXML payload (sources/minidocs.py); the oracle predicts the spans
+    per variant arithmetically."""
+    def q(spark, sf_dir):
+        from docling_spark.sources.minidocs import payload_variants
+        docs = _docs(spark, sf_dir)
+        variants = F.array(*[F.lit(p) for p in payload_variants(kind)])
+        payload = F.element_at(
+            variants, (F.col("doc_id") % len(payload_variants(kind)) + 1)
+            .cast("int"))
+        corpus = _single_span_corpus(docs, kind, payload)
+        out = _exploded_spans(
+            extract_spans(corpus, num_partitions=_par(spark)))
+        return out.select("doc_id", "span_offset", "kind", "text")
+    return q
+
+
+q_extract_docx_spans = _office_query("docx")
+q_extract_xlsx_spans = _office_query("xlsx")
+q_extract_pptx_spans = _office_query("pptx")
+
+
 def q_extract_uspto_spans(spark, sf_dir):
     """USPTO patent branch of the extraction UDF: synthetic APS
     full-text payloads (PATN/TTL/ABST/PAL key-value records) built with
@@ -556,6 +677,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_html_spans": q_extract_html_spans,
         "extract_media_manifest": q_extract_media_manifest,
         "extract_uspto_spans": q_extract_uspto_spans,
+        "extract_md_spans": q_extract_md_spans,
+        "extract_csv_spans": q_extract_csv_spans,
+        "extract_asciidoc_spans": q_extract_asciidoc_spans,
+        "extract_jats_spans": q_extract_jats_spans,
+        "extract_docling_json_spans": q_extract_docling_json_spans,
+        "extract_docx_spans": q_extract_docx_spans,
+        "extract_xlsx_spans": q_extract_xlsx_spans,
+        "extract_pptx_spans": q_extract_pptx_spans,
         "extract_status_counts": q_extract_status_counts,
         "extract_pdf_paged": q_extract_pdf_paged,
         "export_markdown": q_export_markdown,
@@ -624,6 +753,132 @@ SELECT CAST(doc_id AS VARCHAR), CAST(1 AS INT), 'section_header',
 FROM documents
 UNION ALL
 SELECT CAST(doc_id AS VARCHAR), CAST(2 AS INT), 'paragraph', text
+FROM documents
+"""
+
+    oracles["extract_md_spans"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS INT) AS span_offset,
+       'title' AS kind, 'Doc ' || CAST(doc_id AS VARCHAR) AS text
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(1 AS INT), 'paragraph', text
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(2 AS INT), 'section_header', 'Stats'
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(3 AS INT), 'paragraph',
+       CAST(n_chars AS VARCHAR) || ' chars'
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(4 AS INT), 'list_item', 'alpha beta'
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(5 AS INT), 'list_item', 'gamma delta'
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(6 AS INT), 'table',
+       '2x2' || chr(10) || 'k' || chr(9) || 'v' || chr(10)
+       || 'chars' || chr(9) || CAST(n_chars AS VARCHAR) || chr(10)
+       || 'H:1' || chr(9) || '1'
+FROM documents
+"""
+
+    oracles["extract_csv_spans"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS INT) AS span_offset,
+       'table' AS kind,
+       '3x2' || chr(10) || 'name' || chr(9) || 'value' || chr(10)
+       || 'doc' || chr(9) || CAST(doc_id AS VARCHAR) || chr(10)
+       || 'chars' || chr(9) || CAST(n_chars AS VARCHAR) || chr(10)
+       || 'H:1' || chr(9) || '1' AS text
+FROM documents
+"""
+
+    oracles["extract_asciidoc_spans"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS INT) AS span_offset,
+       'title' AS kind, 'Doc ' || CAST(doc_id AS VARCHAR) AS text
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(1 AS INT), 'paragraph', text
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(2 AS INT), 'section_header', 'Stats'
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(3 AS INT), 'paragraph',
+       CAST(n_chars AS VARCHAR) || ' chars'
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(4 AS INT), 'list_item', 'alpha beta'
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(5 AS INT), 'list_item',
+       lang || ' words'
+FROM documents
+"""
+
+    oracles["extract_jats_spans"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS INT) AS span_offset,
+       'title' AS kind, 'Doc ' || CAST(doc_id AS VARCHAR) AS text
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(1 AS INT), 'section_header',
+       'Abstract'
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(2 AS INT), 'text', text
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(3 AS INT), 'section_header', 'Stats'
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(4 AS INT), 'text',
+       CAST(n_chars AS VARCHAR) || ' chars'
+FROM documents
+"""
+
+    oracles["extract_docling_json_spans"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS INT) AS span_offset,
+       'title' AS kind, 'Doc ' || CAST(doc_id AS VARCHAR) AS text
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(1 AS INT), 'text', text
+FROM documents
+"""
+
+    oracles["extract_docx_spans"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS INT) AS span_offset,
+       'title' AS kind, 'Doc v' || CAST(doc_id % 4 AS VARCHAR) AS text
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(1 AS INT), 'paragraph',
+       'variant ' || CAST(doc_id % 4 AS VARCHAR) || ' body words'
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(2 AS INT), 'section_header', 'Stats'
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(3 AS INT), 'paragraph',
+       CAST(doc_id % 4 AS VARCHAR) || ' items'
+FROM documents
+"""
+
+    oracles["extract_xlsx_spans"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS INT) AS span_offset,
+       'table' AS kind,
+       '2x2' || chr(10) || 'name' || chr(9) || 'count' || chr(10)
+       || 'doc' || chr(9) || CAST(doc_id % 4 AS VARCHAR) || chr(10)
+       || 'H:1' || chr(9) || '1' AS text
+FROM documents
+"""
+
+    oracles["extract_pptx_spans"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS INT) AS span_offset,
+       'title' AS kind, 'Doc v' || CAST(doc_id % 4 AS VARCHAR) AS text
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(1 AS INT), 'paragraph',
+       'variant ' || CAST(doc_id % 4 AS VARCHAR) || ' slide words'
 FROM documents
 """
 
