@@ -1022,6 +1022,9 @@ FROM win
 GROUP BY doc_id, CAST(floor(cum_before / 16) AS INT)
 """
 
+    # page 0 runs the model-driven layout path (title cluster over line
+    # 0 → TITLE→SECTION_HEADER remap, text cluster over the rest); page
+    # 1 runs the geometry heuristic (one text block).
     oracles["extract_pdf_paged"] = """
 WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                   string_split(text, ' ') AS toks
@@ -1029,11 +1032,15 @@ WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
 p AS (SELECT doc_id, toks,
              CAST(ceil(len(toks) / 2.0) AS INT) AS h
       FROM t)
-SELECT doc_id, CAST(0 AS INT) AS span_offset, 'text' AS kind,
-       array_to_string(toks[1:h], ' ') AS text
+SELECT doc_id, CAST(0 AS INT) AS span_offset,
+       'section_header' AS kind, toks[1] AS text
 FROM p
 UNION ALL
 SELECT doc_id, CAST(1 AS INT), 'text',
+       array_to_string(toks[2:h], ' ')
+FROM p WHERE h > 1
+UNION ALL
+SELECT doc_id, CAST(CASE WHEN h > 1 THEN 2 ELSE 1 END AS INT), 'text',
        array_to_string(toks[h+1:len(toks)], ' ')
 FROM p WHERE len(toks) > h
 """
@@ -1046,9 +1053,13 @@ p AS (SELECT doc_id, toks,
              CAST(ceil(len(toks) / 2.0) AS INT) AS h
       FROM t)
 SELECT doc_id, CAST(0 AS INT) AS page_no,
-       array_to_string(toks[1:h], ' ') AS text,
-       array_to_string(toks[1:h], ' ') AS markdown,
-       1 AS n_blocks
+       toks[1] || CASE WHEN h > 1
+         THEN chr(10) || chr(10) || array_to_string(toks[2:h], ' ')
+         ELSE '' END AS text,
+       '## ' || toks[1] || CASE WHEN h > 1
+         THEN chr(10) || chr(10) || array_to_string(toks[2:h], ' ')
+         ELSE '' END AS markdown,
+       CASE WHEN h > 1 THEN 2 ELSE 1 END AS n_blocks
 FROM p
 UNION ALL
 SELECT doc_id, CAST(1 AS INT),

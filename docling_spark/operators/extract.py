@@ -27,6 +27,7 @@ from ..doctree import flatten
 from ..schema import (
     OUTPUT_DDL,
     STATUS_FAILURE,
+    STATUS_PARTIAL,
     STATUS_SKIPPED,
     STATUS_SUCCESS,
 )
@@ -179,26 +180,40 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 # This is the skew escape hatch: a mega-PDF splits into page tasks, so
 # one giant document can never serialize a partition (SURVEY.md §7.4).
 
-PAGE_OUT_DDL = ("doc_id string, page_offset int, blocks array<string>, "
+PAGE_OUT_DDL = ("doc_id string, page_offset int, "
+                "blocks array<struct<kind:string,text:string>>, "
                 "headers array<string>, footers array<string>, "
-                "error string")
+                "error string, wall_us long")
 
 
 def _page_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from ..parsers.pdf_page import parse_page
     for pdf in batches:
         out = {"doc_id": [], "page_offset": [], "blocks": [],
-               "headers": [], "footers": [], "error": []}
+               "headers": [], "footers": [], "error": [], "wall_us": []}
         for doc_id, off, payload in zip(
                 pdf["doc_id"], pdf["page_offset"], pdf["payload"]):
+            t0 = time.monotonic_ns()
             blocks: list = []
             headers: list = []
             footers: list = []
             err = None
             try:
                 page = parse_page(payload or "")
-                blocks, headers, footers = (
-                    page["blocks"], page["headers"], page["footers"])
+                if page["labeled_blocks"]:
+                    # model-driven path: typed blocks; furniture labels
+                    # route to headers/footers (page_assemble_model.py:
+                    # 83-155 label routing; same rule as parse_pdf_pages)
+                    for kind, text in page["labeled_blocks"]:
+                        if kind == "page_header":
+                            headers.append(text)
+                        elif kind == "page_footer":
+                            footers.append(text)
+                        else:
+                            blocks.append((kind, text))
+                else:
+                    headers, footers = page["headers"], page["footers"]
+                    blocks = [("text", b) for b in page["blocks"]]
             except Exception as exc:  # per-page containment
                 err = f"{type(exc).__name__}: {exc}"[:500]
             out["doc_id"].append(doc_id)
@@ -207,6 +222,7 @@ def _page_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["headers"].append(headers)
             out["footers"].append(footers)
             out["error"].append(err)
+            out["wall_us"].append((time.monotonic_ns() - t0) // 1000)
         yield pd.DataFrame(out)
 
 
@@ -236,27 +252,53 @@ def extract_spans_paged(
     num_partitions: Optional[int] = None,
     page_range: Optional[tuple] = None,
 ) -> DataFrame:
-    """(doc_id, spans[kind=pdf_page]) → (doc_id, spans, status, n_spans)
-    via page-level parallelism. Page furniture (headers/footers) is
-    suppressed from the body span sequence, mirroring the reference's
-    furniture layer (readingorder_model.py:332-334)."""
+    """(doc_id, spans[kind=pdf_page]) → full output shape (doc_id,
+    spans, status, errors, n_spans, wall_us) via page-level parallelism.
+    Block kinds detected by the page pipeline (section_header / table /
+    caption / picture, typed like the reference's page elements,
+    page_assemble_model.py:83-155) survive into the doc-level span
+    sequence. Page furniture (headers/footers) is suppressed from the
+    body span sequence, mirroring the reference's furniture layer
+    (readingorder_model.py:332-334)."""
     pages = _page_rows(df, page_range, num_partitions)
     parsed = pages.mapInPandas(_page_batches, schema=PAGE_OUT_DDL)
     assembled = (parsed.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list(F.struct("page_offset", "blocks")))
-         .alias("pages"),
-        F.max(F.col("error").isNotNull()).alias("any_error")))
-    texts = F.flatten(F.col("pages.blocks"))
+        F.array_sort(F.collect_list(
+            F.struct("page_offset", "blocks", "error"))).alias("pages"),
+        F.sum("wall_us").alias("wall_us")))
+    n_err = F.size(F.filter(F.col("pages"),
+                            lambda p: p["error"].isNotNull()))
+    all_err = n_err == F.size("pages")
+    blocks = F.flatten(F.col("pages.blocks"))
     spans = F.transform(
-        texts,
+        blocks,
         lambda x, i: F.struct(
-            F.lit("text").alias("kind"), x.alias("text"),
+            x["kind"].alias("kind"), x["text"].alias("text"),
             F.lit("").alias("media_ref"), i.cast("int").alias("offset")))
+    # status contract (matches the doc path + the reference's per-page
+    # validity rule, base_pipeline.py:212-225): every page failed ⇒
+    # FAILURE with spans == []; some pages failed ⇒ PARTIAL with the
+    # surviving pages' spans; else SUCCESS. Per-page error messages are
+    # preserved (component='pdf_page'), wall_us is the summed per-page
+    # parse time (partition-lineage requirement).
+    empty_spans = F.array().cast(
+        "array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+    final_spans = F.when(all_err, empty_spans).otherwise(spans)
+    errors = F.transform(
+        F.filter(F.col("pages"), lambda p: p["error"].isNotNull()),
+        lambda p: F.struct(
+            F.lit("extract").alias("component"),
+            F.lit("pdf_page").alias("module"),
+            F.concat(F.lit("page "), p["page_offset"].cast("string"),
+                     F.lit(": "), p["error"]).alias("message")))
     return assembled.select(
-        "doc_id", spans.alias("spans"),
-        F.when(F.col("any_error"), F.lit(STATUS_FAILURE))
+        "doc_id", final_spans.alias("spans"),
+        F.when(all_err, F.lit(STATUS_FAILURE))
+         .when(n_err > 0, F.lit(STATUS_PARTIAL))
          .otherwise(F.lit(STATUS_SUCCESS)).alias("status"),
-        F.size(spans).alias("n_spans"))
+        errors.alias("errors"),
+        F.size(final_spans).alias("n_spans"),
+        F.col("wall_us").cast("long").alias("wall_us"))
 
 
 def page_dump(
@@ -272,14 +314,18 @@ def page_dump(
     error). Stays page-parallel end-to-end: no doc-level reassembly
     shuffle — the per-page projection renders straight off the page
     UDF output."""
+    from .export import _render_span_md
     pages = _page_rows(df, page_range, num_partitions)
     parsed = pages.mapInPandas(_page_batches, schema=PAGE_OUT_DDL)
     return parsed.select(
         "doc_id",
         F.col("page_offset").alias("page_no"),
-        F.array_join("blocks", "\n\n").alias("text"),
-        # block-level markdown: plain blocks joined as paragraphs
-        F.array_join("blocks", "\n\n").alias("markdown"),
+        F.array_join(
+            F.transform("blocks", lambda b: b["text"]), "\n\n").alias("text"),
+        # block-level markdown: typed blocks through the same kind
+        # renderer as the document markdown sink (operators/export.py)
+        F.array_join(
+            F.transform("blocks", _render_span_md), "\n\n").alias("markdown"),
         F.size("blocks").alias("n_blocks"),
         "headers", "footers", "error")
 
@@ -343,11 +389,4 @@ def extract_routed(
         max_payload_chars=max_payload_chars, num_partitions=num_partitions)
     paged_side = extract_spans_paged(
         df.filter(is_paged), num_partitions=num_partitions)
-    paged_full = paged_side.select(
-        "doc_id", "spans", "status",
-        F.array().cast(
-            "array<struct<component:string,module:string,message:string>>")
-         .alias("errors"),
-        "n_spans",
-        F.lit(0).cast("long").alias("wall_us"))
-    return doc_side.unionByName(paged_full)
+    return doc_side.unionByName(paged_side)

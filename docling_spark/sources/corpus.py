@@ -111,9 +111,16 @@ def corpus_pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages: each document's words become one line cell each, split over
     two pages (first ceil(n/2) words on page 0). Geometry is a single
     column with uniform line spacing, away from the header/footer
-    margins — so the expected extraction output is exactly one 'text'
-    span per page whose text is the page's words joined by spaces,
-    predictable in ANSI SQL by the DuckDB oracle.
+    margins.
+
+    Page 0 additionally carries layout-model cluster predictions — a
+    'title' cluster over the first line and a 'text' cluster over the
+    rest — so the full model-driven postprocessing path
+    (layout_post.postprocess_layout: confidence gate, TITLE→
+    SECTION_HEADER remap, cell assignment, refinement, reading order)
+    runs and TYPED block kinds survive to the doc-level span sequence.
+    Page 1 has no predictions and takes the geometry-heuristic path.
+    Both outputs stay predictable in ANSI SQL for the DuckDB oracle.
 
     Built entirely with Catalyst expressions (to_json over struct
     arrays) — zero Python in corpus synthesis."""
@@ -122,7 +129,7 @@ def corpus_pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(toks)
     half = F.ceil(n / F.lit(2.0)).cast("int")
 
-    def page_payload(page_no: int, page_toks):
+    def page_payload(page_no: int, page_toks, clusters=None):
         cells = F.transform(
             page_toks,
             lambda tok, i: F.struct(
@@ -133,15 +140,33 @@ def corpus_pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(400.0).alias("r"),
                 (F.lit(PDF_TOP) + i.cast("double") * PDF_LINE_STEP
                  + PDF_LINE_H).alias("b")))
-        return F.to_json(F.struct(
+        fields = [
             F.lit(page_no).alias("page_no"),
             F.lit(612.0).alias("width"),
             F.lit(792.0).alias("height"),
-            cells.alias("cells")))
+            cells.alias("cells")]
+        if clusters is not None:
+            fields.append(clusters.alias("clusters"))
+        return F.to_json(F.struct(*fields))
 
+    def cluster(cid: int, label: str, t, b):
+        return F.struct(
+            F.lit(cid).alias("id"), F.lit(label).alias("label"),
+            F.lit(50.0).alias("l"), t.cast("double").alias("t"),
+            F.lit(400.0).alias("r"), b.cast("double").alias("b"),
+            F.lit(1.0).alias("confidence"))
+
+    # title cluster = line 0 bbox; text cluster = lines 1..half-1
+    # (degenerate/empty when half == 1 → dropped by the cell gate)
+    p0_clusters = F.array(
+        cluster(0, "title", F.lit(PDF_TOP), F.lit(PDF_TOP + PDF_LINE_H)),
+        cluster(1, "text", F.lit(PDF_TOP + PDF_LINE_STEP),
+                F.lit(PDF_TOP + PDF_LINE_H)
+                + (half.cast("double") - 1) * F.lit(PDF_LINE_STEP)))
     p0 = F.struct(
         F.lit("pdf_page").alias("kind"),
-        page_payload(0, F.slice(toks, F.lit(1), half)).alias("text"),
+        page_payload(0, F.slice(toks, F.lit(1), half), p0_clusters)
+        .alias("text"),
         F.lit("").alias("media_ref"),
         F.lit(0).cast("int").alias("offset"))
     p1 = F.struct(

@@ -193,3 +193,88 @@ def test_model_driven_table_block():
     spans = flatten(parse_pdf_pages([payload]))
     assert [s["kind"] for s in spans] == ["table"]
     assert spans[0]["text"] == "2x2\nK\tV\nk2\tv2\nH:1\t1"
+
+
+def test_typed_blocks_survive_paged_reassembly(spark):
+    """A table (and heading) detected on a page keeps its kind — and
+    the serialized cell grid — through explode → page UDF →
+    groupBy(doc_id) reassembly (extract_spans_paged)."""
+    from docling_spark.operators.extract import extract_spans_paged
+    from docling_spark.schema import INPUT_SCHEMA
+
+    p0 = json.dumps({
+        "page_no": 0, "width": 612.0, "height": 792.0,
+        "cells": [
+            {"index": 0, "text": "Heading", "l": 50, "t": 50, "r": 200,
+             "b": 60},
+            {"index": 1, "text": "K", "l": 50, "t": 100, "r": 90, "b": 110},
+            {"index": 2, "text": "V", "l": 120, "t": 100, "r": 160,
+             "b": 110},
+            {"index": 3, "text": "k2", "l": 50, "t": 120, "r": 90, "b": 130},
+            {"index": 4, "text": "v2", "l": 120, "t": 120, "r": 160,
+             "b": 130},
+        ],
+        "clusters": [
+            {"id": 1, "label": "section_header", "confidence": 0.9,
+             "l": 45, "t": 45, "r": 205, "b": 65},
+            {"id": 2, "label": "table", "confidence": 0.95,
+             "l": 45, "t": 95, "r": 165, "b": 135},
+        ],
+    })
+    p1 = json.dumps({
+        "page_no": 1, "width": 612.0, "height": 792.0,
+        "cells": [{"index": 0, "text": "plain page", "l": 50, "t": 100,
+                   "r": 400, "b": 110}],
+    })
+    df = spark.createDataFrame(
+        [("d1", [("pdf_page", p0, "", 0), ("pdf_page", p1, "", 1)])],
+        schema=INPUT_SCHEMA)
+    out = extract_spans_paged(df).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["status"] == "success"
+    assert row["errors"] == []
+    assert row["wall_us"] > 0
+    spans = [(s["kind"], s["text"], s["offset"]) for s in row["spans"]]
+    assert spans == [
+        ("section_header", "Heading", 0),
+        ("table", "2x2\nK\tV\nk2\tv2\nH:1\t1", 1),
+        ("text", "plain page", 2),
+    ]
+
+
+def test_paged_status_contract(spark):
+    """Failure contract parity with the doc path: all pages bad ⇒
+    FAILURE with spans == []; some pages bad ⇒ PARTIAL with the
+    surviving spans; per-page error messages and summed wall_us are
+    preserved (component lineage)."""
+    from docling_spark.operators.extract import extract_spans_paged
+    from docling_spark.schema import INPUT_SCHEMA
+
+    good = json.dumps({
+        "page_no": 0, "width": 612.0, "height": 792.0,
+        "cells": [{"index": 0, "text": "ok words", "l": 50, "t": 100,
+                   "r": 400, "b": 110}]})
+    bad = "{not json"
+    df = spark.createDataFrame(
+        [("all_bad", [("pdf_page", bad, "", 0)]),
+         ("mixed", [("pdf_page", good, "", 0), ("pdf_page", bad, "", 1)]),
+         ("all_good", [("pdf_page", good, "", 0)])],
+        schema=INPUT_SCHEMA)
+    rows = {r["doc_id"]: r for r in extract_spans_paged(df).collect()}
+
+    assert rows["all_bad"]["status"] == "failure"
+    assert rows["all_bad"]["spans"] == []
+    assert len(rows["all_bad"]["errors"]) == 1
+    assert rows["all_bad"]["errors"][0]["module"] == "pdf_page"
+    assert "page 0" in rows["all_bad"]["errors"][0]["message"]
+
+    assert rows["mixed"]["status"] == "partial_success"
+    assert [s["text"] for s in rows["mixed"]["spans"]] == ["ok words"]
+    assert len(rows["mixed"]["errors"]) == 1
+    assert "page 1" in rows["mixed"]["errors"][0]["message"]
+
+    assert rows["all_good"]["status"] == "success"
+    assert rows["all_good"]["errors"] == []
+    for r in rows.values():
+        assert r["wall_us"] > 0
