@@ -428,10 +428,9 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
                      F.col("doc_id").alias("doc_b")))
     sh = exploded_shingles(corpus, n=3)
     out = ngram_jaccard(sh, pairs)
-    return (out.select("doc_a", "doc_b",
-                       F.floor(F.col("jaccard") * 10000).cast("long")
-                        .alias("jaccard_e4"))
-            .orderBy("doc_a"))
+    return out.select("doc_a", "doc_b",
+                      F.floor(F.col("jaccard") * 10000).cast("long")
+                       .alias("jaccard_e4"))
 
 
 def q_knn_cosine_bruteforce(spark, sf_dir):

@@ -184,20 +184,34 @@ def ngram_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
 
 def minhash_dedup(docs: DataFrame, *, n: int = 3, num_hashes: int = 16,
                   bands: int = 4, threshold: float = 0.7,
-                  num_partitions: int = 0) -> DataFrame:
-    """Full near-dup pipeline: shingle-explode once (persisted — reused
-    by both the LSH candidate generation and the exact Jaccard verify),
-    LSH candidates → exact Jaccard → pairs over threshold."""
+                  num_partitions: int = 0,
+                  shingle_storage: str = "memory_and_disk",
+                  deterministic_output: bool = False) -> DataFrame:
+    """Full near-dup pipeline: shingle-explode once (reused by both the
+    LSH candidate generation and the exact Jaccard verify), LSH
+    candidates → exact Jaccard → pairs over threshold.
+
+    ``shingle_storage`` controls shingle-table reuse: the shingle table
+    is ~10× corpus size, so at 100 TB caching it thrashes the block
+    manager — pass "none" to recompute it per consumer (two scans, zero
+    cache pressure) instead of the local-mode default persist.
+
+    Output order is NOT deterministic by default: a global sort of the
+    pair table is a range-shuffle that buys nothing for downstream
+    consumers (joins/writes are order-insensitive). Pass
+    ``deterministic_output=True`` only when a stable listing is needed.
+    """
     from pyspark import StorageLevel
 
     if num_partitions:
         docs = docs.repartition(num_partitions, "doc_id")
     sh = exploded_shingles(docs, n=n)
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    if shingle_storage != "none":
+        sh = sh.persist(getattr(StorageLevel, shingle_storage.upper()))
     pairs = lsh_candidate_pairs(sh, num_hashes=num_hashes, bands=bands)
     scored = ngram_jaccard(sh, pairs)
-    return (scored.filter(F.col("jaccard") >= threshold)
-            .orderBy("doc_a", "doc_b"))
+    out = scored.filter(F.col("jaccard") >= threshold)
+    return out.orderBy("doc_a", "doc_b") if deterministic_output else out
 
 
 def embedding_dedup(embeddings: DataFrame, *, threshold: float = 0.98,
@@ -222,12 +236,13 @@ def embedding_dedup(embeddings: DataFrame, *, threshold: float = 0.98,
                                 F.col("c.embedding")).alias("score")))
     # +1e-6 before floor: identical vectors give cosine 1.0-ε under
     # float summation-order differences; the epsilon makes the scaled
-    # integer stable across engines (same term in the SQL oracle)
+    # integer stable across engines (same term in the SQL oracle).
+    # No output sort: pair order is meaningless downstream and a global
+    # sort is a pure range-shuffle tax at scale.
     return (pairs.filter(F.col("score") >= threshold)
             .select("doc_a", "doc_b",
                     F.floor(F.col("score") * 10000 + F.lit(1e-6))
-                     .cast("long").alias("score_e4"))
-            .orderBy("doc_a", "doc_b"))
+                     .cast("long").alias("score_e4")))
 
 
 def simhash16(docs: DataFrame, *, n: int = 3,

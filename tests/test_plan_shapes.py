@@ -26,15 +26,44 @@ def test_doc_filter_pushes_to_parquet_scan(spark):
     assert "ReadSchema: struct<doc_id:bigint,n_chars" in plan
 
 
-def test_knn_broadcasts_query_side(spark):
+def test_knn_bruteforce_two_phase_topk(spark):
+    """The corpus is scanned once by an Arrow stage that emits only
+    per-batch top-k candidates; no join materializes corpus × queries
+    and the final Window ranks candidates, not the full score table."""
     from docling_spark.operators.similarity import knn_bruteforce
     emb = spark.read.parquet(
         "/root/testdata/sf0.001/embeddings.parquet").select(
         "vec_id", "embedding")
     out = knn_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=3)
     plan = _plan(out)
-    assert "BroadcastExchange" in plan
-    assert "SortMergeJoin" not in plan  # corpus side must never shuffle
+    assert "Join" not in plan  # no corpus × query product, ever
+    assert "MapInPandas" in plan
+    # the window's input is the candidate stream from the Arrow stage
+    assert plan.index("Window") < plan.index("MapInPandas")
+
+
+def test_ivf_index_build_never_shuffles(spark):
+    """ivf_assign is one Arrow argmax pass: no Exchange, no Window, no
+    Join in the index build (round-1 regression: ×n_cells explode +
+    per-vector window)."""
+    from docling_spark.operators.similarity import ivf_assign
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding")
+    plan = _plan(ivf_assign(emb, n_cells=8))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_ivf_quantizer_requires_enough_centroids(spark):
+    import pytest
+    from docling_spark.operators.similarity import ivf_assign
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .select("vec_id", "embedding").filter(F.col("vec_id") < 3))
+    with pytest.raises(ValueError, match="quantizer"):
+        ivf_assign(emb, n_cells=8)
 
 
 def test_minhash_has_partial_aggregation(spark):
@@ -111,3 +140,19 @@ def test_tpch_q5_broadcasts_all_dimensions(spark):
     # the lineitem-orders equi-join and the final aggregation exchange
     assert plan.count("BroadcastHashJoin") >= 3
     assert plan.count("SortMergeJoin") <= 1
+
+
+def test_dedup_outputs_have_no_global_sort(spark):
+    """The driver's value hash is order-insensitive, so the dedup pair
+    tables must not pay a range-partition sort at the end (round-1
+    regression)."""
+    from docling_spark.operators.dedup import embedding_dedup, minhash_dedup
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    plan = _plan(minhash_dedup(docs, threshold=0.5))
+    assert "rangepartitioning" not in plan
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding")
+    plan = _plan(embedding_dedup(emb, threshold=0.9))
+    assert "rangepartitioning" not in plan
