@@ -74,13 +74,24 @@ def build_spark(cpus: str) -> SparkSession:
 def time_query(fn, spark, sf_dir: str) -> tuple:
     """Best of two runs — the sandbox shares its host, and a noisy
     neighbor can inflate a single measurement ~10× (measured); the min
-    of two back-to-back runs reflects the plan, not the neighbor."""
+    of two back-to-back runs reflects the plan, not the neighbor.
+
+    Evaluation is forced over EVERY output column via a JVM-side
+    xxhash64 fold: a bare count() lets Catalyst prune the projected
+    columns, so pure-projection queries (the export renderers,
+    format_sniff) would time only their upstream scan."""
+    from pyspark.sql import functions as F
+
     best = None
     n = 0
     for _ in range(2):
         t0 = time.monotonic()
         df = fn(spark, sf_dir)
-        n = df.count()
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h")
+        ).collect()[0]
+        n = row["n"]
         sec = time.monotonic() - t0
         best = sec if best is None else min(best, sec)
     return best, n

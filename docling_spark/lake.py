@@ -8,10 +8,14 @@ exposes partial output, and the next run resumes by anti-joining its
 input against the committed keys (SURVEY.md §4 "resume = anti-join
 input against committed output snapshot").
 
-When a real Iceberg runtime jar is on the classpath, the same API can
-be backed by `spark.read.table` / `writeTo(...).append()` — this file
-is the offline-safe default that preserves the semantics
-(SURVEY.md §7.0).
+When a real Iceberg runtime jar is on the classpath (probe:
+:func:`iceberg_available`), :func:`open_table` returns
+:class:`IcebergTable` — the same API backed by `spark.read.table` /
+`writeTo(...).append()` with Iceberg's native snapshot atomicity. The
+Parquet+manifest :class:`SnapshotTable` is the offline-safe default
+that preserves the semantics (SURVEY.md §7.0); its manifest commit is
+serialized by a flock sidecar so concurrent committers can't drop each
+other's snapshots.
 
 Layout:
     <root>/_snapshots.json          atomic manifest (committed snapshots)
@@ -21,6 +25,7 @@ Layout:
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -35,6 +40,25 @@ class SnapshotTable:
     def __init__(self, root: str) -> None:
         self.root = root
         self.manifest_path = os.path.join(root, "_snapshots.json")
+        self.lock_path = os.path.join(root, "_snapshots.lock")
+
+    @contextlib.contextmanager
+    def _commit_lock(self):
+        """Inter-process commit mutex (flock on a sidecar file): the
+        manifest read-modify-replace happens under it, so two
+        concurrent committers serialize instead of the loser's
+        snapshot entry being silently dropped — the optimistic-
+        concurrency guarantee Iceberg gives at the catalog swap."""
+        import fcntl
+
+        os.makedirs(self.root, exist_ok=True)
+        fd = os.open(self.lock_path, os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
 
     # -- manifest ----------------------------------------------------------
 
@@ -72,11 +96,12 @@ class SnapshotTable:
             metrics_dir = os.path.join(self.root, "metrics",
                                        f"snap-{snap_id}")
             metrics.write.mode("errorifexists").parquet(metrics_dir)
-        manifest = self._read_manifest()
         entry = {"id": snap_id, "data": data_dir, "metrics": metrics_dir,
                  "key_col": key_col, "committed_at": time.time()}
-        manifest["snapshots"].append(entry)
-        self._commit_manifest(manifest)
+        with self._commit_lock():
+            manifest = self._read_manifest()
+            manifest["snapshots"].append(entry)
+            self._commit_manifest(manifest)
         return entry
 
     # -- read --------------------------------------------------------------
@@ -99,7 +124,90 @@ class SnapshotTable:
         return None if df is None else df.select(key_col).distinct()
 
 
-def resume_filter(input_df: DataFrame, table: SnapshotTable,
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg Spark runtime is on the session classpath
+    (e.g. launched with --packages
+    org.apache.iceberg:iceberg-spark-runtime-3.5_2.12) AND a spark_catalog
+    /catalog extension is configured. Capability probe only — never
+    raises."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog")
+    except Exception:
+        return False
+    conf = spark.conf
+    try:
+        impl = conf.get("spark.sql.catalog.spark_catalog", None)
+        ext = conf.get("spark.sql.extensions", "") or ""
+        return bool(impl) or "IcebergSparkSessionExtensions" in ext
+    except Exception:
+        return False
+
+
+class IcebergTable:
+    """The same checkpoint/resume API backed by a real Iceberg catalog
+    table: commits are Iceberg's own atomic snapshot swaps
+    (optimistic concurrency at the catalog), resume reads the current
+    snapshot. Metrics land in ``<identifier>_metrics``."""
+
+    def __init__(self, spark: SparkSession, identifier: str) -> None:
+        self.spark = spark
+        self.identifier = identifier
+        self.metrics_identifier = f"{identifier}_metrics"
+
+    def _append(self, df: DataFrame, identifier: str) -> None:
+        if self.spark.catalog.tableExists(identifier):
+            df.writeTo(identifier).append()
+        else:
+            df.writeTo(identifier).using("iceberg").create()
+
+    def write_snapshot(self, df: DataFrame,
+                       metrics: Optional[DataFrame] = None,
+                       key_col: str = "doc_id") -> dict:
+        self._append(df, self.identifier)
+        if metrics is not None:
+            self._append(metrics, self.metrics_identifier)
+        snaps = self.snapshots()
+        return snaps[-1] if snaps else {"id": None}
+
+    def snapshots(self) -> List[dict]:
+        if not self.spark.catalog.tableExists(self.identifier):
+            return []
+        rows = self.spark.sql(
+            f"SELECT snapshot_id, committed_at FROM "
+            f"{self.identifier}.snapshots ORDER BY committed_at").collect()
+        return [{"id": r["snapshot_id"],
+                 "committed_at": str(r["committed_at"])} for r in rows]
+
+    def read(self, spark: SparkSession) -> Optional[DataFrame]:
+        if not spark.catalog.tableExists(self.identifier):
+            return None
+        return spark.read.table(self.identifier)
+
+    def read_metrics(self, spark: SparkSession) -> Optional[DataFrame]:
+        if not spark.catalog.tableExists(self.metrics_identifier):
+            return None
+        return spark.read.table(self.metrics_identifier)
+
+    def committed_keys(self, spark: SparkSession,
+                       key_col: str = "doc_id") -> Optional[DataFrame]:
+        df = self.read(spark)
+        return None if df is None else df.select(key_col).distinct()
+
+
+def open_table(spark: SparkSession, location: str, *,
+               backend: str = "auto"):
+    """Checkpoint-table factory. ``backend='auto'`` uses Iceberg when
+    the runtime probe passes (``location`` is then a catalog table
+    identifier), else the Parquet+manifest SnapshotTable (``location``
+    is a directory). 'iceberg' / 'manifest' force a branch."""
+    if backend == "iceberg" or (backend == "auto"
+                                and iceberg_available(spark)):
+        return IcebergTable(spark, location)
+    return SnapshotTable(location)
+
+
+def resume_filter(input_df: DataFrame, table,
                   key_col: str = "doc_id") -> DataFrame:
     """Drop rows whose key is already committed (the resume anti-join).
     At scale the committed-keys side is a column-pruned parquet scan of

@@ -83,3 +83,50 @@ def test_reference_fixture_files_parse():
         assert "list_item" in kinds
         assert "table" in kinds
         assert len(spans) > 10
+
+
+# -- engine-owned goldens (DOCLING_SPARK_GEN_TEST_DATA pattern) -------------
+
+
+def test_gen_flag_off_in_ci():
+    """Mirror of the reference's tests/test_data_gen_flag.py: the
+    regeneration flag must be OFF when the suite runs as a gate."""
+    from tests.golden_store import gen_mode
+    assert not gen_mode()
+
+
+def test_reference_asciidoc_files_match_engine_goldens():
+    from pathlib import Path
+
+    from tests.golden_store import assert_matches_golden
+    src_dir = Path("/root/reference/tests/data/asciidoc")
+    for p in sorted(src_dir.glob("*.asciidoc")):
+        spans = flatten(parse_asciidoc_document(
+            p.read_text(encoding="utf-8")))
+        assert_matches_golden(f"asciidoc_{p.stem}", spans)
+
+
+def test_typed_page_doc_matches_engine_golden():
+    import json as _json
+
+    from docling_spark.parsers.pdf_page import parse_pdf_pages
+    from tests.golden_store import assert_matches_golden
+    payload = _json.dumps({
+        "page_no": 0, "width": 612.0, "height": 792.0,
+        "cells": [
+            {"index": 0, "text": "Head", "l": 50, "t": 50, "r": 200,
+             "b": 60},
+            {"index": 1, "text": "body one", "l": 50, "t": 100, "r": 400,
+             "b": 110},
+            {"index": 2, "text": "body two", "l": 50, "t": 112, "r": 400,
+             "b": 122},
+        ],
+        "clusters": [
+            {"id": 1, "label": "section_header", "confidence": 0.9,
+             "l": 45, "t": 45, "r": 205, "b": 65},
+            {"id": 2, "label": "text", "confidence": 0.9,
+             "l": 45, "t": 95, "r": 405, "b": 125},
+        ],
+    })
+    assert_matches_golden("pdf_typed_page",
+                          flatten(parse_pdf_pages([payload])))

@@ -70,3 +70,50 @@ def test_partition_metrics_totals(spark):
     assert totals[2] == 0
     assert {f.name for f in m.schema.fields} >= {
         "partition_id", "n_docs", "n_spans", "n_errors", "wall_us"}
+
+
+def test_concurrent_commits_keep_all_snapshots(spark, tmp_path):
+    """Two committers racing on the manifest must both land (the flock
+    serializes the read-modify-replace; round-1 bug: last writer wins,
+    loser's snapshot silently orphaned)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    table = SnapshotTable(str(tmp_path / "lake"))
+    dfs = [extract_spans(_corpus(spark, range(i * 3, i * 3 + 3)))
+           for i in range(4)]
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(lambda d: table.write_snapshot(d), dfs))
+    assert len(table.snapshots()) == 4
+    ids = sorted(r["doc_id"]
+                 for r in table.read(spark).select("doc_id").collect())
+    assert ids == sorted(f"d{i}" for i in range(12))
+
+
+def test_open_table_backend_selection(spark, tmp_path):
+    import pytest
+    from docling_spark.lake import IcebergTable, iceberg_available, open_table
+
+    t = open_table(spark, str(tmp_path / "lake"))
+    if iceberg_available(spark):
+        assert isinstance(t, IcebergTable)
+    else:
+        assert isinstance(t, SnapshotTable)
+        # forcing the iceberg branch still constructs the API shell
+        forced = open_table(spark, "lake.tbl", backend="iceberg")
+        assert isinstance(forced, IcebergTable)
+
+
+def test_iceberg_roundtrip_when_jar_present(spark, tmp_path):
+    """Runs only when an Iceberg runtime is actually on the classpath
+    (offline sandbox: skipped) — same resume semantics as manifest."""
+    import pytest
+    from docling_spark.lake import iceberg_available, open_table
+
+    if not iceberg_available(spark):
+        pytest.skip("no iceberg runtime jar on classpath")
+    table = open_table(spark, "spark_catalog.default.lake_rt",
+                       backend="iceberg")
+    out = extract_spans(_corpus(spark, range(0, 4)))
+    table.write_snapshot(out, metrics=partition_metrics(out))
+    assert table.read(spark).count() == 4
+    assert resume_filter(_corpus(spark, range(0, 6)), table).count() == 2
