@@ -300,6 +300,17 @@ def q_export_markdown(spark, sf_dir):
     return export_markdown(out)
 
 
+def q_extract_docling_markdown(spark, sf_dir):
+    """UDF-side docling-dialect markdown rendering (md_dialect.py,
+    byte-parity with the reference's export_to_markdown goldens):
+    rendered from the parse tree inside the extraction UDF, zero extra
+    parse cost."""
+    corpus = corpus_from_documents(spark, sf_dir)
+    out = extract_spans(corpus, num_partitions=_par(spark),
+                        with_markdown=True)
+    return out.select("doc_id", "markdown")
+
+
 def q_export_doctags(spark, sf_dir):
     """Sink: extraction output rendered to DocTags (SURVEY §2.5), pure
     Catalyst projection over the span table."""
@@ -687,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_status_counts": q_extract_status_counts,
         "extract_pdf_paged": q_extract_pdf_paged,
         "export_markdown": q_export_markdown,
+        "extract_docling_markdown": q_extract_docling_markdown,
         "page_dump": q_page_dump,
         "export_doctags": q_export_doctags,
         "export_html": q_export_html,
@@ -902,6 +914,21 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
        || text || chr(10) || chr(10)
        || '## Stats' || chr(10) || chr(10)
+       || CAST(n_chars AS VARCHAR) || ' chars'
+       || CASE WHEN doc_id % 5 = 0
+               THEN chr(10) || chr(10) || '<!-- image -->' ELSE '' END
+         AS markdown
+FROM documents
+"""
+
+    # docling dialect: h2 carries level 2 → '###' (the reference's
+    # export_to_markdown prints '#'*(level+1), pinned by
+    # example_01.html.md '### Background' for an <h2> input)
+    oracles["extract_docling_markdown"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+       || text || chr(10) || chr(10)
+       || '### Stats' || chr(10) || chr(10)
        || CAST(n_chars AS VARCHAR) || ' chars'
        || CASE WHEN doc_id % 5 = 0
                THEN chr(10) || chr(10) || '<!-- image -->' ELSE '' END

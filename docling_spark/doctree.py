@@ -74,6 +74,11 @@ class Node:
     table: Optional[TableData] = None
     parent: Optional["Node"] = None
     children: List["Node"] = field(default_factory=list)
+    # caption item bound to this picture/table (the docling-core
+    # ``captions`` ref list): the caption node also sits in the body
+    # tree (span-sequence parity), but serializers render it WITH the
+    # owning item and skip it at its tree position.
+    caption: Optional["Node"] = None
 
     def add(self, child: "Node") -> "Node":
         child.parent = self

@@ -99,10 +99,15 @@ def _span_field(span, key, default=None):
     return getattr(span, key, default)
 
 
-def _extract_one(doc_spans: list, parsers: dict) -> tuple:
-    """Extract one document. Returns (spans, status, errors)."""
+def _extract_one(doc_spans: list, parsers: dict,
+                 with_markdown: bool = False) -> tuple:
+    """Extract one document. Returns (spans, status, errors, markdown).
+    ``with_markdown`` additionally renders the parse tree through the
+    docling-dialect markdown serializer (md_dialect) before
+    flattening — byte-parity with the reference's export_to_markdown
+    goldens, pinned by tests/test_md_dialect.py."""
     if not doc_spans:
-        return [], STATUS_SKIPPED, []
+        return [], STATUS_SKIPPED, [], None
 
     ordered = sorted(doc_spans, key=lambda s: _span_field(s, "offset", 0) or 0)
     media_refs: List[str] = []
@@ -122,7 +127,7 @@ def _extract_one(doc_spans: list, parsers: dict) -> tuple:
             payloads.append(_span_field(s, "text", "") or "")
 
     if payload_kind is None:
-        return [], STATUS_SKIPPED, []
+        return [], STATUS_SKIPPED, [], None
 
     try:
         if payload_kind == "pdf_page":
@@ -131,8 +136,12 @@ def _extract_one(doc_spans: list, parsers: dict) -> tuple:
         else:
             parse = parsers.get(payload_kind)
             if parse is None:
-                return [], STATUS_SKIPPED, []
+                return [], STATUS_SKIPPED, [], None
             tree = parse("".join(payloads))
+        markdown = None
+        if with_markdown:
+            from ..md_dialect import render_markdown_docling
+            markdown = render_markdown_docling(tree)
         spans = flatten(tree)
         # interleaved media refs → picture spans, in order (FIXTURES.md §3.4)
         if media_refs:
@@ -141,36 +150,46 @@ def _extract_one(doc_spans: list, parsers: dict) -> tuple:
                 if sp["kind"] == "picture" and pic_idx < len(media_refs):
                     sp["media_ref"] = media_refs[pic_idx]
                     pic_idx += 1
-        return spans, STATUS_SUCCESS, []
+        return spans, STATUS_SUCCESS, [], markdown
     except Exception as exc:  # per-doc containment — never kill the task
         return [], STATUS_FAILURE, [{
             "component": "extract",
             "module": payload_kind,
             "message": f"{type(exc).__name__}: {exc}"[:500],
-        }]
+        }], None
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    parsers = _load_parsers()  # executor-local init-once per task
-    for pdf in batches:
-        doc_ids = pdf["doc_id"].tolist()
-        span_lists = pdf["spans"].tolist()
-        out = {"doc_id": [], "spans": [], "status": [], "errors": [],
-               "n_spans": [], "wall_us": []}
-        for doc_id, raw in zip(doc_ids, span_lists):
-            t0 = time.monotonic_ns()
-            raw_list = list(raw) if raw is not None else []
-            spans, status, errors = _extract_one(raw_list, parsers)
-            out["doc_id"].append(doc_id)
-            out["spans"].append(
-                [(s["kind"], s["text"], s["media_ref"], s["offset"])
-                 for s in spans])
-            out["status"].append(status)
-            out["errors"].append(
-                [(e["component"], e["module"], e["message"]) for e in errors])
-            out["n_spans"].append(len(spans))
-            out["wall_us"].append((time.monotonic_ns() - t0) // 1000)
-        yield pd.DataFrame(out)
+def _make_extract_batches(with_markdown: bool = False):
+    def _extract_batches(
+            batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parsers = _load_parsers()  # executor-local init-once per task
+        for pdf in batches:
+            doc_ids = pdf["doc_id"].tolist()
+            span_lists = pdf["spans"].tolist()
+            out = {"doc_id": [], "spans": [], "status": [], "errors": [],
+                   "n_spans": [], "wall_us": []}
+            if with_markdown:
+                out["markdown"] = []
+            for doc_id, raw in zip(doc_ids, span_lists):
+                t0 = time.monotonic_ns()
+                raw_list = list(raw) if raw is not None else []
+                spans, status, errors, markdown = _extract_one(
+                    raw_list, parsers, with_markdown=with_markdown)
+                out["doc_id"].append(doc_id)
+                out["spans"].append(
+                    [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                     for s in spans])
+                out["status"].append(status)
+                out["errors"].append(
+                    [(e["component"], e["module"], e["message"])
+                     for e in errors])
+                out["n_spans"].append(len(spans))
+                out["wall_us"].append((time.monotonic_ns() - t0) // 1000)
+                if with_markdown:
+                    out["markdown"].append(markdown)
+            yield pd.DataFrame(out)
+
+    return _extract_batches
 
 
 # ---------------------------------------------------------------------------
@@ -347,14 +366,21 @@ def extract_spans(
     allowed_kinds: Optional[List[str]] = None,
     max_payload_chars: Optional[int] = None,
     num_partitions: Optional[int] = None,
+    with_markdown: bool = False,
 ) -> DataFrame:
-    """(doc_id, spans) → (doc_id, spans, status, errors, n_spans, wall_us).
+    """(doc_id, spans) → (doc_id, spans, status, errors, n_spans, wall_us
+    [, markdown]).
 
     Catalyst prefilters (size gate, allowed kinds) run before the UDF;
     parsing happens in one Arrow-batched mapInPandas stage. Partitioning
     is hash(doc_id) — one doc per row, so doc-hash balance is the right
     default; skewed mega-PDFs use the page-parallel path
     (extract_spans_paged) instead.
+
+    ``with_markdown`` adds a docling-dialect markdown rendering of the
+    parse tree (byte-parity with the reference's export_to_markdown
+    goldens — md_dialect.py) with zero extra parse cost: the tree is
+    already in hand inside the UDF.
     """
     if allowed_kinds is not None:
         df = df.filter(
@@ -363,7 +389,9 @@ def extract_spans(
         df = df.filter(payload_chars_col() <= F.lit(max_payload_chars))
     if num_partitions:
         df = df.repartition(num_partitions, "doc_id")
-    return df.mapInPandas(_extract_batches, schema=OUTPUT_DDL)
+    schema = OUTPUT_DDL + (", markdown string" if with_markdown else "")
+    return df.mapInPandas(_make_extract_batches(with_markdown),
+                          schema=schema)
 
 
 def extract_routed(

@@ -228,10 +228,11 @@ class _HtmlWalker:
                                   layer=self.layer)
         else:
             texts = [self._node_text(item) for item in figcaption.children]
-            self.tree.add_text(KIND_CAPTION, "".join(texts).strip(),
-                               parent=None, layer=self.layer)
-            self.tree.add_picture(parent=self.parents[self.level],
-                                  layer=self.layer)
+            cap = self.tree.add_text(KIND_CAPTION, "".join(texts).strip(),
+                                     parent=None, layer=self.layer)
+            pic = self.tree.add_picture(parent=self.parents[self.level],
+                                        layer=self.layer)
+            pic.caption = cap
 
     def handle_image(self, element: Element) -> None:
         self.tree.add_picture(parent=self.parents[self.level],

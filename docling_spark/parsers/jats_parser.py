@@ -240,9 +240,11 @@ class _JatsWalker:
             caption = caption.strip()
         fig_text = f"{label}{' ' if label and caption else ''}" \
                    f"{caption if caption is not None else ''}"
+        cap = None
         if fig_text:
-            self.doc.add_text("caption", fig_text)  # root-attached
-        self.doc.add_picture(parent=parent)
+            cap = self.doc.add_text("caption", fig_text)  # root-attached
+        pic = self.doc.add_picture(parent=parent)
+        pic.caption = cap
 
     def _add_tables(self, parent: Node, node: ET.Element) -> None:
         content_node = node.find("table")
@@ -263,8 +265,9 @@ class _JatsWalker:
 
         table_text = f"{label}{' ' if label and caption else ''}" \
                      f"{caption if caption is not None else ''}"
+        cap = None
         if table_text:
-            self.doc.add_text("caption", table_text)  # root-attached
+            cap = self.doc.add_text("caption", table_text)  # root-attached
 
         if content_node is None:
             return
@@ -284,7 +287,8 @@ class _JatsWalker:
                     for cell in data.cells:
                         cell.column_header = False
                         cell.row_header = False
-                    self.doc.add_table(data, parent=parent)
+                    tbl = self.doc.add_table(data, parent=parent)
+                    tbl.caption = cap
         except Exception:
             pass  # unsupported table skipped, like the reference
 
@@ -296,6 +300,19 @@ class _JatsWalker:
     # -- the linear walk (jats_backend.py:609-710) ---------------------------
 
     FLUSH_TAGS = ("ack", "sec", "list", "boxed-text", "disp-formula", "fig")
+
+    @staticmethod
+    def _heading_level(parent: Optional[Node]) -> int:
+        """Section level = nesting depth: 1 + number of section_header
+        ancestors (the reference's sec-depth levels, visible as ##/###/
+        #### bands in the markdown goldens)."""
+        lvl = 1
+        p = parent
+        while p is not None:
+            if p.kind == "section_header":
+                lvl += 1
+            p = p.parent
+        return lvl
 
     def walk_linear(self, parent: Node, node: ET.Element,
                     xml_parent_tag: str = "") -> str:
@@ -323,8 +340,8 @@ class _JatsWalker:
                 elif child.tag == "ack":
                     text = DEFAULT_HEADER_ACKNOWLEDGMENTS
                 if text:
-                    new_parent = self.doc.add_heading(text, 1,
-                                                      parent=parent)
+                    new_parent = self.doc.add_heading(
+                        text, self._heading_level(parent), parent=parent)
             elif child.tag == "list":
                 new_parent = self.doc.add_group("list", name="list",
                                                 parent=parent)
@@ -350,7 +367,8 @@ class _JatsWalker:
                         break
                 text = _get_text(header) if header is not None \
                     else DEFAULT_HEADER_REFERENCES
-                new_parent = self.doc.add_heading(text, 1, parent=parent)
+                new_parent = self.doc.add_heading(
+                    text, self._heading_level(parent), parent=parent)
                 new_parent = self.doc.add_group("list", name="list",
                                                 parent=new_parent)
             elif child.tag == "element-citation":

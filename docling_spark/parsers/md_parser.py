@@ -200,13 +200,13 @@ def _list_marker(line: str):
         indent = len(bm.group(1))
         content = bm.group(4) or ""
         content_col = indent + 2
-        return indent, False, content, content_col
+        return indent, False, content, content_col, bm.group(2)
     om = _ORDERED_RE.match(line)
     if om:
         indent = len(om.group(1))
         content = om.group(5) or ""
         content_col = indent + len(om.group(2)) + 2
-        return indent, True, content, content_col
+        return indent, True, content, content_col, om.group(3)
     return None
 
 
@@ -215,7 +215,7 @@ def _parse_list(lines: List[str], i: int):
     n = len(lines)
     first = _list_marker(lines[i])
     assert first is not None
-    base_indent, ordered, _, _ = first
+    base_indent, ordered, _, _, base_char = first
     lst = Block(kind="list", ordered=ordered)
 
     while i < n:
@@ -240,7 +240,12 @@ def _parse_list(lines: List[str], i: int):
         mk = _list_marker(line)
         if mk is None or mk[0] < base_indent:
             break
-        indent, item_ordered, content, content_col = mk
+        indent, item_ordered, content, content_col, mchar = mk
+        if indent == base_indent and mchar != base_char:
+            # CommonMark: changing the bullet/delimiter character at
+            # the same level starts a NEW list block (marko semantics,
+            # pinned by the nested.md golden)
+            break
         if indent > base_indent:
             # deeper marker without an enclosing item: treat as nested
             # content of the previous item
