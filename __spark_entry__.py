@@ -505,6 +505,78 @@ def q_format_sniff(spark, sf_dir):
         sha256_col(payload).alias("sha256"))
 
 
+def q_format_sniff_exact(spark, sf_dir):
+    """Exact format-guessing chain (SURVEY §2.1 _guess_format,
+    reference datamodel/document.py:274-427): magic bytes →
+    extension→mime fallback → HTML/XHTML probe → real ``csv.Sniffer``
+    → text/plain → DOCTYPE/PATN disambiguation, Arrow-batched. 15
+    deterministic payload variants exercise every branch (incl. the
+    binary OOXML/PDF/PNG magics and the filename-extension fallback
+    the pure-Catalyst sniffer can't see); the oracle predicts
+    (mime, format) per variant arithmetically."""
+    from docling_spark.operators.sniff_exact import with_exact_format
+    from docling_spark.sources.minidocs import payload_variants
+    docs = _docs(spark, sf_dir)
+    v = F.col("doc_id") % 15
+    did = F.col("doc_id").cast("string")
+
+    def office_bin(kind):
+        variants = F.array(*[F.lit(p) for p in payload_variants(kind)])
+        return F.unbase64(F.element_at(
+            variants, (F.col("doc_id") % 4 + 1).cast("int")))
+
+    text_payload = (
+        F.when(v == 0, F.concat(
+            F.lit('<?xml version="1.0" encoding="UTF-8"?>\n'
+                  '<!DOCTYPE html>\n'
+                  '<html xmlns="http://www.w3.org/1999/xhtml">'
+                  '<body><p>'), F.col("text"), F.lit("</p></body></html>")))
+        .when(v == 1, F.concat(
+            F.lit('<?xml version="1.0" encoding="UTF-8"?>\n'
+                  '<!DOCTYPE us-patent-grant SYSTEM '
+                  '"us-patent-grant-v45-2014-04-03.dtd">\n'
+                  '<us-patent-grant><abstract>Patent '), did,
+            F.lit("</abstract></us-patent-grant>")))
+        .when(v == 2, F.concat(
+            F.lit('<?xml version="1.0"?>\n'
+                  '<!DOCTYPE article PUBLIC "-//NLM//DTD JATS (Z39.96) '
+                  'Journal Publishing DTD v1.2 20190208//EN" '
+                  '"JATS-journalpublishing1.dtd">\n<article>Art '), did,
+            F.lit("</article>")))
+        .when(v == 3, F.concat(
+            F.lit("PATN\r\nWKU  0"), did, F.lit("\r\nTTL  Patent\r\n")))
+        .when(v == 4, F.concat(
+            F.lit("a,b,c\n1,2,"), did, F.lit("\n4,5,6\n")))
+        .when(v == 8, F.concat(F.lit("%PDF-1.4\n"), F.col("text")))
+        .when(v == 13, F.lit("plain prose line one\n"
+                             "line two without any delimiters\n"))
+        .when(v == 14, F.concat(
+            F.lit("<!DOCTYPE html>\n<html><body><p>"), F.col("text"),
+            F.lit("</p></body></html>")))
+        .otherwise(F.col("text")))
+    payload_bin = (
+        F.when(v == 9, office_bin("docx"))
+        .when(v == 10, office_bin("xlsx"))
+        .when(v == 11, office_bin("pptx"))
+        .when(v == 12, F.unhex(F.concat(
+            F.lit("89504e470d0a1a0a"), F.md5(did))))
+        .otherwise(F.encode(text_payload, "UTF-8")))
+    filename = (
+        F.when(v == 5, F.lit("notes.md"))
+        .when(v == 6, F.lit("doc.adoc"))
+        .when(v == 7, F.lit("doc.json"))
+        .when(v == 3, F.lit("aps.txt"))
+        .when(v == 14, F.lit("p.txt"))
+        .when(v == 1, F.lit("grant.xml"))
+        .when(v == 2, F.lit("art.nxml"))
+        .when(v == 13, F.lit("README"))
+        .otherwise(F.lit("blob.dat")))
+    corpus = docs.select("doc_id", payload_bin.alias("payload_bin"),
+                         filename.alias("filename"))
+    out = with_exact_format(corpus)
+    return out.select("doc_id", "mime", "format")
+
+
 def q_embedding_dedup(spark, sf_dir):
     """Embedding-cosine near-dup: exact clones injected, LSH-bucketed
     candidate join, Arrow-batched cosine verify."""
@@ -719,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine_ivf": q_knn_cosine_ivf,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
+        "format_sniff_exact": q_format_sniff_exact,
         "embedding_dedup": q_embedding_dedup,
         "events_windowed": q_events_windowed,
         "events_json_props": q_events_json_props,
@@ -1341,6 +1414,38 @@ s AS (SELECT user_id,
 SELECT user_id, CAST(MAX(sess) AS BIGINT) AS n_sessions,
        COUNT(*) AS n_events
 FROM s GROUP BY user_id
+"""
+
+    oracles["format_sniff_exact"] = """
+SELECT doc_id,
+  CASE doc_id % 15
+    WHEN 0 THEN 'application/xhtml+xml'
+    WHEN 1 THEN 'application/xml'
+    WHEN 2 THEN 'application/xml'
+    WHEN 3 THEN 'text/plain'
+    WHEN 4 THEN 'text/csv'
+    WHEN 5 THEN 'text/markdown'
+    WHEN 6 THEN 'text/asciidoc'
+    WHEN 7 THEN 'application/json'
+    WHEN 8 THEN 'application/pdf'
+    WHEN 9 THEN 'application/vnd.openxmlformats-officedocument'
+                || '.wordprocessingml.document'
+    WHEN 10 THEN 'application/vnd.openxmlformats-officedocument'
+                || '.spreadsheetml.sheet'
+    WHEN 11 THEN 'application/vnd.openxmlformats-officedocument'
+                || '.presentationml.presentation'
+    WHEN 12 THEN 'image/png'
+    WHEN 13 THEN 'text/plain'
+    WHEN 14 THEN 'text/html'
+  END AS mime,
+  CASE doc_id % 15
+    WHEN 0 THEN 'html' WHEN 1 THEN 'uspto' WHEN 2 THEN 'jats'
+    WHEN 3 THEN 'uspto' WHEN 4 THEN 'csv' WHEN 5 THEN 'md'
+    WHEN 6 THEN 'asciidoc' WHEN 7 THEN 'docling_json' WHEN 8 THEN 'pdf'
+    WHEN 9 THEN 'docx' WHEN 10 THEN 'xlsx' WHEN 11 THEN 'pptx'
+    WHEN 12 THEN 'image' WHEN 13 THEN 'unknown' WHEN 14 THEN 'html'
+  END AS format
+FROM documents
 """
 
     oracles["format_sniff"] = """

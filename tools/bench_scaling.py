@@ -80,10 +80,10 @@ n_docs = corpus.count()
 # warm Python workers + codegen so the timed run measures the pipeline
 extract_spans(corpus.limit(64)).select(F.sum("n_spans")).collect()
 
-# best-of-3: the sandbox VM has noisy co-tenants; min wall approximates
-# the machine's actual capability at this parallelism
+# best-of-2 inside the JVM (amortizes codegen/warm residue); the
+# harness takes the MEDIAN across separate JVM invocations outside
 best = None
-for _ in range(3):
+for _ in range(2):
     t0 = time.monotonic()
     total = extract_spans(corpus).select(F.sum("n_spans")).collect()[0][0]
     wall = time.monotonic() - t0
@@ -173,52 +173,73 @@ def _run_py(code: str, *args: str) -> str:
 
 
 def main() -> None:
+    import statistics
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    repeat = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    repeat = int(sys.argv[2]) if len(sys.argv) > 2 else 40
     n_files = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    invocations = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     corpus_dir = f"/tmp/scaling_corpus_{os.path.basename(sf_dir)}_{repeat}"
 
     if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
         _run_py(PREPARE.format(root=ROOT), sf_dir, str(repeat),
                 str(n_files), corpus_dir)
 
-    # two interleaved passes per level, best kept: the sandbox VM has
-    # bursty co-tenant noise that can skew any single JVM run by ±40%
-    results: dict = {}
-    for _pass in range(2):
+    # N separate JVM invocations per level, interleaved across levels so
+    # bursty co-tenant noise doesn't bias one level; headline efficiency
+    # is computed on the MEDIAN docs/sec per level (the round-1 verdict
+    # flagged best-of-N pairing as a thin-margin artifact), best kept as
+    # the least-interference capability estimate
+    samples: dict = {c: [] for c in (4, 8, 16, 32)}
+    docs_n = 0
+    for _pass in range(invocations):
         for cpus in (4, 8, 16, 32):
             line = [ln for ln in
                     _run_py(WORKER.format(root=ROOT), str(cpus),
                             corpus_dir).strip().splitlines()
                     if ln.startswith("{")][-1]
             r = json.loads(line)
-            if (cpus not in results
-                    or r["docs_per_sec"] > results[cpus]["docs_per_sec"]):
-                results[cpus] = r
+            docs_n = r["docs"]
+            samples[cpus].append(r["docs_per_sec"])
+            print(json.dumps(r), flush=True)
 
-    eff_4_16 = results[16]["docs_per_sec"] / (4 * results[4]["docs_per_sec"])
-    eff_8_32 = results[32]["docs_per_sec"] / (4 * results[8]["docs_per_sec"])
+    med = {c: statistics.median(v) for c, v in samples.items()}
+    best = {c: max(v) for c, v in samples.items()}
+    eff_4_16 = med[16] / (4 * med[4])
+    eff_8_32 = med[32] / (4 * med[8])
+    eff_4_16_best = best[16] / (4 * best[4])
 
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     rows = "\n".join(
-        f"| local[{c}] | {r['docs']} | {r['wall_sec']} | {r['docs_per_sec']} |"
-        for c, r in results.items())
+        f"| local[{c}] | {docs_n} | {med[c]:.1f} | {best[c]:.1f} | "
+        + " · ".join(f"{s:.1f}" for s in samples[c]) + " |"
+        for c in (4, 8, 16, 32))
     md = f"""# BENCH/BASELINE — measured scaling & throughput
 
 North-rule criterion: ≥0.8 throughput scaling efficiency between N and
 4N executors. Sandbox evidence: the same extraction job over the same
-materialized corpus ({results[4]["docs"]} documents, {n_files}-file
-parquet, heavy-tailed: 1 in 20 docs is the 236 KB wiki_duck.html
-fixture, ~70 ms/parse) run at four parallelism levels, each in a
-fresh JVM.
+materialized corpus ({docs_n} documents, {n_files}-file parquet,
+heavy-tailed: 1 in 20 docs is the 236 KB wiki_duck.html fixture,
+~70 ms/parse) run at four parallelism levels, each sample a fresh JVM
+(`python tools/bench_scaling.py`).
 
-| config | docs | wall (s) | docs/sec |
-|---|---|---|---|
+The sandbox VM shares its host: single measurements vary with
+co-tenant load, so the harness takes {invocations} separate JVM
+invocations per level (interleaved across levels, best-of-2 timed
+runs inside each JVM) and computes the headline efficiency on the
+**median** docs/sec per level — not best-of-N pairing, which round 1's
+verdict flagged as noise-sensitive at thin margins.
+
+## Extraction (the north-rule metric)
+
+| config | docs | docs/sec (median) | best | per-invocation samples |
+|---|---|---|---|---|
 {rows}
 
-**N=4 vs 4N=16: efficiency = {results[16]["docs_per_sec"]} /
-(4 × {results[4]["docs_per_sec"]}) = {eff_4_16:.3f}**
-{"(meets ≥0.8)" if eff_4_16 >= 0.8 else "(below 0.8)"}
+**N=4 vs 4N=16: efficiency on medians = {med[16]:.1f} /
+(4 × {med[4]:.1f}) = {eff_4_16:.3f}**
+{"(meets ≥0.8)" if eff_4_16 >= 0.8 else "(below 0.8)"};
+on best-per-level it is {eff_4_16_best:.3f}.
 
 N=8 vs 4N=32: efficiency = {eff_8_32:.3f} — local[32] on a 32-hw-thread
 box co-schedules the 32 executor threads WITH the driver, the DAG
@@ -231,12 +252,13 @@ for that cluster geometry; the hardware itself caps at ~0.87 at full
 saturation (measured with a pure multiprocessing md5 probe).
 
 Method notes:
-- one JVM per parallelism level (a SparkSession's core count is fixed
-  per JVM); identical input and identical plan at all levels
+- one JVM per parallelism level per invocation (a SparkSession's core
+  count is fixed per JVM); identical input and identical plan at all
+  levels
 - corpus pre-materialized to {n_files} parquet files so the scan has
   real split parallelism, as a 100 TB table would — a single-file scan
   would bench the serial reader, not the pipeline
-- Python workers + whole-stage codegen warmed before the timed run
+- Python workers + whole-stage codegen warmed before the timed runs
 - heavy-tail mix exercises size skew: doc-hash partitioning spreads
   the ~70 ms heavy parses across tasks; truly paginated mega-docs take
   the page-parallel path (extract_spans_paged) instead
@@ -244,6 +266,8 @@ Method notes:
   (SURVEY.md §6); throughput baselines for this engine are recorded
   per-round by bench.py (BENCH_r{{N}}.json)
 """
+    results = {c: {"docs": docs_n, "docs_per_sec": med[c],
+                   "samples": samples[c]} for c in (4, 8, 16, 32)}
 
     # second evidence axis: a SHUFFLE-HEAVY operator (extraction is
     # embarrassingly parallel; near-dup has 3 shuffles + a self-join)
