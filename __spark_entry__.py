@@ -281,6 +281,44 @@ def q_extract_pdf_paged(spark, sf_dir):
                                        "text")
 
 
+def q_pdf_page_cells(spark, sf_dir):
+    """Cells-level verification surface (the reference's verify_cells
+    gate, tests/verify_utils.py:59-88): per-page merged text cells with
+    bboxes, through the exact-port pypdfium sub-word merge
+    (pypdfium2_backend.py:110-198). Every 3rd word is split into two
+    same-row fragments with a 5pt gap the merge must re-join; the
+    oracle predicts the merged cell text, the union bbox, and the
+    1-based post-merge renumbering the port preserves."""
+    from docling_spark.operators.extract import page_cells
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+
+    def cell(idx, text, left, right, i):
+        return F.struct(
+            idx.cast("int").alias("index"), text.alias("text"),
+            F.lit(left).alias("l"),
+            (F.lit(100.0) + i.cast("double") * 14.0).alias("t"),
+            F.lit(right).alias("r"),
+            (F.lit(112.0) + i.cast("double") * 14.0).alias("b"))
+
+    cells = F.flatten(F.transform(
+        toks,
+        lambda tok, i: F.when(i % 3 == 0, F.array(
+            cell(i * 2, tok, 50.0, 200.0, i),
+            cell(i * 2 + 1, F.lit("+tail"), 205.0, 300.0, i)))
+        .otherwise(F.array(cell(i * 2, tok, 50.0, 400.0, i)))))
+    payload = F.to_json(F.struct(
+        F.lit(0).alias("page_no"), F.lit(612.0).alias("width"),
+        F.lit(792.0).alias("height"), cells.alias("cells")))
+    corpus = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(F.struct(
+            F.lit("pdf_page").alias("kind"), payload.alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"))).alias("spans"))
+    return page_cells(corpus, num_partitions=_par(spark))
+
+
 def q_page_dump(spark, sf_dir):
     """Per-page multimodal dump (utils/export.py:13-148 analogue):
     page-parallel all the way, no doc-level reassembly shuffle."""
@@ -769,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pptx_spans": q_extract_pptx_spans,
         "extract_status_counts": q_extract_status_counts,
         "extract_pdf_paged": q_extract_pdf_paged,
+        "pdf_page_cells": q_pdf_page_cells,
         "export_markdown": q_export_markdown,
         "extract_docling_markdown": q_extract_docling_markdown,
         "page_dump": q_page_dump,
@@ -1142,6 +1181,21 @@ UNION ALL
 SELECT doc_id, CAST(CASE WHEN h > 1 THEN 2 ELSE 1 END AS INT), 'text',
        array_to_string(toks[h+1:len(toks)], ' ')
 FROM p WHERE len(toks) > h
+"""
+
+    oracles["pdf_page_cells"] = """
+WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                  string_split(text, ' ') AS toks FROM documents),
+w AS (SELECT doc_id, unnest(toks) AS word,
+             generate_subscripts(toks, 1) - 1 AS i FROM t)
+SELECT doc_id, CAST(0 AS INT) AS page_no,
+       CAST(i + 1 AS INT) AS cell_index,
+       CASE WHEN i % 3 = 0 THEN word || '+tail' ELSE word END AS text,
+       CAST(50.0 AS DOUBLE) AS l,
+       CAST(100.0 + 14.0 * i AS DOUBLE) AS t,
+       CAST(CASE WHEN i % 3 = 0 THEN 300.0 ELSE 400.0 END AS DOUBLE) AS r,
+       CAST(112.0 + 14.0 * i AS DOUBLE) AS b
+FROM w
 """
 
     oracles["page_dump"] = """

@@ -349,6 +349,59 @@ def page_dump(
         "headers", "footers", "error")
 
 
+PAGE_CELLS_DDL = ("doc_id string, page_no int, cell_index int, "
+                  "text string, l double, t double, r double, b double")
+
+
+def _page_cells_batches(batches: Iterator[pd.DataFrame]) \
+        -> Iterator[pd.DataFrame]:
+    import json
+
+    from ..parsers.pdf_page import Cell, merge_horizontal_cells
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "page_no", "cell_index",
+                               "text", "l", "t", "r", "b")}
+        for doc_id, off, payload in zip(
+                pdf["doc_id"], pdf["page_offset"], pdf["payload"]):
+            try:
+                page = json.loads(payload or "{}")
+                cells = [Cell(int(c.get("index", i)), c.get("text", ""),
+                              float(c["l"]), float(c["t"]),
+                              float(c["r"]), float(c["b"]))
+                         for i, c in enumerate(page.get("cells", []))]
+            except Exception:
+                cells = []
+            cells.sort(key=lambda c: c.index)
+            for c in merge_horizontal_cells(cells):
+                out["doc_id"].append(doc_id)
+                out["page_no"].append(off)
+                out["cell_index"].append(c.index)
+                out["text"].append(c.text)
+                out["l"].append(c.l)
+                out["t"].append(c.t)
+                out["r"].append(c.r)
+                out["b"].append(c.b)
+        yield pd.DataFrame(out)
+
+
+def page_cells(
+    df: DataFrame,
+    *,
+    num_partitions: Optional[int] = None,
+    page_range: Optional[tuple] = None,
+) -> DataFrame:
+    """Raw per-page text cells AFTER fragment merge — the surface the
+    reference's cells-level regression gate compares (``verify_cells``,
+    tests/verify_utils.py:59-88: per-page cell count, cell text, and
+    cell bbox in cell order, against the ``*.pages.json`` goldens).
+    The merge is the exact-port pypdfium sub-word merge
+    (pypdfium2_backend.py:110-198 → parsers/pdf_page.py). Output:
+    (doc_id, page_no, cell_index, text, l, t, r, b), page-parallel
+    end-to-end — no doc-level shuffle."""
+    pages = _page_rows(df, page_range, num_partitions)
+    return pages.mapInPandas(_page_cells_batches, schema=PAGE_CELLS_DDL)
+
+
 # ---------------------------------------------------------------------------
 
 def payload_chars_col():

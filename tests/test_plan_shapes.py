@@ -156,3 +156,30 @@ def test_dedup_outputs_have_no_global_sort(spark):
         "vec_id", "embedding")
     plan = _plan(embedding_dedup(emb, threshold=0.9))
     assert "rangepartitioning" not in plan
+
+
+def test_page_cells_stays_page_parallel(spark):
+    """The cells-verification surface (verify_cells analogue) never
+    reassembles documents: no Exchange besides the explicit input
+    repartition, no aggregation, one MapInPandas stage."""
+    from docling_spark.operators.extract import page_cells
+    from docling_spark.sources.corpus import corpus_pdf_pages
+    corpus = corpus_pdf_pages(spark, "/root/testdata/sf0.001")
+    plan = _plan(page_cells(corpus))
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_exact_sniff_is_one_arrow_stage(spark):
+    """The exact format probe is a single scalar Arrow stage over the
+    scan — no shuffle, no Python row-at-a-time eval."""
+    from pyspark.sql import functions as F
+    from docling_spark.operators.sniff_exact import with_exact_format
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", F.encode("text", "UTF-8").alias("payload_bin"),
+                    F.lit("a.md").alias("filename")))
+    plan = _plan(with_exact_format(docs))
+    assert "ArrowEvalPython" in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
