@@ -53,12 +53,16 @@ CLAIMS_HEADING = ("CLAIMS", 2)
 # --------------------------------------------------------------------------
 # character tables (public Unicode ranges / ISO 8879 entity names)
 
+# EXACT translate domains of the reference's style tables
+# (uspto_backend.py:1711-1758): only these characters transform; any
+# other character — including most letters — passes through unchanged
+# (pinned by pg06442728.itxt, where subscript "j" stays plain "j").
 _SUPERSCRIPT = str.maketrans({
     "0": "⁰", "1": "¹", "2": "²", "3": "³",
     "4": "⁴", "5": "⁵", "6": "⁶", "7": "⁷",
     "8": "⁸", "9": "⁹", "+": "⁺", "-": "⁻",
     "−": "⁻", "=": "⁼", "(": "⁽", ")": "⁾",
-    "n": "ⁿ", "i": "ⁱ",
+    "a": "ª", "o": "º", "i": "ⁱ", "n": "ⁿ",
 })
 
 _SUBSCRIPT = str.maketrans({
@@ -66,11 +70,7 @@ _SUBSCRIPT = str.maketrans({
     "4": "₄", "5": "₅", "6": "₆", "7": "₇",
     "8": "₈", "9": "₉", "+": "₊", "-": "₋",
     "−": "₋", "=": "₌", "(": "₍", ")": "₎",
-    "a": "ₐ", "e": "ₑ", "h": "ₕ", "i": "ᵢ",
-    "j": "ⱼ", "k": "ₖ", "l": "ₗ", "m": "ₘ",
-    "n": "ₙ", "o": "ₒ", "p": "ₚ", "r": "ᵣ",
-    "s": "ₛ", "t": "ₜ", "u": "ᵤ", "v": "ᵥ",
-    "x": "ₓ",
+    "a": "ₐ", "e": "ₑ", "o": "ₒ", "x": "ₓ",
 })
 
 
@@ -109,12 +109,16 @@ _ISO8879_GREEK = {f"&{k};": v for k, v in {**_GREEK_BASE, **_GREEK_UPPER}.items(
 
 
 def _resolve_entity(name: str) -> Optional[str]:
-    """&name; -> unicode via the Greek table or HTML5 names; None if unknown
-    (unknown entities are dropped, uspto_backend.py:284-316)."""
+    """&name; -> unicode via the Greek table or HTML5 names; None if
+    unknown (unknown entities are dropped, uspto_backend.py:284-316).
+    The ISO-8879 Greek names resolve directly (the reference maps them
+    to HTML entities first and then unescapes, uspto_backend.py:631-636
+    — same result)."""
     raw = f"&{name};"
-    mapped = _ISO8879_GREEK.get(raw, raw)
-    unescaped = html.unescape(mapped)
-    return None if unescaped == mapped else unescaped
+    if raw in _ISO8879_GREEK:
+        return _ISO8879_GREEK[raw]
+    unescaped = html.unescape(raw)
+    return None if unescaped == raw else unescaped
 
 
 def _style(text: str, role: str) -> str:
