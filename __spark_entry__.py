@@ -349,6 +349,17 @@ def q_extract_docling_markdown(spark, sf_dir):
     return out.select("doc_id", "markdown")
 
 
+def q_extract_docling_itxt(spark, sf_dir):
+    """UDF-side indented-text rendering (itxt_dialect.py, byte-parity
+    with the reference's _export_to_indented_text goldens): serializes
+    the parse TREE — item indices and nesting levels — rendered inside
+    the extraction UDF at zero extra parse cost."""
+    corpus = corpus_from_documents(spark, sf_dir)
+    out = extract_spans(corpus, num_partitions=_par(spark),
+                        with_itxt=True)
+    return out.select("doc_id", "itxt")
+
+
 def q_export_doctags(spark, sf_dir):
     """Sink: extraction output rendered to DocTags (SURVEY §2.5), pure
     Catalyst projection over the span table."""
@@ -810,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_page_cells": q_pdf_page_cells,
         "export_markdown": q_export_markdown,
         "extract_docling_markdown": q_extract_docling_markdown,
+        "extract_docling_itxt": q_extract_docling_itxt,
         "page_dump": q_page_dump,
         "export_doctags": q_export_doctags,
         "export_html": q_export_html,
@@ -1045,6 +1057,26 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        || CASE WHEN doc_id % 5 = 0
                THEN chr(10) || chr(10) || '<!-- image -->' ELSE '' END
          AS markdown
+FROM documents
+"""
+
+    oracles["extract_docling_itxt"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+  'item-0 at level 0: unspecified: group _root_' || chr(10)
+  || '  item-1 at level 1: title: Doc ' || CAST(doc_id AS VARCHAR)
+  || chr(10)
+  || '    item-2 at level 2: text: '
+  || CASE WHEN length(text) >= 75
+          THEN substr(text, 1, 32) || ' ... '
+               || substr(text, length(text) - 37, 38)
+          ELSE text END || chr(10)
+  || '    item-3 at level 2: section_header: Stats' || chr(10)
+  || '      item-4 at level 3: text: ' || CAST(n_chars AS VARCHAR)
+  || ' chars'
+  || CASE WHEN doc_id % 5 = 0
+          THEN chr(10) || '      item-5 at level 3: picture'
+          ELSE '' END
+  AS itxt
 FROM documents
 """
 

@@ -30,10 +30,12 @@ BENCH_QUERIES = [
     "extract_pdf_paged",
     "extract_uspto_spans",
     "extract_status_counts",
+    "pdf_page_cells",
     "page_dump",
     "export_markdown",
     "enrich_spans",
     "format_sniff",
+    "format_sniff_exact",
     "doc_token_stats",
     "doc_quality",
     "doc_language_id",

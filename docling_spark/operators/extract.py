@@ -100,14 +100,16 @@ def _span_field(span, key, default=None):
 
 
 def _extract_one(doc_spans: list, parsers: dict,
-                 with_markdown: bool = False) -> tuple:
-    """Extract one document. Returns (spans, status, errors, markdown).
-    ``with_markdown`` additionally renders the parse tree through the
-    docling-dialect markdown serializer (md_dialect) before
-    flattening — byte-parity with the reference's export_to_markdown
-    goldens, pinned by tests/test_md_dialect.py."""
+                 with_markdown: bool = False,
+                 with_itxt: bool = False) -> tuple:
+    """Extract one document. Returns (spans, status, errors, markdown,
+    itxt). ``with_markdown`` / ``with_itxt`` additionally render the
+    parse tree through the docling-dialect serializers (md_dialect /
+    itxt_dialect) before flattening — byte-parity with the reference's
+    export goldens, pinned by tests/test_md_dialect.py and
+    tests/test_itxt_dialect.py."""
     if not doc_spans:
-        return [], STATUS_SKIPPED, [], None
+        return [], STATUS_SKIPPED, [], None, None
 
     ordered = sorted(doc_spans, key=lambda s: _span_field(s, "offset", 0) or 0)
     media_refs: List[str] = []
@@ -127,7 +129,7 @@ def _extract_one(doc_spans: list, parsers: dict,
             payloads.append(_span_field(s, "text", "") or "")
 
     if payload_kind is None:
-        return [], STATUS_SKIPPED, [], None
+        return [], STATUS_SKIPPED, [], None, None
 
     try:
         if payload_kind == "pdf_page":
@@ -136,12 +138,16 @@ def _extract_one(doc_spans: list, parsers: dict,
         else:
             parse = parsers.get(payload_kind)
             if parse is None:
-                return [], STATUS_SKIPPED, [], None
+                return [], STATUS_SKIPPED, [], None, None
             tree = parse("".join(payloads))
         markdown = None
         if with_markdown:
             from ..md_dialect import render_markdown_docling
             markdown = render_markdown_docling(tree)
+        itxt = None
+        if with_itxt:
+            from ..itxt_dialect import render_itxt
+            itxt = render_itxt(tree)
         spans = flatten(tree)
         # interleaved media refs → picture spans, in order (FIXTURES.md §3.4)
         if media_refs:
@@ -150,16 +156,17 @@ def _extract_one(doc_spans: list, parsers: dict,
                 if sp["kind"] == "picture" and pic_idx < len(media_refs):
                     sp["media_ref"] = media_refs[pic_idx]
                     pic_idx += 1
-        return spans, STATUS_SUCCESS, [], markdown
+        return spans, STATUS_SUCCESS, [], markdown, itxt
     except Exception as exc:  # per-doc containment — never kill the task
         return [], STATUS_FAILURE, [{
             "component": "extract",
             "module": payload_kind,
             "message": f"{type(exc).__name__}: {exc}"[:500],
-        }], None
+        }], None, None
 
 
-def _make_extract_batches(with_markdown: bool = False):
+def _make_extract_batches(with_markdown: bool = False,
+                          with_itxt: bool = False):
     def _extract_batches(
             batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parsers = _load_parsers()  # executor-local init-once per task
@@ -170,11 +177,14 @@ def _make_extract_batches(with_markdown: bool = False):
                    "n_spans": [], "wall_us": []}
             if with_markdown:
                 out["markdown"] = []
+            if with_itxt:
+                out["itxt"] = []
             for doc_id, raw in zip(doc_ids, span_lists):
                 t0 = time.monotonic_ns()
                 raw_list = list(raw) if raw is not None else []
-                spans, status, errors, markdown = _extract_one(
-                    raw_list, parsers, with_markdown=with_markdown)
+                spans, status, errors, markdown, itxt = _extract_one(
+                    raw_list, parsers, with_markdown=with_markdown,
+                    with_itxt=with_itxt)
                 out["doc_id"].append(doc_id)
                 out["spans"].append(
                     [(s["kind"], s["text"], s["media_ref"], s["offset"])
@@ -187,6 +197,8 @@ def _make_extract_batches(with_markdown: bool = False):
                 out["wall_us"].append((time.monotonic_ns() - t0) // 1000)
                 if with_markdown:
                     out["markdown"].append(markdown)
+                if with_itxt:
+                    out["itxt"].append(itxt)
             yield pd.DataFrame(out)
 
     return _extract_batches
@@ -420,9 +432,10 @@ def extract_spans(
     max_payload_chars: Optional[int] = None,
     num_partitions: Optional[int] = None,
     with_markdown: bool = False,
+    with_itxt: bool = False,
 ) -> DataFrame:
     """(doc_id, spans) → (doc_id, spans, status, errors, n_spans, wall_us
-    [, markdown]).
+    [, markdown] [, itxt]).
 
     Catalyst prefilters (size gate, allowed kinds) run before the UDF;
     parsing happens in one Arrow-batched mapInPandas stage. Partitioning
@@ -433,7 +446,9 @@ def extract_spans(
     ``with_markdown`` adds a docling-dialect markdown rendering of the
     parse tree (byte-parity with the reference's export_to_markdown
     goldens — md_dialect.py) with zero extra parse cost: the tree is
-    already in hand inside the UDF.
+    already in hand inside the UDF. ``with_itxt`` likewise adds the
+    indented-text rendering (_export_to_indented_text parity —
+    itxt_dialect.py), which serializes the tree's nesting structure.
     """
     if allowed_kinds is not None:
         df = df.filter(
@@ -442,8 +457,10 @@ def extract_spans(
         df = df.filter(payload_chars_col() <= F.lit(max_payload_chars))
     if num_partitions:
         df = df.repartition(num_partitions, "doc_id")
-    schema = OUTPUT_DDL + (", markdown string" if with_markdown else "")
-    return df.mapInPandas(_make_extract_batches(with_markdown),
+    schema = (OUTPUT_DDL
+              + (", markdown string" if with_markdown else "")
+              + (", itxt string" if with_itxt else ""))
+    return df.mapInPandas(_make_extract_batches(with_markdown, with_itxt),
                           schema=schema)
 
 

@@ -55,6 +55,61 @@ def windowed_event_counts(events: DataFrame,
                     "event_type", "n_events", "sum_value_e2"))
 
 
+SESSION_GAP_SECONDS = 1800.0
+
+_SESSION_OUT_DDL = "user_id bigint, n_sessions bigint, n_events bigint"
+_SESSION_STATE_DDL = "last_ts double, n_sessions bigint, n_events bigint"
+
+
+def sessionize_stream(events: DataFrame,
+                      gap_seconds: float = SESSION_GAP_SECONDS) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState):
+    per-user session counting with a 30-minute inactivity gap — the
+    streaming spelling of the batch window-function sessionizer
+    (q_events_sessionize), with the gap fold carried across
+    micro-batches in GroupState instead of a partitionBy window.
+
+    State per user is three scalars (last event time, session count,
+    event count) — O(users), not O(events): the arrival order inside a
+    micro-batch is normalized by sorting the batch (ts, event_id), and
+    only the last timestamp must survive to the next batch. Emits the
+    running totals per user on every batch (update-mode sink).
+
+    On a single availableNow batch over a static backlog this reduces
+    to the batch sessionizer exactly — pinned by
+    tests/test_streaming.py."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = None, 0, 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for ts in rows["ts"]:
+            t = ts.timestamp()
+            if last_ts is None or t - last_ts > gap_seconds:
+                n_sessions += 1
+            last_ts = t
+            n_events += 1
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame({"user_id": [key[0]],
+                            "n_sessions": [n_sessions],
+                            "n_events": [n_events]})
+
+    return (events
+            .select("user_id", "ts", "event_id")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                fold,
+                outputStructType=_SESSION_OUT_DDL,
+                stateStructType=_SESSION_STATE_DDL,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def run_stream_to_table(stream_df: DataFrame, out_dir: str,
                         checkpoint_dir: str, *,
                         available_now: bool = True):

