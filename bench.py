@@ -79,9 +79,11 @@ def time_query(fn, spark, sf_dir: str) -> tuple:
     of two back-to-back runs reflects the plan, not the neighbor.
 
     Evaluation is forced over EVERY output column via a JVM-side
-    xxhash64 fold: a bare count() lets Catalyst prune the projected
-    columns, so pure-projection queries (the export renderers,
-    format_sniff) would time only their upstream scan."""
+    xxhash64 + bit_xor fold: a bare count() lets Catalyst prune the
+    projected columns, so pure-projection queries (the export
+    renderers, format_sniff) would time only their upstream scan.
+    bit_xor (not sum) because summing 64-bit hashes overflows long
+    under ANSI mode."""
     from pyspark.sql import functions as F
 
     best = None
@@ -91,7 +93,8 @@ def time_query(fn, spark, sf_dir: str) -> tuple:
         df = fn(spark, sf_dir)
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h")
+            F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns]))
+             .alias("h")
         ).collect()[0]
         n = row["n"]
         sec = time.monotonic() - t0
