@@ -478,6 +478,16 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash16(_docs(spark, sf_dir), n=3)
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """Hamming-ball near-dup pairs: 32-bit SimHash → 4 band slices →
+    bucket equijoin (pigeonhole covers Hamming ≤ 3) → bit_count
+    verify. Pure Catalyst end-to-end; the same banded-equijoin shape
+    as MinHash LSH."""
+    from docling_spark.operators.dedup import simhash_pairs
+    corpus = _clone_corpus_near(_docs(spark, sf_dir))
+    return simhash_pairs(corpus, n=3, bits=32, bands=4, max_hamming=3)
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Exact n-gram Jaccard on explicitly given pairs (no LSH filter) —
     the verify primitive exposed as its own operator."""
@@ -836,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "knn_cosine_bruteforce": q_knn_cosine_bruteforce,
         "knn_cosine_lsh": q_knn_cosine_lsh,
@@ -1424,6 +1435,39 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit)
                      ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
+"""
+
+    oracles["dedup_simhash_pairs"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' extra trailing words appended here'
+  FROM documents WHERE doc_id < 30),
+{SHINGLE_CTE},
+shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+v AS (SELECT doc_id,
+        ('0x' || substr(md5(shingle), 1, 4))::BIGINT AS c0,
+        ('0x' || substr(md5(shingle), 5, 4))::BIGINT AS c1
+      FROM shx),
+bits AS (SELECT doc_id, b.bit AS bit,
+           SUM(CASE WHEN ((CASE WHEN b.bit < 16 THEN c0 ELSE c1 END)
+                          >> (b.bit % 16)) & 1 = 1
+                    THEN 1 ELSE -1 END) AS vote
+         FROM v, (SELECT unnest(generate_series(0, 31)) AS bit) b
+         GROUP BY doc_id, b.bit),
+sigs AS (SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit)
+                         ELSE 0 END) AS BIGINT) AS simhash
+         FROM bits GROUP BY doc_id),
+banded AS (SELECT doc_id, simhash, b.band AS band,
+                  (simhash >> (b.band * 8)) & 255 AS val
+           FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+                a.simhash AS ha, c.simhash AS hb
+         FROM banded a JOIN banded c
+           ON a.band = c.band AND a.val = c.val AND a.doc_id < c.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
 """
 
     knn_core = """

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "embedding_dedup",
     "knn_cosine_bruteforce",
     "knn_cosine_lsh",

@@ -245,28 +245,88 @@ def embedding_dedup(embeddings: DataFrame, *, threshold: float = 0.98,
                      .cast("long").alias("score_e4")))
 
 
-def simhash16(docs: DataFrame, *, n: int = 3,
-              num_partitions: int = 0) -> DataFrame:
-    """16-bit SimHash over word n-gram shingles with portable md5 bits:
-    bit i of md5's first 4 hex digits votes +1/−1; the sign of the
-    vote-sum forms the document hash.
+def simhash_bits(docs: DataFrame, *, n: int = 3, bits: int = 16,
+                 num_partitions: int = 0) -> DataFrame:
+    """``bits``-wide SimHash (16 or 32) over word n-gram shingles with
+    portable md5 bits: bit i of the shingle's md5 votes +1/−1; the sign
+    of the vote-sum forms the document hash. Bits are drawn from md5's
+    leading hex digits in 16-bit chunks, so DuckDB replays the exact
+    hash with ``('0x' || substr(md5(s), 1+4*c, 4))::BIGINT``.
 
-    One shuffle: 16 conditional-sum aggregates over the exploded-shingle
-    table (map-side partial agg), no per-bit row multiplication."""
+    One shuffle: ``bits`` conditional-sum aggregates over the
+    exploded-shingle table (map-side partial agg), no per-bit row
+    multiplication. 64-bit variants need unsigned handling Spark's
+    ANSI long arithmetic doesn't give for bit 63 — at that width use
+    two 32-bit signature columns instead."""
+    assert bits in (16, 32)
     if num_partitions:
         docs = docs.repartition(num_partitions, "doc_id")
     sh = exploded_shingles(docs, n=n)
-    val = F.conv(F.substring(F.md5("shingle"), 1, 4), 16, 10).cast("long")
-    withval = sh.select("doc_id", val.alias("val"))
+    chunks = [
+        F.conv(F.substring(F.md5("shingle"), 1 + 4 * c, 4), 16, 10)
+        .cast("long").alias(f"c{c}")
+        for c in range(bits // 16)
+    ]
+    withval = sh.select("doc_id", *chunks)
     votes = [
-        F.sum(F.when(F.shiftright(F.col("val"), b).bitwiseAND(1) == 1,
-                     1).otherwise(-1)).alias(f"v{b}")
-        for b in range(16)
+        F.sum(F.when(
+            F.shiftright(F.col(f"c{b // 16}"), b % 16).bitwiseAND(1) == 1,
+            1).otherwise(-1)).alias(f"v{b}")
+        for b in range(bits)
     ]
     agg = withval.groupBy("doc_id").agg(*votes)
     hash_expr = None
-    for b in range(16):
+    for b in range(bits):
         term = F.when(F.col(f"v{b}") > 0,
                       F.lit(1 << b).cast("long")).otherwise(F.lit(0))
         hash_expr = term if hash_expr is None else hash_expr + term
     return agg.select("doc_id", hash_expr.cast("long").alias("simhash"))
+
+
+def simhash16(docs: DataFrame, *, n: int = 3,
+              num_partitions: int = 0) -> DataFrame:
+    """16-bit SimHash (kept as the dedup_simhash oracle surface)."""
+    return simhash_bits(docs, n=n, bits=16, num_partitions=num_partitions)
+
+
+def simhash_pairs(docs: DataFrame, *, n: int = 3, bits: int = 32,
+                  bands: int = 4, max_hamming: int = 3,
+                  num_partitions: int = 0) -> DataFrame:
+    """Hamming-ball near-dup pairs from SimHash signatures: band the
+    hash into ``bands`` equal slices — by pigeonhole, any pair with
+    Hamming distance ≤ ``bands - 1`` agrees on at least one band — and
+    generate candidates ONLY from the band-value equijoin (never an
+    all-pairs product), then verify with ``bit_count(xor)``. The same
+    banded-equijoin shape as MinHash LSH; everything is JVM-side
+    Catalyst (one agg + one self-equijoin).
+
+    Scale note: bucket size is corpus/2^(bits/bands) per band value, so
+    at 10^12 docs use the widest signature the engine offers (two
+    32-bit columns) and more bands; the plan shape is unchanged."""
+    sig = simhash_bits(docs, n=n, bits=bits, num_partitions=num_partitions)
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * width).bitwiseAND(mask)
+                .alias("val"))
+            for b in range(bands)])).alias("bv")).select(
+        "doc_id", "simhash",
+        F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a, c = banded.alias("a"), banded.alias("c")
+    cand = (a.join(c, [
+                F.col("a.band") == F.col("c.band"),
+                F.col("a.val") == F.col("c.val"),
+                F.col("a.doc_id") < F.col("c.doc_id")])
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("c.doc_id").alias("doc_b"),
+                    F.col("a.simhash").alias("ha"),
+                    F.col("c.simhash").alias("hb"))
+            .distinct())
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (cand.withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))

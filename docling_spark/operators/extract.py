@@ -433,9 +433,19 @@ def extract_spans(
     num_partitions: Optional[int] = None,
     with_markdown: bool = False,
     with_itxt: bool = False,
+    oversize: str = "drop",
 ) -> DataFrame:
     """(doc_id, spans) → (doc_id, spans, status, errors, n_spans, wall_us
     [, markdown] [, itxt]).
+
+    ``oversize`` controls what happens to documents over
+    ``max_payload_chars``: ``"drop"`` (default) filters them before the
+    UDF — the cheap shape for bulk pipelines; ``"fail"`` reports each
+    as a status='failure' row with a max_file_size error, matching the
+    reference's contract (InputDocument size gate →
+    ConversionStatus.FAILURE, datamodel/document.py:130-143,
+    tests/test_invalid_input.py:38-40). The failure rows are built with
+    pure Catalyst — oversize payloads never reach Python.
 
     Catalyst prefilters (size gate, allowed kinds) run before the UDF;
     parsing happens in one Arrow-batched mapInPandas stage. Partitioning
@@ -453,15 +463,42 @@ def extract_spans(
     if allowed_kinds is not None:
         df = df.filter(
             F.exists("spans", lambda s: s["kind"].isin(list(allowed_kinds))))
+    oversize_df = None
     if max_payload_chars is not None:
-        df = df.filter(payload_chars_col() <= F.lit(max_payload_chars))
+        fits = payload_chars_col() <= F.lit(max_payload_chars)
+        if oversize == "fail":
+            oversize_df = df.filter(~fits)
+        df = df.filter(fits)
     if num_partitions:
         df = df.repartition(num_partitions, "doc_id")
     schema = (OUTPUT_DDL
               + (", markdown string" if with_markdown else "")
               + (", itxt string" if with_itxt else ""))
-    return df.mapInPandas(_make_extract_batches(with_markdown, with_itxt),
-                          schema=schema)
+    out = df.mapInPandas(_make_extract_batches(with_markdown, with_itxt),
+                         schema=schema)
+    if oversize_df is not None:
+        fail = oversize_df.select(
+            "doc_id",
+            F.array().cast(
+                "array<struct<kind:string,text:string,"
+                "media_ref:string,offset:int>>").alias("spans"),
+            F.lit(STATUS_FAILURE).alias("status"),
+            F.array(F.struct(
+                F.lit("extract").alias("component"),
+                F.lit("size_gate").alias("module"),
+                F.concat(
+                    F.lit("max_file_size: payload chars "),
+                    payload_chars_col().cast("string"),
+                    F.lit(f" > {max_payload_chars}")).alias("message"),
+            )).alias("errors"),
+            F.lit(0).cast("int").alias("n_spans"),
+            F.lit(0).cast("long").alias("wall_us"),
+            *([F.lit(None).cast("string").alias("markdown")]
+              if with_markdown else []),
+            *([F.lit(None).cast("string").alias("itxt")]
+              if with_itxt else []))
+        out = out.unionByName(fail)
+    return out
 
 
 def extract_routed(
@@ -470,6 +507,7 @@ def extract_routed(
     num_partitions: Optional[int] = None,
     allowed_kinds: Optional[List[str]] = None,
     max_payload_chars: Optional[int] = None,
+    oversize: str = "drop",
 ) -> DataFrame:
     """Production entry: paginated documents (pdf_page spans) take the
     page-parallel path (skew-safe for mega-documents); everything else
@@ -484,7 +522,8 @@ def extract_routed(
     is_paged = F.exists("spans", lambda s: s["kind"] == "pdf_page")
     doc_side = extract_spans(
         df.filter(~is_paged), allowed_kinds=allowed_kinds,
-        max_payload_chars=max_payload_chars, num_partitions=num_partitions)
+        max_payload_chars=max_payload_chars, num_partitions=num_partitions,
+        oversize=oversize)
     paged_side = extract_spans_paged(
         df.filter(is_paged), num_partitions=num_partitions)
     return doc_side.unionByName(paged_side)

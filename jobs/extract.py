@@ -60,6 +60,9 @@ def main(argv=None) -> int:
     ap.add_argument("--partitions", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--max-payload-chars", type=int, default=None)
+    ap.add_argument("--oversize", default="drop", choices=["drop", "fail"],
+                    help="oversize docs: drop before the UDF, or report "
+                         "as status=failure rows (reference contract)")
     ap.add_argument("--allowed-kinds", type=str, default=None,
                     help="comma-separated input kinds filter")
     ap.add_argument("--export", default=None,
@@ -87,7 +90,8 @@ def main(argv=None) -> int:
     allowed = args.allowed_kinds.split(",") if args.allowed_kinds else None
     out = extract_routed(todo, num_partitions=args.partitions,
                          allowed_kinds=allowed,
-                         max_payload_chars=args.max_payload_chars)
+                         max_payload_chars=args.max_payload_chars,
+                         oversize=args.oversize)
 
     obs = Observation("extract")
     out = out.observe(

@@ -93,3 +93,39 @@ def test_output_schema_stable(spark):
     df = extract_spans(fixture_corpus(spark, ["csv"]))
     assert [f.name for f in df.schema.fields] == [
         "doc_id", "spans", "status", "errors", "n_spans", "wall_us"]
+
+
+def test_oversize_modes(spark):
+    """Reference size-gate contract (datamodel/document.py:130-143,
+    tests/test_invalid_input.py:38-44): oversize="fail" reports the
+    doc as a failure row with a max_file_size error; the default drops
+    it before the UDF. The failure rows are Catalyst-built — the
+    payload never reaches Python."""
+    from docling_spark.schema import INPUT_SCHEMA
+    rows = [("small", [("html", "<html><body><h1>T</h1></body></html>",
+                        "", 0)]),
+            ("big", [("html", "<html><body><p>" + "x" * 2000
+                      + "</p></body></html>", "", 0)])]
+    df = spark.createDataFrame(rows, schema=INPUT_SCHEMA)
+
+    dropped = extract_spans(df, max_payload_chars=1000)
+    assert [r.doc_id for r in dropped.collect()] == ["small"]
+
+    failed = extract_spans(df, max_payload_chars=1000, oversize="fail")
+    by_id = {r.doc_id: r for r in failed.collect()}
+    assert by_id["small"].status == "success"
+    assert by_id["big"].status == "failure"
+    assert by_id["big"].spans == []
+    assert by_id["big"].errors[0].module == "size_gate"
+    assert "max_file_size" in by_id["big"].errors[0].message
+
+
+def test_unsupported_kind_is_skipped(spark):
+    """Unknown format → SKIPPED, not an error (the reference's
+    unsupported-stream contract, tests/test_invalid_input.py:23-27)."""
+    from docling_spark.schema import INPUT_SCHEMA
+    df = spark.createDataFrame(
+        [("weird", [("xyz", "xyz", "", 0)])], schema=INPUT_SCHEMA)
+    row = extract_spans(df).collect()[0]
+    assert row.status == "skipped"
+    assert row.spans == [] and row.errors == []

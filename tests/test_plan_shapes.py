@@ -183,3 +183,17 @@ def test_exact_sniff_is_one_arrow_stage(spark):
     assert "ArrowEvalPython" in plan
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_simhash_pairs_is_bucket_equijoin(spark):
+    """Candidate generation must be the band-value equijoin — no
+    cartesian/broadcast-nested-loop product of the corpus with itself —
+    and the signature aggregation keeps its map-side partial phase."""
+    from docling_spark.operators.dedup import simhash_pairs
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    plan = _plan(simhash_pairs(docs, bits=32, bands=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+    assert "partial_sum" in plan.lower() or "HashAggregate" in plan

@@ -108,3 +108,40 @@ def test_image_magics():
     assert g(b"\x89PNG\r\n\x1a\nrest")[1] == "image"
     assert g(b"\xff\xd8\xff\xe0rest")[1] == "image"
     assert g(b"GIF89a")[1] == "image"
+
+
+def test_guess_format_reference_fixtures():
+    """Mirror of the reference's own _guess_format test
+    (/root/reference/tests/test_input_doc.py:113-227, stream branch)
+    over the same fixtures."""
+    from pathlib import Path
+    data = Path("/root/reference/tests/data")
+
+    def fmt(rel, name):
+        return g((data / rel).read_bytes(), name)[1]
+
+    assert fmt("docx/lorem_ipsum.docx", "lorem_ipsum.docx") == "docx"
+    assert fmt("html/wiki_duck.html", "wiki_duck.html") == "html"
+    assert fmt("md/wiki.md", "wiki.md") == "md"
+    assert fmt("csv/csv-comma.csv", "csv-comma.csv") == "csv"
+    # no extension: the csv.Sniffer content probe must still hit
+    assert fmt("csv/csv-comma.csv", "test-comma") == "csv"
+    assert fmt("uspto/ipa20110039701.xml", "ipa20110039701.xml") == "uspto"
+    assert fmt("uspto/pftaps057006474.txt", "pftaps057006474.txt") == "uspto"
+    assert fmt("jats/elife-56337.xml", "elife-56337.xml") == "jats"
+    assert fmt("jats/elife-56337.nxml", "elife-56337.nxml") == "jats"
+    assert fmt("jats/elife-56337.txt", "elife-56337.txt") == "jats"
+
+    # valid but unsupported XML flavor: DOCTYPE root doesn't echo
+    # (<!DOCTYPE docling_test ...><docling>) -> no format
+    xml = (b'<?xml version="1.0" encoding="UTF-8"?><!DOCTYPE docling_test '
+           b'SYSTEM "test.dtd"><docling>Docling parses documents</docling>')
+    assert g(xml, "docling_test.xml")[1] == "unknown"
+
+    # invalid USPTO named .txt -> no format
+    assert g(b"xyz", "pftaps057006474.txt")[1] == "unknown"
+
+    # any JSON routes to docling_json by extension (reference TODO
+    # acknowledges no deeper validation at sniff time)
+    assert g(b'{"name": ""}', "test.json")[1] == "docling_json"
+    assert g(b"{}", "test.json")[1] == "docling_json"
