@@ -478,6 +478,26 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash16(_docs(spark, sf_dir), n=3)
 
 
+def q_curate_corpus(spark, sf_dir):
+    """The composed training-data pipeline (operators/curate.py):
+    quality gate → language gate → exact dedup → SimHash near-dup
+    removal, one declarative plan. Exact clones (+2000000) and
+    near clones (+1000000) are injected so both dedup stages do real
+    work; the oracle replays the whole composition in SQL."""
+    from docling_spark.operators.curate import curate
+    docs = _docs(spark, sf_dir)
+    near = (docs.filter(F.col("doc_id") < 30)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.concat(F.col("text"),
+                             F.lit(" extra trailing words appended here"))
+                    .alias("text")))
+    exact = (docs.filter(F.col("doc_id") < 40)
+             .select((F.col("doc_id") + 2000000).alias("doc_id"), "text"))
+    corpus = (docs.select("doc_id", "text")
+              .unionByName(near).unionByName(exact))
+    return curate(corpus)
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     """Hamming-ball near-dup pairs: 32-bit SimHash → 4 band slices →
     bucket equijoin (pigeonhole covers Hamming ≤ 3) → bit_count
@@ -847,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "curate_corpus": q_curate_corpus,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "knn_cosine_bruteforce": q_knn_cosine_bruteforce,
         "knn_cosine_lsh": q_knn_cosine_lsh,
@@ -1321,6 +1342,63 @@ SELECT doc_id, lang_true, score_en, score_es, score_de, score_fr,
     WHEN score_fr > 0 THEN 'fr'
     ELSE 'und' END AS lang_pred
 FROM sc
+"""
+
+    oracles["curate_corpus"] = f"""
+WITH raw AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' extra trailing words appended here'
+  FROM documents WHERE doc_id < 30
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 40),
+nn AS (SELECT doc_id, {NORM_SQL} AS nt FROM raw),
+xx AS (SELECT doc_id, nt, string_split(nt, ' ') AS t FROM nn),
+gg AS (SELECT doc_id, nt, len(t) AS n_tokens, md5(nt) AS fingerprint,
+        CASE
+          WHEN {s_en} > 0 AND {s_en} >= {s_es} AND {s_en} >= {s_de}
+               AND {s_en} >= {s_fr} THEN 'en'
+          WHEN {s_es} > 0 AND {s_es} >= {s_de} AND {s_es} >= {s_fr}
+               THEN 'es'
+          WHEN {s_de} > 0 AND {s_de} >= {s_fr} THEN 'de'
+          WHEN {s_fr} > 0 THEN 'fr'
+          ELSE 'und' END AS lang_pred
+       FROM xx),
+gated AS (SELECT * FROM gg
+          WHERE n_tokens BETWEEN 10 AND 100000 AND lang_pred = 'en'),
+reps AS (SELECT doc_id, nt, n_tokens, fingerprint FROM (
+           SELECT *, row_number() OVER (PARTITION BY fingerprint
+                                        ORDER BY doc_id) AS rn
+           FROM gated) WHERE rn = 1),
+corpus AS (SELECT doc_id, nt AS text FROM reps),
+{SHINGLE_CTE},
+shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+v AS (SELECT doc_id,
+        ('0x' || substr(md5(shingle), 1, 4))::BIGINT AS c0,
+        ('0x' || substr(md5(shingle), 5, 4))::BIGINT AS c1
+      FROM shx),
+bits AS (SELECT doc_id, b.bit AS bit,
+           SUM(CASE WHEN ((CASE WHEN b.bit < 16 THEN c0 ELSE c1 END)
+                          >> (b.bit % 16)) & 1 = 1
+                    THEN 1 ELSE -1 END) AS vote
+         FROM v, (SELECT unnest(generate_series(0, 31)) AS bit) b
+         GROUP BY doc_id, b.bit),
+sigs AS (SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit)
+                         ELSE 0 END) AS BIGINT) AS simhash
+         FROM bits GROUP BY doc_id),
+banded AS (SELECT doc_id, simhash, b.band AS band,
+                  (simhash >> (b.band * 8)) & 255 AS val
+           FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+                a.simhash AS ha, c.simhash AS hb
+         FROM banded a JOIN banded c
+           ON a.band = c.band AND a.val = c.val AND a.doc_id < c.doc_id),
+dropped AS (SELECT DISTINCT doc_b AS doc_id FROM cand
+            WHERE bit_count(xor(ha, hb)) <= 3)
+SELECT r.doc_id, CAST(r.n_tokens AS INT) AS n_tokens, r.fingerprint
+FROM reps r LEFT JOIN dropped d ON r.doc_id = d.doc_id
+WHERE d.doc_id IS NULL
 """
 
     oracles["doc_fingerprint"] = f"""

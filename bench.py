@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_pairs",
+    "curate_corpus",
     "embedding_dedup",
     "knn_cosine_bruteforce",
     "knn_cosine_lsh",

@@ -1,0 +1,64 @@
+"""Corpus curation — the composed training-data pipeline: quality
+gate → language gate → exact dedup → near-dup removal, in one
+declarative plan.
+
+This is the canonical 100 TB pretraining-data flow built from the
+engine's verified pieces (textstats quality/language signals, md5
+fingerprints, SimHash Hamming-ball pairs). Everything before the final
+anti-join is pure ``pyspark.sql.functions``; candidate pairs come only
+from the band-bucket equijoin (operators/dedup.simhash_pairs), never an
+all-pairs product.
+
+Plan shape at scale:
+* gates + fingerprint: one projection over the scan (no shuffle);
+* exact dedup: one shuffle on fingerprint (window keeps min doc_id);
+* near-dup: the SimHash agg (one shuffle) + band self-equijoin;
+* final: left-anti join of representatives against dropped ids.
+
+Greedy pair-drop rule: for every verified near-dup pair the HIGHER
+doc_id is dropped. This is deterministic and oracle-replayable; it is
+not transitive clustering (a full clique-collapse would use connected
+components) — at curation time dropping every edge's higher end
+over-removes slightly, which is the conservative direction for
+training data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import simhash_pairs
+from .textstats import lang_pred_col, norm_text, tokens_col
+
+
+def curate(docs: DataFrame, *, lang: str = "en",
+           min_tokens: int = 10, max_tokens: int = 100_000,
+           bits: int = 32, bands: int = 4,
+           max_hamming: int = 3) -> DataFrame:
+    """(doc_id, text) → curated (doc_id, n_tokens, fingerprint):
+    documents that pass the token-count quality gate, are identified as
+    ``lang``, and survive exact + SimHash near-duplicate removal (the
+    lowest doc_id of each duplicate group/pair is kept)."""
+    n_tokens = F.size(tokens_col())
+    base = docs.select(
+        "doc_id", "text",
+        n_tokens.alias("n_tokens"),
+        lang_pred_col().alias("lang_pred"),
+        F.md5(norm_text()).alias("fingerprint"))
+    gated = base.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("lang_pred") == lang))
+
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    reps = (gated
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn", "lang_pred"))
+
+    pairs = simhash_pairs(reps.select("doc_id", "text"),
+                          bits=bits, bands=bands, max_hamming=max_hamming)
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (reps.join(dropped, "doc_id", "left_anti")
+            .select("doc_id", "n_tokens", "fingerprint"))

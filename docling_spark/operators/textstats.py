@@ -81,11 +81,12 @@ def lang_score(lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(LANG_MARKERS[lang])))
 
 
-def with_language_id(docs: DataFrame) -> DataFrame:
-    """Stop-word-marker language ID; fixed-precedence CASE argmax
-    (en > es > de > fr on ties) so Spark and the SQL oracle agree."""
+def lang_pred_col() -> Column:
+    """The language-ID decision as a standalone column (fixed-precedence
+    CASE argmax: en > es > de > fr on ties, so Spark and the SQL
+    oracle agree)."""
     s = {lang: lang_score(lang) for lang in LANG_ORDER}
-    pred = (
+    return (
         F.when((s["en"] > 0) & (s["en"] >= s["es"]) & (s["en"] >= s["de"])
                & (s["en"] >= s["fr"]), F.lit("en"))
         .when((s["es"] > 0) & (s["es"] >= s["de"]) & (s["es"] >= s["fr"]),
@@ -93,6 +94,12 @@ def with_language_id(docs: DataFrame) -> DataFrame:
         .when((s["de"] > 0) & (s["de"] >= s["fr"]), F.lit("de"))
         .when(s["fr"] > 0, F.lit("fr"))
         .otherwise(F.lit("und")))
+
+
+def with_language_id(docs: DataFrame) -> DataFrame:
+    """Stop-word-marker language ID; see lang_pred_col."""
+    s = {lang: lang_score(lang) for lang in LANG_ORDER}
+    pred = lang_pred_col()
     return docs.select(
         "doc_id", F.col("lang").alias("lang_true"),
         *[s[lang].alias(f"score_{lang}") for lang in LANG_ORDER],

@@ -197,3 +197,17 @@ def test_simhash_pairs_is_bucket_equijoin(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
     assert "partial_sum" in plan.lower() or "HashAggregate" in plan
+
+
+def test_curate_pipeline_shape(spark):
+    """The composed curation plan: gates are one projection over the
+    scan (no shuffle below the fingerprint window), candidates come
+    from the band equijoin (no product), and the final anti-join is a
+    real anti-join."""
+    from docling_spark.operators.curate import curate
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    plan = _plan(curate(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
