@@ -634,10 +634,16 @@ _XML_BUILTIN = {"amp", "lt", "gt", "quot", "apos"}
 
 
 def _substitute_entities(text: str) -> str:
+    """Drop every non-builtin entity reference inside table islands —
+    the reference parses tables with BeautifulSoup's xml (lxml) parser
+    (uspto_backend.py:1430), which discards undeclared entities
+    (&trade;, &thinsp;, ISO Greek, …) instead of resolving them;
+    pinned by the pa20010031492 goldens ('ZEOCIN&thinsp;&trade;' →
+    cell text 'ZEOCIN')."""
     def sub(m: "re.Match") -> str:
         if m.group(1) in _XML_BUILTIN:
             return m.group(0)
-        return _resolve_entity(m.group(1)) or ""
+        return ""
     return _ENTITY_RE.sub(sub, text)
 
 

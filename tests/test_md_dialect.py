@@ -1,8 +1,8 @@
 """Docling markdown-dialect parity: whole-string equality against the
 reference's OWN .md goldens (the reference gate is verify_export,
 /root/reference/tests/verify_utils.py:477-488). Covers every
-model-free declarative fixture that ships a .md golden — 40 files
-across html/csv/md/docx/xlsx/pptx/jats."""
+model-free declarative fixture that ships a .md golden — 45 files
+across html/csv/md/docx/xlsx/pptx/jats/uspto."""
 
 from pathlib import Path
 
@@ -13,6 +13,7 @@ from docling_spark.md_dialect import render_markdown_docling
 
 GT = Path("/root/reference/tests/data/groundtruth/docling_v2")
 JATS_DIR = Path("/root/reference/tests/data/jats")
+USPTO_DIR = Path("/root/reference/tests/data/uspto")
 
 
 def _parser(kind):
@@ -51,6 +52,10 @@ def _cases():
         gt_name = p.name.replace(".nxml", ".xml")
         if (GT / f"{gt_name}.md").exists():
             cases.append(("jats", p.name))
+    for p in sorted(USPTO_DIR.glob("*")):
+        # USPTO golden names drop the fixture extension
+        if (GT / f"{p.stem}.md").exists():
+            cases.append(("uspto", p.name))
     return cases
 
 
@@ -58,7 +63,7 @@ CASES = _cases()
 
 
 def test_dialect_coverage_floor():
-    assert len(CASES) >= 40
+    assert len(CASES) >= 45
 
 
 @pytest.mark.parametrize("kind,name", CASES)
@@ -69,6 +74,12 @@ def test_markdown_dialect_matches_reference_golden(kind, name):
         tree = parse_jats_document(payload)
         got = render_markdown_docling(tree, cell_escape_amp=True)
         gt_name = name.replace(".nxml", ".xml")
+    elif kind == "uspto":
+        payload = (USPTO_DIR / name).read_text(encoding="utf-8",
+                                               errors="replace")
+        from docling_spark.parsers.uspto_parser import parse_uspto_document
+        got = render_markdown_docling(parse_uspto_document(payload))
+        gt_name = Path(name).stem
     else:
         tree = _parser(kind)(fixture_payload(name))
         got = render_markdown_docling(tree)

@@ -41,6 +41,11 @@ def _parser(kind):
         elif kind == "jats":
             from docling_spark.parsers.jats_parser import parse_jats_document
             PARSERS[kind] = parse_jats_document
+        elif kind == "uspto":
+            from docling_spark.parsers.uspto_parser import (
+                parse_uspto_document,
+            )
+            PARSERS[kind] = parse_uspto_document
     return PARSERS[kind]
 
 
@@ -51,6 +56,9 @@ def _fixture_names(kind):
     if kind == "jats":
         src = Path("/root/reference/tests/data/jats")
         return sorted(p.name for p in src.glob("*.xml"))
+    if kind == "uspto":
+        src = Path("/root/reference/tests/data/uspto")
+        return sorted(p.name for p in src.glob("*"))
     return fixture_names(f".{kind}")
 
 
@@ -58,17 +66,23 @@ def _payload(kind, name):
     if kind == "jats":
         return (Path("/root/reference/tests/data/jats") / name).read_text(
             encoding="utf-8")
+    if kind == "uspto":
+        return (Path("/root/reference/tests/data/uspto") / name).read_text(
+            encoding="utf-8", errors="replace")
     return fixture_payload(name)
 
 
 def main():
     only = sys.argv[1] if len(sys.argv) > 1 else None
     n_ok = n_miss = n_skip = 0
-    for kind in ("html", "csv", "md", "docx", "xlsx", "pptx", "jats"):
+    for kind in ("html", "csv", "md", "docx", "xlsx", "pptx", "jats",
+                 "uspto"):
         for name in _fixture_names(kind):
             if only and only not in name:
                 continue
-            gt_path = GT / f"{name}.md"
+            # USPTO golden names drop the fixture extension
+            stem = name.rsplit(".", 1)[0] if kind == "uspto" else name
+            gt_path = GT / f"{stem}.md"
             if not gt_path.exists():
                 n_skip += 1
                 continue
