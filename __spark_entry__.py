@@ -281,6 +281,33 @@ def q_extract_pdf_paged(spark, sf_dir):
                                        "text")
 
 
+def q_extract_image_docs(spark, sf_dir):
+    """Image auto-wrap route (reference pdf_backend.py:55-65: images
+    become 1-page PDF docs): pure-image documents flow through
+    extract_routed's Catalyst-only image branch — each image span
+    becomes a picture span, payload never reaches Python."""
+    from docling_spark.operators.extract import extract_routed
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 7 == 0)
+
+    def span(i):
+        return F.struct(
+            F.lit("image").alias("kind"), F.lit("").alias("text"),
+            F.concat(F.lit("img://"),
+                     (F.col("doc_id") + i).cast("string")).alias("media_ref"),
+            F.lit(i).cast("int").alias("offset"))
+
+    spans = (F.when(F.col("doc_id") % 2 == 0, F.array(span(0), span(1)))
+             .otherwise(F.array(span(0))))
+    corpus = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                         spans.alias("spans"))
+    out = extract_routed(corpus, num_partitions=_par(spark))
+    ex = out.select("doc_id", "status", F.explode("spans").alias("s"))
+    return ex.select("doc_id", "status",
+                     F.col("s.offset").alias("span_offset"),
+                     F.col("s.kind").alias("kind"),
+                     F.col("s.media_ref").alias("media_ref"))
+
+
 def q_pdf_page_cells(spark, sf_dir):
     """Cells-level verification surface (the reference's verify_cells
     gate, tests/verify_utils.py:59-88): per-page merged text cells with
@@ -849,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_status_counts": q_extract_status_counts,
         "extract_pdf_paged": q_extract_pdf_paged,
         "pdf_page_cells": q_pdf_page_cells,
+        "extract_image_docs": q_extract_image_docs,
         "export_markdown": q_export_markdown,
         "extract_docling_markdown": q_extract_docling_markdown,
         "extract_docling_itxt": q_extract_docling_itxt,
@@ -1247,6 +1275,18 @@ SELECT doc_id, CAST(CASE WHEN h > 1 THEN 2 ELSE 1 END AS INT), 'text',
 FROM p WHERE len(toks) > h
 """
 
+    oracles["extract_image_docs"] = """
+WITH base AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'success' AS status,
+       CAST(0 AS INT) AS span_offset, 'picture' AS kind,
+       'img://' || CAST(doc_id AS VARCHAR) AS media_ref
+FROM base
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'success', CAST(1 AS INT), 'picture',
+       'img://' || CAST(doc_id + 1 AS VARCHAR)
+FROM base WHERE doc_id % 2 = 0
+"""
+
     oracles["pdf_page_cells"] = """
 WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                   string_split(text, ' ') AS toks FROM documents),
@@ -1306,11 +1346,19 @@ SELECT doc_id,
   CAST(len(t) AS INT) AS n_tokens,
   CAST(floor((punct / greatest(length(nt), 1)) * 10000) AS BIGINT)
     AS punct_ratio_e4,
+  CAST(floor((length(regexp_replace(nt, '[^#…]', '', 'g'))
+              / greatest(length(nt), 1)) * 10000) AS BIGINT)
+    AS symbol_ratio_e4,
   CAST(floor((len(list_filter(t, w -> list_contains({stop_list}, w)))
               / greatest(len(t), 1)) * 10000) AS BIGINT)
     AS stopword_ratio_e4,
+  CAST(floor((len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+              / greatest(len(t), 1)) * 10000) AS BIGINT)
+    AS alpha_token_ratio_e4,
   CAST(floor(((length(nt) - (len(t) - 1)) / greatest(len(t), 1)) * 10000)
        AS BIGINT) AS mean_token_len_e4,
+  CAST(list_max(list_transform(t, w -> length(w))) AS INT)
+    AS max_token_len,
   CAST(len(t) BETWEEN 10 AND 100000 AS INT) AS quality_keep
 FROM x
 """

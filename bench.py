@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "extract_pdf_paged",
     "extract_uspto_spans",
     "extract_status_counts",
+    "extract_image_docs",
     "pdf_page_cells",
     "page_dump",
     "export_markdown",

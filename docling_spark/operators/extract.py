@@ -518,12 +518,36 @@ def extract_routed(
     partitioning is uniform in row count, and the only size-skew that
     matters (one mega document serializing a partition, SURVEY.md §7.4)
     is removed structurally by exploding pages before the UDF rather
-    than by key-salting an aggregation."""
+    than by key-salting an aggregation.
+
+    Pure-image documents (every span kind == 'image') mirror the
+    reference's image auto-wrap (images become 1-page PDF docs,
+    pdf_backend.py:55-65): each image span becomes one 'picture'
+    output span in order, status success — the OCR/layout models that
+    would text-mine the bitmap are pluggable slots. This branch is
+    pure Catalyst; image payloads never reach Python."""
     is_paged = F.exists("spans", lambda s: s["kind"] == "pdf_page")
+    is_image = (F.exists("spans", lambda s: s["kind"] == "image")
+                & ~F.exists("spans", lambda s: s["kind"] != "image"))
     doc_side = extract_spans(
-        df.filter(~is_paged), allowed_kinds=allowed_kinds,
+        df.filter(~is_paged & ~is_image), allowed_kinds=allowed_kinds,
         max_payload_chars=max_payload_chars, num_partitions=num_partitions,
         oversize=oversize)
     paged_side = extract_spans_paged(
-        df.filter(is_paged), num_partitions=num_partitions)
-    return doc_side.unionByName(paged_side)
+        df.filter(is_paged & ~is_image), num_partitions=num_partitions)
+    image_side = df.filter(is_image).select(
+        "doc_id",
+        F.transform(
+            F.expr("array_sort(spans, (a, b) -> a.offset - b.offset)"),
+            lambda s, i: F.struct(
+                F.lit("picture").alias("kind"),
+                F.lit("").alias("text"),
+                s["media_ref"].alias("media_ref"),
+                i.cast("int").alias("offset"))).alias("spans"),
+        F.lit(STATUS_SUCCESS).alias("status"),
+        F.array().cast(
+            "array<struct<component:string,module:string,"
+            "message:string>>").alias("errors"),
+        F.size("spans").cast("int").alias("n_spans"),
+        F.lit(0).cast("long").alias("wall_us"))
+    return doc_side.unionByName(paged_side).unionByName(image_side)

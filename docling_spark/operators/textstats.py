@@ -50,14 +50,19 @@ def with_token_stats(docs: DataFrame) -> DataFrame:
 
 
 def with_quality(docs: DataFrame) -> DataFrame:
-    """Length / punctuation / stop-word quality signals + a keep flag
-    (the boilerplate-quality gate of a pretraining pipeline)."""
+    """Length / punctuation / stop-word quality signals + Gopher-style
+    repetition/shape signals (symbol ratio, alphabetic-token ratio,
+    max token length) + a keep flag (the boilerplate-quality gate of a
+    pretraining pipeline)."""
     toks = tokens_col()
     n_tokens = F.size(toks)
     n_chars = F.length(norm_text())
     punct = F.length(F.regexp_replace(norm_text(), r"[^.,;:!?]", ""))
+    symbol = F.length(F.regexp_replace(norm_text(), r"[^#…]", ""))
     stop_hits = F.size(F.filter(
         toks, lambda t: t.isin(EN_STOPWORDS)))
+    alpha_hits = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    max_tok = F.array_max(F.transform(toks, lambda t: F.length(t)))
     # ratios ship as floor(x*1e4) bigints: exact integer comparison
     # across engines (no float-rounding divergence vs the SQL oracle)
     def e4(x):
@@ -68,9 +73,13 @@ def with_quality(docs: DataFrame) -> DataFrame:
         "doc_id",
         n_tokens.alias("n_tokens"),
         e4(punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio_e4"),
+        e4(symbol / F.greatest(n_chars, F.lit(1))).alias("symbol_ratio_e4"),
         e4(stop_hits / F.greatest(n_tokens, F.lit(1)))
          .alias("stopword_ratio_e4"),
+        e4(alpha_hits / F.greatest(n_tokens, F.lit(1)))
+         .alias("alpha_token_ratio_e4"),
         e4(mean_tok_len).alias("mean_token_len_e4"),
+        max_tok.cast("int").alias("max_token_len"),
         ((n_tokens >= 10) & (n_tokens <= 100000)).cast("int")
          .alias("quality_keep"),
     )
