@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "curate_corpus",
     "embedding_dedup",
     "knn_cosine_bruteforce",
+    "knn_cosine_int8",
     "knn_cosine_lsh",
     "knn_cosine_ivf",
     "events_sessionize",

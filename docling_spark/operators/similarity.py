@@ -290,6 +290,35 @@ def knn_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     return _topk(scored, k)
 
 
+def quantize_embeddings(embeddings: DataFrame,
+                        col: str = "embedding") -> DataFrame:
+    """int8 scalar quantization, per-vector max-abs scale:
+    ``q_i = floor(x_i / s * 127)`` with ``s = max(|x|)`` — pure
+    Catalyst, no Python. At 10^12 rows this is the shuffle/broadcast
+    bytes story: a float32 embedding column shrinks 4× (float64 8×)
+    before any join or scan-side exchange, and cosine over the int8
+    vectors is scale-invariant, so the per-vector scale never needs to
+    travel with the row. floor (not round) keeps the quantizer exactly
+    replayable in ANSI SQL."""
+    s = F.greatest(
+        F.array_max(F.transform(col, lambda x: F.abs(x))), F.lit(1e-30))
+    q = F.transform(col, lambda x: F.floor(x / s * 127).cast("tinyint"))
+    return embeddings.select("vec_id", q.alias(col))
+
+
+def knn_bruteforce_int8(embeddings: DataFrame, queries: DataFrame,
+                        k: int = 5) -> DataFrame:
+    """Exact top-k cosine over the int8-quantized corpus — the same
+    two-phase scan/merge as knn_bruteforce but with 4-8× fewer bytes
+    crossing the Arrow boundary. Scores are cosines of the quantized
+    vectors: integer dot products and squared norms are exact in
+    doubles (|q| ≤ 127), so the result is bit-reproducible across
+    engines and batch orders."""
+    qe = _as_double(quantize_embeddings(embeddings))
+    qq = _as_double(quantize_embeddings(queries))
+    return knn_bruteforce(qe, qq, k=k)
+
+
 def knn_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             n_planes: int = N_PLANES) -> DataFrame:
     """Approximate top-k: only corpus vectors in the query's LSH bucket

@@ -211,3 +211,22 @@ def test_curate_pipeline_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan
+
+
+def test_int8_quantizer_is_pure_catalyst(spark):
+    """Quantization must not add a Python stage or a shuffle; the int8
+    knn keeps the two-phase no-join scan shape."""
+    from pyspark.sql import functions as F
+    from docling_spark.operators.similarity import (
+        knn_bruteforce_int8,
+        quantize_embeddings,
+    )
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding")
+    qplan = _plan(quantize_embeddings(emb))
+    assert "EvalPython" not in qplan  # no Arrow/Batch python node
+    assert "Exchange" not in qplan
+    plan = _plan(knn_bruteforce_int8(emb, emb.filter(F.col("vec_id") < 5)))
+    assert "Join" not in plan
+    assert "MapInPandas" in plan
