@@ -148,7 +148,17 @@ def knn_bruteforce(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             for j, qid in enumerate(q_ids):
                 col = scores[:, j].copy()
                 col[ids == qid] = -np.inf  # self-match exclusion
-                top = np.argpartition(-col, kk - 1)[:kk]
+                # lexicographic partial top-k (score desc, nbr_id asc):
+                # argpartition-by-score-alone can drop a TIED candidate
+                # with a smaller id at the k boundary — ties are
+                # measure-zero for float cosines but common for
+                # quantized (int8) vectors. Pool = everything at or
+                # above the k-th score, then lexsort the pool.
+                part = np.argpartition(-col, kk - 1)[:kk]
+                thresh = col[part].min()
+                pool = np.flatnonzero(col >= thresh)
+                order = np.lexsort((ids[pool], -col[pool]))
+                top = pool[order[:kk]]
                 keep = top[np.isfinite(col[top])]
                 out["query_id"].extend([qid] * len(keep))
                 out["nbr_id"].extend(ids[keep].tolist())
