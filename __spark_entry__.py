@@ -535,6 +535,17 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     return simhash_pairs(corpus, n=3, bits=32, bands=4, max_hamming=3)
 
 
+def q_dedup_components(spark, sf_dir):
+    """Duplicate-cluster collapse: connected components over the
+    SimHash near-dup pair list via iterated min-label propagation
+    (one join + one min-agg per round, early-exit on convergence);
+    the oracle computes the same components with a recursive CTE."""
+    from docling_spark.operators.dedup import dedup_components, simhash_pairs
+    corpus = _clone_corpus_near(_docs(spark, sf_dir))
+    pairs = simhash_pairs(corpus, n=3, bits=32, bands=4, max_hamming=3)
+    return dedup_components(pairs)
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Exact n-gram Jaccard on explicitly given pairs (no LSH filter) —
     the verify primitive exposed as its own operator."""
@@ -908,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "curate_corpus": q_curate_corpus,
+        "dedup_components": q_dedup_components,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "knn_cosine_bruteforce": q_knn_cosine_bruteforce,
         "knn_cosine_int8": q_knn_cosine_int8,
@@ -1345,7 +1357,9 @@ SELECT doc_id,
        CAST(len(string_split(nt, ' ')) AS INT) AS n_tokens,
        CAST(length(nt) AS INT) AS n_chars_norm,
        CAST(len(list_distinct(string_split(nt, ' '))) AS INT)
-         AS n_unique_tokens
+         AS n_unique_tokens,
+       CAST(len(regexp_extract_all(nt, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+            AS INT) AS n_bpe_tokens
 FROM n
 """
 
@@ -1576,8 +1590,7 @@ SELECT doc_id,
 FROM bits GROUP BY doc_id
 """
 
-    oracles["dedup_simhash_pairs"] = f"""
-WITH corpus AS (
+    simhash_pair_ctes = f"""corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 1000000, text || ' extra trailing words appended here'
@@ -1604,9 +1617,25 @@ banded AS (SELECT doc_id, simhash, b.band AS band,
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
                 a.simhash AS ha, c.simhash AS hb
          FROM banded a JOIN banded c
-           ON a.band = c.band AND a.val = c.val AND a.doc_id < c.doc_id)
+           ON a.band = c.band AND a.val = c.val AND a.doc_id < c.doc_id)"""
+
+    oracles["dedup_simhash_pairs"] = "WITH " + simhash_pair_ctes + """
 SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+    oracles["dedup_components"] = \
+        "WITH RECURSIVE " + simhash_pair_ctes + """,
+p2 AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
+e AS (SELECT doc_a AS s, doc_b AS t FROM p2
+      UNION SELECT doc_b, doc_a FROM p2),
+nodes AS (SELECT DISTINCT s AS node FROM e),
+reach(src, node) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.src, e.t FROM reach r JOIN e ON r.node = e.s)
+SELECT node AS doc_id, MIN(src) AS component
+FROM reach GROUP BY node
 """
 
     knn_core = """

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "curate_corpus",
+    "dedup_components",
     "embedding_dedup",
     "knn_cosine_bruteforce",
     "knn_cosine_int8",

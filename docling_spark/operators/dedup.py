@@ -214,6 +214,55 @@ def minhash_dedup(docs: DataFrame, *, n: int = 3, num_hashes: int = 16,
     return out.orderBy("doc_a", "doc_b") if deterministic_output else out
 
 
+def dedup_components(pairs: DataFrame, *, max_iterations: int = 20,
+                     check_every: int = 1) -> DataFrame:
+    """Connected components over a near-duplicate pair list:
+    (doc_a, doc_b) edges → (doc_id, component) with component = the
+    minimum doc_id in each duplicate cluster. This is the clique
+    collapse the greedy per-edge drop (operators/curate.py)
+    approximates.
+
+    Algorithm: iterated min-label propagation — each round is ONE
+    shuffle join (labels onto the symmetric edge list) + ONE min
+    aggregation; rounds needed = graph diameter, which for near-dup
+    clusters is tiny (duplicate groups are dense). The driver loop
+    early-exits when a round changes nothing. For adversarial
+    long-chain graphs at 10^12 edges, swap the body for the
+    large-star/small-star rounds of Kiveris et al. (CC in MapReduce) —
+    same per-round plan shape, O(log^2 n) rounds.
+
+    Labels persist per round and the previous round unpersists, so
+    lineage stays one round deep (no exponential recompute)."""
+    edges = pairs.select("doc_a", "doc_b")
+    sym = edges.unionByName(
+        edges.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b")))
+    labels = (sym.select(F.col("doc_a").alias("doc_id")).distinct()
+              .withColumn("component", F.col("doc_id"))
+              .persist())
+    labels.count()
+    for it in range(max_iterations):
+        neigh = (sym.join(labels,
+                          sym["doc_b"] == labels["doc_id"])
+                 .select(F.col("doc_a").alias("doc_id"), "component"))
+        new = (labels.select("doc_id", "component").unionByName(neigh)
+               .groupBy("doc_id")
+               .agg(F.min("component").alias("component"))
+               .persist())
+        if (it + 1) % check_every == 0:
+            changed = (new.alias("n")
+                       .join(labels.alias("o"), "doc_id")
+                       .filter(F.col("n.component") != F.col("o.component"))
+                       .limit(1).count())
+        else:
+            changed = 1
+        labels.unpersist()
+        labels = new
+        if not changed:
+            break
+    return labels.select("doc_id", "component")
+
+
 def embedding_dedup(embeddings: DataFrame, *, threshold: float = 0.98,
                     n_planes: int = 8) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: random-hyperplane LSH

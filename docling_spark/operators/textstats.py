@@ -39,6 +39,12 @@ def tokens_col() -> Column:
     return F.split(norm_text(), " ")
 
 
+# BPE-style pre-tokenizer (ASCII subset of the GPT-2 pattern: letter
+# runs, digit runs, single punctuation marks) — class-based so the
+# Java and RE2 regex engines agree character-for-character
+BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
 def with_token_stats(docs: DataFrame) -> DataFrame:
     toks = tokens_col()
     return docs.select(
@@ -46,6 +52,8 @@ def with_token_stats(docs: DataFrame) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.length(norm_text()).alias("n_chars_norm"),
         F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.size(F.regexp_extract_all(norm_text(), F.lit(BPE_TOKEN_RE), 0))
+         .alias("n_bpe_tokens"),
     )
 
 
