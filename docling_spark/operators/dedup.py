@@ -214,8 +214,8 @@ def minhash_dedup(docs: DataFrame, *, n: int = 3, num_hashes: int = 16,
     return out.orderBy("doc_a", "doc_b") if deterministic_output else out
 
 
-def dedup_components(pairs: DataFrame, *, max_iterations: int = 20,
-                     check_every: int = 1) -> DataFrame:
+def dedup_components(pairs: DataFrame, *,
+                     max_iterations: int = 20) -> DataFrame:
     """Connected components over a near-duplicate pair list:
     (doc_a, doc_b) edges → (doc_id, component) with component = the
     minimum doc_id in each duplicate cluster. This is the clique
@@ -234,33 +234,40 @@ def dedup_components(pairs: DataFrame, *, max_iterations: int = 20,
     Labels persist per round and the previous round unpersists, so
     lineage stays one round deep (no exponential recompute)."""
     edges = pairs.select("doc_a", "doc_b")
+    # materialize the symmetric edge list ONCE: every propagation round
+    # joins against it, and without the persist each round would re-run
+    # the whole upstream candidate-generation pipeline
     sym = edges.unionByName(
         edges.select(F.col("doc_b").alias("doc_a"),
-                     F.col("doc_a").alias("doc_b")))
+                     F.col("doc_a").alias("doc_b"))).persist()
     labels = (sym.select(F.col("doc_a").alias("doc_id")).distinct()
               .withColumn("component", F.col("doc_id"))
               .persist())
     labels.count()
-    for it in range(max_iterations):
-        neigh = (sym.join(labels,
-                          sym["doc_b"] == labels["doc_id"])
-                 .select(F.col("doc_a").alias("doc_id"), "component"))
-        new = (labels.select("doc_id", "component").unionByName(neigh)
-               .groupBy("doc_id")
-               .agg(F.min("component").alias("component"))
+    for _ in range(max_iterations):
+        # one round = one join + one min-agg + one left join; the
+        # convergence signal rides the same action that materializes
+        # the new labels (no separate changed-count pass)
+        nbr_min = (sym.join(labels, sym["doc_b"] == labels["doc_id"])
+                   .groupBy("doc_a")
+                   .agg(F.min("component").alias("nbr_min")))
+        new = (labels.join(nbr_min,
+                           labels["doc_id"] == nbr_min["doc_a"], "left")
+               .select(
+                   "doc_id",
+                   F.least(F.col("component"),
+                           F.coalesce(F.col("nbr_min"), F.col("component")))
+                   .alias("component"),
+                   (F.coalesce(F.col("nbr_min"), F.col("component"))
+                    < F.col("component")).cast("int").alias("chg"))
                .persist())
-        if (it + 1) % check_every == 0:
-            changed = (new.alias("n")
-                       .join(labels.alias("o"), "doc_id")
-                       .filter(F.col("n.component") != F.col("o.component"))
-                       .limit(1).count())
-        else:
-            changed = 1
+        changed = new.agg(F.sum("chg")).collect()[0][0] or 0
         labels.unpersist()
-        labels = new
+        labels = new.select("doc_id", "component")
         if not changed:
             break
-    return labels.select("doc_id", "component")
+    sym.unpersist()
+    return labels
 
 
 def embedding_dedup(embeddings: DataFrame, *, threshold: float = 0.98,
