@@ -451,6 +451,14 @@ def q_doc_token_stats(spark, sf_dir):
     return with_token_stats(_docs(spark, sf_dir))
 
 
+def q_doc_winnow_fingerprints(spark, sf_dir):
+    """MOSS-style winnowing fingerprints: rolling k-gram md5 hashes,
+    w-window minima, distinct — Arrow-batched sliding-window min; the
+    oracle replays the scheme with DuckDB list expressions."""
+    from docling_spark.operators.textstats import winnow_fingerprints
+    return winnow_fingerprints(_docs(spark, sf_dir), k=8, w=4)
+
+
 def q_doc_quality(spark, sf_dir):
     return with_quality(_docs(spark, sf_dir))
 
@@ -912,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_language_id": q_doc_language_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
         "token_histogram": q_token_histogram,
         "page_assembly": q_page_assembly,
         "dedup_exact": q_dedup_exact,
@@ -1478,6 +1487,25 @@ WHERE d.doc_id IS NULL
 
     oracles["doc_fingerprint"] = f"""
 SELECT doc_id, md5({NORM_SQL}) AS fingerprint FROM documents
+"""
+
+    oracles["doc_winnow_fingerprints"] = f"""
+WITH n AS (SELECT doc_id, {NORM_SQL} AS nt FROM documents),
+g AS (SELECT doc_id, length(nt) AS ln,
+        CASE WHEN length(nt) >= 8
+             THEN list_transform(generate_series(1, length(nt) - 7),
+                    i -> ('0x' || substr(md5(substr(nt, i, 8)), 1, 8))
+                         ::BIGINT)
+             ELSE [('0x' || substr(md5(nt), 1, 8))::BIGINT] END AS hs
+      FROM n),
+m AS (SELECT doc_id,
+        CASE WHEN ln >= 11
+             THEN list_distinct(list_transform(
+                    generate_series(1, len(hs) - 3),
+                    j -> list_min(hs[j:j+3])))
+             ELSE [list_min(hs)] END AS fps
+      FROM g)
+SELECT doc_id, unnest(fps) AS fp FROM m
 """
 
     oracles["token_histogram"] = f"""

@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "doc_token_stats",
     "doc_quality",
     "doc_language_id",
+    "doc_winnow_fingerprints",
     "token_histogram",
     "dedup_exact",
     "dedup_minhash_lsh",

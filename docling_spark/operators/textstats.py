@@ -1,17 +1,21 @@
 """Text-analysis operators for training-data pipelines.
 
-Everything here is pure ``pyspark.sql.functions`` — JVM-side,
-whole-stage-codegen friendly, zero Python UDFs — so at 100 TB the hot
-path never crosses the Arrow boundary. Each operator has an exact ANSI
-SQL equivalent (the DuckDB oracles in ``__spark_entry__``): the Spark
-expression and the SQL are two spellings of the same formula.
+Everything here except winnowing is pure ``pyspark.sql.functions`` —
+JVM-side, whole-stage-codegen friendly — so at 100 TB the hot path
+never crosses the Arrow boundary; the one exception
+(``winnow_fingerprints``) needs a true sliding-window minimum and runs
+it as a single Arrow-batched NumPy pass. Each operator has an exact
+ANSI SQL equivalent (the DuckDB oracles in ``__spark_entry__``): the
+Spark expression and the SQL are two spellings of the same formula.
 
-Operators: token counting, quality scoring, language-ID (stop-word
-marker heuristic), document fingerprinting.
+Operators: token counting (whitespace + BPE-style regex), quality
+scoring (incl. Gopher-style signals), language-ID (stop-word marker
+heuristic), document fingerprinting (exact md5 + MOSS winnowing).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -121,6 +125,59 @@ def with_language_id(docs: DataFrame) -> DataFrame:
         "doc_id", F.col("lang").alias("lang_true"),
         *[s[lang].alias(f"score_{lang}") for lang in LANG_ORDER],
         pred.alias("lang_pred"))
+
+
+def _winnow_udf(k: int, w: int):
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    def gram_hashes(t: str):
+        return [int(hashlib.md5(t[i:i + k].encode("utf-8"))
+                    .hexdigest()[:8], 16)
+                for i in range(len(t) - k + 1)]
+
+    @pandas_udf("array<long>")
+    def fps(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            t = t or ""
+            n = len(t)
+            if n < k:
+                out.append([int(hashlib.md5(t.encode("utf-8"))
+                                .hexdigest()[:8], 16)])
+            elif n < k + w - 1:
+                out.append([min(gram_hashes(t))])
+            else:
+                hs = np.asarray(gram_hashes(t), dtype=np.int64)
+                mins = np.lib.stride_tricks.sliding_window_view(
+                    hs, w).min(axis=1)
+                out.append(np.unique(mins).tolist())
+        return pd.Series(out)
+
+    return fps
+
+
+def winnow_fingerprints(docs: DataFrame, *, k: int = 8,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme: rolling
+    k-gram hashes over normalized text, minimum per w-window, distinct
+    mins): one (doc_id, fp) row per selected fingerprint. Guarantees
+    any shared substring of length ≥ k + w - 1 yields at least one
+    shared fingerprint — the content-overlap primitive exact hashing
+    misses; shared-fp counts feed plagiarism/near-dup candidate joins.
+
+    Normalization stays in Catalyst; the sliding-window minimum runs
+    as one Arrow-batched NumPy pass (a nested Catalyst
+    ``transform(slice(...))`` would re-evaluate the gram array per
+    window — O(n²) in the interpreted HOF path). Hashes are md5's
+    leading 8 hex digits, so the DuckDB oracle replays them exactly
+    with materialized list expressions. Short docs (< k chars)
+    contribute their whole-text hash."""
+    fps = _winnow_udf(k, w)
+    return (docs.select("doc_id", norm_text().alias("_nt"))
+            .select("doc_id", F.explode(fps(F.col("_nt"))).alias("fp")))
 
 
 def with_fingerprint(docs: DataFrame) -> DataFrame:
