@@ -463,6 +463,81 @@ def q_doc_quality(spark, sf_dir):
     return with_quality(_docs(spark, sf_dir))
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition signals over a synthetic multi-line
+    payload (repeated header/footer lines injected so the dup-line
+    metrics do real work); doc-local, zero-shuffle."""
+    from docling_spark.operators.textstats import with_repetition
+    docs = _docs(spark, sf_dir)
+    payload = F.concat(
+        F.lit("quick brown fox\n"), F.col("text"),
+        F.lit("\nquick brown fox\nfooter "),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("\nquick brown fox"))
+         .otherwise(F.lit("")))
+    return with_repetition(docs.select("doc_id", payload.alias("text")))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub: deterministic emails/SSNs/cards/phones/IPs appended
+    per doc_id class; counts per type + chained redaction, all inside
+    whole-stage codegen."""
+    from docling_spark.operators.scrub import with_pii_scrub
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    four = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    v = F.col("doc_id") % 3
+    payload = F.concat(
+        F.col("text"),
+        F.when(v == 0, F.concat(
+            F.lit(" contact d"), did, F.lit("@mail.example.org now")))
+        .when(v == 1, F.concat(
+            F.lit(" ssn 123-45-"), four, F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit("."),
+            (F.col("doc_id") % 100).cast("string")))
+        .otherwise(F.concat(
+            F.lit(" call (555) 010-"), four,
+            F.lit(" card 4111 1111 1111 "), four)))
+    return with_pii_scrub(docs.select("doc_id", payload.alias("text")))
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: every 17th doc IS the benchmark
+    (contam = 1.0); a +1000000 clone with a novel suffix is partially
+    contaminated; everything else ~0. Broadcast gram join + one
+    groupBy."""
+    from docling_spark.operators.decontam import decontaminate
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    partial = (docs.filter((F.col("doc_id") % 17 == 0)
+                           & (F.col("doc_id") < 60))
+               .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                       F.concat(F.col("text"),
+                                F.lit(" completely novel trailing content"
+                                      " words appended here for overlap"))
+                       .alias("text")))
+    corpus = docs.select("doc_id", "text").unionByName(partial)
+    return decontaminate(corpus, benchmark, n=5, threshold=0.5)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk packing layout: md5 hash-sharding + one window
+    cumsum per shard (GPT-style fixed-length sequence slicing)."""
+    from docling_spark.operators.packing import pack_sequences
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.size(tokens_col()).alias("n_tokens"))
+    return pack_sequences(toks, seq_len=64, n_shards=8)
+
+
+def q_sample_weighted(spark, sf_dir):
+    """Deterministic per-language Bernoulli mixing: md5-uniform draw vs
+    per-group rate; zero-shuffle filter."""
+    from docling_spark.operators.packing import sample_weighted
+    docs = _docs(spark, sf_dir)
+    return sample_weighted(
+        docs, {"en": 8000, "es": 5000, "de": 2500, "fr": 1000})
+
+
 def q_doc_language_id(spark, sf_dir):
     return with_language_id(_docs(spark, sf_dir))
 
@@ -918,6 +993,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_spans": q_enrich_spans,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
+        "doc_repetition": q_doc_repetition,
+        "pii_scrub": q_pii_scrub,
+        "decontaminate_docs": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
+        "sample_weighted": q_sample_weighted,
         "doc_language_id": q_doc_language_id,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
@@ -1397,6 +1477,157 @@ SELECT doc_id,
     AS max_token_len,
   CAST(len(t) BETWEEN 10 AND 100000 AS INT) AS quality_keep
 FROM x
+"""
+
+    # -- PII scrub: regexes taken verbatim from PII_PATTERNS so the
+    # Spark and DuckDB spellings cannot drift
+    from docling_spark.operators.scrub import PII_PATTERNS
+    pii_counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS INT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS)
+    pii_total = " + ".join(
+        f"len(regexp_extract_all(t, '{pat}'))" for _, pat, _ in PII_PATTERNS)
+    pii_scrubbed = "t"
+    for _, pat, repl in PII_PATTERNS:
+        pii_scrubbed = (f"regexp_replace({pii_scrubbed}, '{pat}', "
+                        f"'{repl}', 'g')")
+    oracles["pii_scrub"] = f"""
+WITH p AS (
+  SELECT doc_id, text || CASE
+    WHEN doc_id % 3 = 0 THEN ' contact d' || CAST(doc_id AS VARCHAR)
+         || '@mail.example.org now'
+    WHEN doc_id % 3 = 1 THEN ' ssn 123-45-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+         || CAST(doc_id % 100 AS VARCHAR)
+    ELSE ' call (555) 010-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         || ' card 4111 1111 1111 '
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+    END AS t
+  FROM documents)
+SELECT doc_id,
+  {pii_counts},
+  CAST({pii_total} AS INT) AS n_pii,
+  {pii_scrubbed} AS scrubbed
+FROM p
+"""
+
+    oracles["doc_repetition"] = """
+WITH p AS (SELECT doc_id,
+    'quick brown fox' || chr(10) || text || chr(10) || 'quick brown fox'
+    || chr(10) || 'footer ' || CAST(doc_id AS VARCHAR)
+    || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'quick brown fox'
+            ELSE '' END AS t
+  FROM documents),
+l AS (SELECT doc_id,
+    list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+                x -> x != '') AS lines,
+    lower(trim(regexp_replace(t, '\\s+', ' ', 'g'))) AS nt
+  FROM p),
+b AS (SELECT doc_id, lines, string_split(nt, ' ') AS tk,
+    CASE WHEN len(string_split(nt, ' ')) >= 2
+         THEN list_transform(
+                generate_series(1, len(string_split(nt, ' ')) - 1),
+                i -> string_split(nt, ' ')[i] || chr(31)
+                     || string_split(nt, ' ')[i + 1])
+         ELSE CAST([] AS VARCHAR[]) END AS bi
+  FROM l),
+top AS (SELECT doc_id, MAX(c) AS topc FROM (
+    SELECT doc_id, bg, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(bi) AS bg FROM b)
+    GROUP BY doc_id, bg) GROUP BY doc_id)
+SELECT b.doc_id,
+  CAST(len(lines) AS INT) AS n_lines,
+  CAST(floor((len(lines) - len(list_distinct(lines)))
+             / greatest(len(lines), 1) * 10000) AS BIGINT)
+    AS dup_line_frac_e4,
+  CAST(floor((list_sum(list_transform(lines, x -> length(x)))
+              - list_sum(list_transform(list_distinct(lines),
+                                        x -> length(x))))
+             / greatest(list_sum(list_transform(lines,
+                                                x -> length(x))), 1)
+             * 10000) AS BIGINT) AS dup_line_char_frac_e4,
+  CAST(floor((len(bi) - len(list_distinct(bi)))
+             / greatest(len(bi), 1) * 10000) AS BIGINT)
+    AS dup_bigram_frac_e4,
+  CAST(floor(coalesce(topc, 0) / greatest(len(bi), 1) * 10000) AS BIGINT)
+    AS top_bigram_frac_e4
+FROM b LEFT JOIN top ON b.doc_id = top.doc_id
+"""
+
+    gram5 = """
+      CASE WHEN len(t) >= 5
+           THEN list_distinct(list_transform(
+                  generate_series(1, len(t) - 4),
+                  i -> array_to_string(t[i:i+4], ' ')))
+           ELSE [nt] END"""
+    oracles["decontaminate_docs"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         text || ' completely novel trailing content words appended'
+              || ' here for overlap'
+  FROM documents WHERE doc_id % 17 = 0 AND doc_id < 60),
+cn AS (SELECT doc_id, {NORM_SQL} AS nt FROM corpus),
+ct AS (SELECT doc_id, nt, string_split(nt, ' ') AS t FROM cn),
+cg AS (SELECT doc_id, {gram5} AS grams FROM ct),
+cx AS (SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           grams, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT))) AS gram
+       FROM cg),
+bn AS (SELECT {NORM_SQL} AS nt FROM documents WHERE doc_id % 17 = 0),
+bt AS (SELECT nt, string_split(nt, ' ') AS t FROM bn),
+bg AS (SELECT {gram5} AS grams FROM bt),
+bh AS (SELECT DISTINCT unnest(list_transform(
+         grams, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT)) AS gram
+       FROM bg),
+agg AS (SELECT cx.doc_id, COUNT(*) AS n_grams,
+               SUM(CASE WHEN bh.gram IS NOT NULL THEN 1 ELSE 0 END)
+                 AS n_hit
+        FROM cx LEFT JOIN bh ON cx.gram = bh.gram GROUP BY cx.doc_id)
+SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+       CAST(n_hit AS INT) AS n_hit,
+       CAST(floor(n_hit / n_grams * 10000) AS BIGINT) AS contam_e4,
+       CAST(floor(n_hit / n_grams * 10000) >= 5000 AS INT)
+         AS contaminated
+FROM agg
+"""
+
+    oracles["pack_sequences"] = f"""
+WITH n AS (SELECT doc_id,
+             CAST(len(string_split({NORM_SQL}, ' ')) AS BIGINT)
+               AS n_tokens
+           FROM documents),
+s AS (SELECT doc_id, n_tokens,
+        CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                             1, 8))::BIGINT % 8 AS INT) AS shard_id
+      FROM n),
+w AS (SELECT doc_id, shard_id, n_tokens,
+        CAST(coalesce(SUM(n_tokens) OVER (
+          PARTITION BY shard_id ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS start_tok
+      FROM s)
+SELECT doc_id, shard_id, n_tokens, start_tok,
+  CAST(floor(start_tok / 64) AS BIGINT) AS first_seq,
+  CAST(floor((start_tok + greatest(n_tokens, 1) - 1) / 64) AS BIGINT)
+    AS last_seq,
+  CAST(floor((start_tok + greatest(n_tokens, 1) - 1) / 64)
+       - floor(start_tok / 64) + 1 AS INT) AS n_seqs
+FROM w
+"""
+
+    oracles["sample_weighted"] = """
+WITH u AS (SELECT doc_id, lang,
+    CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)),
+                         1, 8))::BIGINT % 10000 AS BIGINT) AS u_e4
+  FROM documents)
+SELECT doc_id, lang, u_e4 FROM u
+WHERE u_e4 < CASE lang WHEN 'en' THEN 8000 WHEN 'es' THEN 5000
+                       WHEN 'de' THEN 2500 WHEN 'fr' THEN 1000
+                       ELSE 0 END
 """
 
     def _score(words):

@@ -41,6 +41,11 @@ BENCH_QUERIES = [
     "doc_quality",
     "doc_language_id",
     "doc_winnow_fingerprints",
+    "doc_repetition",
+    "pii_scrub",
+    "decontaminate_docs",
+    "pack_sequences",
+    "sample_weighted",
     "token_histogram",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -1,0 +1,86 @@
+"""Training-stream assembly: concat-and-chunk sequence packing and
+deterministic weighted corpus sampling (mixing).
+
+Both operators are pure ``pyspark.sql.functions`` and SQL-replayable:
+the only randomness is an md5-derived uniform, so a re-run (or the
+DuckDB oracle) reproduces the exact same sample and the exact same
+packing layout — the property a resumable 100 TB job needs.
+
+Scale shape:
+- ``pack_sequences`` shards by an md5 hash of doc_id (shard count is a
+  knob — set it ≫ executor count so each shard's window sort is one
+  modest task; hashing balances shard token mass), then runs ONE
+  window cumsum per shard. That is the standard distributed spelling
+  of GPT-style "concatenate shard, slice into fixed-length sequences":
+  a doc may straddle two sequences, exactly like the single-machine
+  packer.
+- ``sample_weighted`` is a zero-shuffle filter: the keep decision is a
+  per-row hash comparison against the group's rate, fused into the
+  scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_u(col: Column, mod: int, *, salt: str = "", digits: int = 8
+            ) -> Column:
+    """Deterministic uniform in [0, mod): leading md5 hex digits of
+    ``salt || col`` as an integer, modulo ``mod``. Exactly replayable
+    in ANSI SQL (('0x' || substr(md5(..),1,8))::BIGINT % mod)."""
+    return (F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, digits),
+        16, 10).cast("long") % mod)
+
+
+def pack_sequences(docs: DataFrame, *, seq_len: int = 2048,
+                   n_shards: int = 64,
+                   tokens_col: str = "n_tokens") -> DataFrame:
+    """(doc_id, n_tokens) → packing layout per document.
+
+    Documents are hash-assigned to shards; within a shard they are
+    concatenated in doc_id order and the token stream is sliced into
+    fixed ``seq_len`` windows. Output: the shard, the document's start
+    offset in the shard's token stream, the first/last sequence index
+    it lands in, and how many sequences it spans.
+    """
+    w = (Window.partitionBy("shard_id").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    toks = F.col(tokens_col).cast("long")
+    base = docs.select(
+        "doc_id", toks.alias("n_tokens"),
+        _hash_u(F.col("doc_id"), n_shards, salt="shard:")
+        .cast("int").alias("shard_id"))
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    out = base.select(
+        "doc_id", "shard_id", "n_tokens", start.alias("start_tok"))
+    first_seq = F.floor(F.col("start_tok") / seq_len)
+    last_seq = F.floor(
+        (F.col("start_tok") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+        / seq_len)
+    return out.select(
+        "doc_id", "shard_id", "n_tokens", "start_tok",
+        first_seq.cast("long").alias("first_seq"),
+        last_seq.cast("long").alias("last_seq"),
+        (last_seq - first_seq + 1).cast("int").alias("n_seqs"))
+
+
+def sample_weighted(docs: DataFrame, rates_e4: dict[str, int], *,
+                    group_col: str = "lang",
+                    default_rate_e4: int = 0,
+                    salt: str = "sample:") -> DataFrame:
+    """Deterministic per-group Bernoulli sampling: keep a row iff its
+    md5-uniform draw (in [0, 10000)) is below the group's rate.
+    ``rates_e4`` maps group value → keep-rate × 1e4 (e.g. 2500 =
+    25%). The draw depends only on (salt, doc_id), so adding groups or
+    re-running never reshuffles which documents survive.
+    """
+    u = _hash_u(F.col("doc_id"), 10000, salt=salt)
+    rate = F.lit(default_rate_e4)
+    for g, r in sorted(rates_e4.items()):
+        rate = F.when(F.col(group_col) == g, F.lit(int(r))).otherwise(rate)
+    return (docs.withColumn("u_e4", u)
+            .filter(F.col("u_e4") < rate)
+            .select("doc_id", group_col, "u_e4"))

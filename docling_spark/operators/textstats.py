@@ -180,6 +180,83 @@ def winnow_fingerprints(docs: DataFrame, *, k: int = 8,
             .select("doc_id", F.explode(fps(F.col("_nt"))).alias("fp")))
 
 
+def _top_bigram_udf():
+    from collections import Counter
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def top_bigram_count(tok_arrays: pd.Series) -> pd.Series:
+        out = []
+        for toks in tok_arrays:
+            toks = list(toks) if toks is not None else []
+            if len(toks) < 2:
+                out.append(0)
+                continue
+            c = Counter(zip(toks, toks[1:]))
+            out.append(max(c.values()))
+        return pd.Series(out, dtype="int32")
+
+    return top_bigram_count
+
+
+def with_repetition(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1) — the
+    boilerplate/spam markers a pretraining gate needs beyond
+    ``with_quality``:
+
+    - ``dup_line_frac_e4``: fraction of lines that repeat an earlier
+      line (lines split on ``\\n``, trimmed, empties dropped)
+    - ``dup_line_char_frac_e4``: fraction of line characters living in
+      repeated line instances
+    - ``dup_bigram_frac_e4``: fraction of token-bigram instances that
+      are repeats
+    - ``top_bigram_frac_e4``: share of bigram instances taken by the
+      single most frequent bigram (the one signal that needs a mode,
+      computed in one Arrow-batched Counter pass — a Catalyst spelling
+      would be an O(n²) interpreted HOF)
+
+    Everything else is linear ``array_distinct`` math inside
+    whole-stage codegen; the operator is zero-shuffle (all signals are
+    doc-local), so at 100 TB it fuses into the scan stage.
+    """
+    lines_raw = F.transform(F.split(F.col("text"), "\n"),
+                            lambda x: F.trim(x))
+    lines = F.filter(lines_raw, lambda x: x != "")
+    n_lines = F.size(lines)
+    n_uniq_lines = F.size(F.array_distinct(lines))
+    chars_all = F.aggregate(lines, F.lit(0),
+                            lambda acc, x: acc + F.length(x))
+    chars_uniq = F.aggregate(F.array_distinct(lines), F.lit(0),
+                             lambda acc, x: acc + F.length(x))
+    toks = tokens_col()
+    n_tok = F.size(toks)
+    bigrams = F.when(n_tok >= 2, F.transform(
+        F.slice(toks, 1, n_tok - 1),
+        lambda x, i: F.concat(x, F.lit("\x1f"),
+                              F.element_at(toks, i + 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    n_bi = F.size(bigrams)
+    n_uniq_bi = F.size(F.array_distinct(bigrams))
+    top_bi = _top_bigram_udf()
+
+    def e4(x):
+        return F.floor(x * 10000).cast("long")
+
+    return docs.select(
+        "doc_id",
+        n_lines.cast("int").alias("n_lines"),
+        e4((n_lines - n_uniq_lines) / F.greatest(n_lines, F.lit(1)))
+         .alias("dup_line_frac_e4"),
+        e4((chars_all - chars_uniq) / F.greatest(chars_all, F.lit(1)))
+         .alias("dup_line_char_frac_e4"),
+        e4((n_bi - n_uniq_bi) / F.greatest(n_bi, F.lit(1)))
+         .alias("dup_bigram_frac_e4"),
+        e4(top_bi(toks) / F.greatest(n_bi, F.lit(1)))
+         .alias("top_bigram_frac_e4"),
+    )
+
+
 def with_fingerprint(docs: DataFrame) -> DataFrame:
     """Deterministic content fingerprint: md5 of normalized text (the
     Spark-native analogue of the reference's sha256 document identity,

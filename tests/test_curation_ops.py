@@ -1,0 +1,135 @@
+"""Unit tests for the curation operators added for training-data
+pipelines: PII scrub, repetition signals, decontamination, sequence
+packing, weighted sampling. Each also has a driver oracle entry in
+``__spark_entry__`` — these tests pin the semantics on handcrafted
+rows where the expected values are computed by hand."""
+
+import pytest
+
+from docling_spark.operators.decontam import decontaminate
+from docling_spark.operators.packing import pack_sequences, sample_weighted
+from docling_spark.operators.scrub import with_pii_scrub
+from docling_spark.operators.textstats import with_repetition
+
+
+def _rows(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    docs = spark.createDataFrame(
+        [(1, "mail a.b+c@x-y.example.com and ssn 123-45-6789 end"),
+         (2, "call (555) 010-1234 or 555-010-9999 from 192.168.0.1"),
+         (3, "card 4111 1111 1111 1111 or 4111-1111-1111-1234 ok"),
+         (4, "no pii here at all")],
+        ["doc_id", "text"])
+    out = _rows(with_pii_scrub(docs))
+    assert out[1]["n_email"] == 1 and out[1]["n_ssn"] == 1
+    assert out[1]["scrubbed"] == "mail <EMAIL> and ssn <SSN> end"
+    assert out[2]["n_phone"] == 2 and out[2]["n_ipv4"] == 1
+    assert out[2]["scrubbed"] == "call <PHONE> or <PHONE> from <IPV4>"
+    assert out[3]["n_card"] == 2
+    assert out[3]["scrubbed"] == "card <CARD> or <CARD> ok"
+    assert out[4]["n_pii"] == 0
+    assert out[4]["scrubbed"] == "no pii here at all"
+
+
+def test_pii_counts_are_order_independent(spark):
+    # ssn-shaped and phone-shaped digits in one doc: each pattern
+    # counts its own matches on the RAW text
+    docs = spark.createDataFrame(
+        [(1, "a 123-45-6789 b 123-456-7890 c")], ["doc_id", "text"])
+    r = _rows(with_pii_scrub(docs))[1]
+    assert r["n_ssn"] == 1 and r["n_phone"] == 1 and r["n_pii"] == 2
+    assert r["scrubbed"] == "a <SSN> b <PHONE> c"
+
+
+def test_repetition_signals(spark):
+    # 4 lines of 7 chars each, one repeated once → dup_line_frac = 1/4
+    # and dup chars = 7 of 28
+    text = "line aa\nline bb\nline aa\nline cc"
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = _rows(with_repetition(docs))[1]
+    assert r["n_lines"] == 4
+    assert r["dup_line_frac_e4"] == 2500
+    assert r["dup_line_char_frac_e4"] == 2500
+    # tokens: line aa line bb line aa line cc → 7 bigrams, 5 distinct
+    # ('line aa' and 'aa line' each ×2) → dup 2/7, top 2/7
+    assert r["dup_bigram_frac_e4"] == int(2 / 7 * 10000)
+    assert r["top_bigram_frac_e4"] == int(2 / 7 * 10000)
+
+
+def test_repetition_no_dups(spark):
+    docs = spark.createDataFrame([(1, "alpha beta gamma")],
+                                 ["doc_id", "text"])
+    r = _rows(with_repetition(docs))[1]
+    assert r["n_lines"] == 1
+    assert r["dup_line_frac_e4"] == 0
+    assert r["dup_bigram_frac_e4"] == 0
+    assert r["top_bigram_frac_e4"] == 5000  # 1 of 2 bigrams
+
+
+def test_decontaminate_flags_exact_and_partial(spark):
+    bench = spark.createDataFrame(
+        [("one two three four five six seven eight",)], ["text"])
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven eight"),   # exact
+         (2, "one two three four five nine ten eleven twelve"),  # partial
+         (3, "totally different words with no overlap at all")],
+        ["doc_id", "text"])
+    out = _rows(decontaminate(docs, bench, n=5, threshold=0.5))
+    assert out[1]["contam_e4"] == 10000 and out[1]["contaminated"] == 1
+    # doc 2: 5 grams, 1 hit (one..five) → 2000
+    assert out[2]["n_grams"] == 5 and out[2]["n_hit"] == 1
+    assert out[2]["contaminated"] == 0
+    assert out[3]["n_hit"] == 0 and out[3]["contaminated"] == 0
+
+
+def test_pack_sequences_layout(spark):
+    docs = spark.createDataFrame(
+        [(i, 10) for i in range(8)], ["doc_id", "n_tokens"])
+    out = pack_sequences(docs, seq_len=16, n_shards=1)
+    rows = sorted(out.collect(), key=lambda r: r["doc_id"])
+    # one shard, doc_id order: starts 0,10,20,...
+    for i, r in enumerate(rows):
+        assert r["shard_id"] == 0
+        assert r["start_tok"] == 10 * i
+        assert r["first_seq"] == (10 * i) // 16
+        assert r["last_seq"] == (10 * i + 9) // 16
+        assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1
+    # doc 0 spans [0,10) → seq 0 only; doc 1 spans [10,20) → seqs 0-1
+    assert rows[0]["n_seqs"] == 1 and rows[1]["n_seqs"] == 2
+
+
+def test_pack_sequences_sharding_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, 5) for i in range(100)], ["doc_id", "n_tokens"])
+    a = {r["doc_id"]: r["shard_id"]
+         for r in pack_sequences(docs, seq_len=32, n_shards=8).collect()}
+    b = {r["doc_id"]: r["shard_id"]
+         for r in pack_sequences(docs, seq_len=32, n_shards=8).collect()}
+    assert a == b
+    assert set(a.values()) == set(range(8))  # all shards populated
+
+
+def test_sample_weighted_rates_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "xx") for i in range(400)],
+        ["doc_id", "lang"])
+    keep_all = sample_weighted(docs, {"en": 10000, "xx": 10000})
+    assert keep_all.count() == 400
+    none_default = sample_weighted(docs, {"en": 10000})
+    kept = [r["lang"] for r in none_default.collect()]
+    assert set(kept) == {"en"} and len(kept) == 200
+    half = sample_weighted(docs, {"en": 5000, "xx": 5000})
+    n1, n2 = half.count(), half.count()
+    assert n1 == n2  # deterministic draw
+    assert 100 < n1 < 300  # ~50% of 400, md5-uniform
+
+
+@pytest.mark.parametrize("n_tokens", [0, 1])
+def test_pack_sequences_degenerate_docs(spark, n_tokens):
+    docs = spark.createDataFrame([(1, n_tokens)], ["doc_id", "n_tokens"])
+    r = pack_sequences(docs, seq_len=8, n_shards=1).collect()[0]
+    # empty/1-token docs still occupy exactly one sequence slot
+    assert r["n_seqs"] == 1 and r["first_seq"] == 0
