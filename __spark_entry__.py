@@ -113,20 +113,39 @@ def _single_span_corpus(docs: DataFrame, kind: str, payload) -> DataFrame:
             F.lit(0).cast("int").alias("offset"))).alias("spans"))
 
 
-def q_extract_md_spans(spark, sf_dir):
-    """Markdown branch of the extraction UDF: Catalyst-templated
-    CommonMark payloads (headings, paragraphs, bullet list, pipe table)
-    through the same mapInPandas stage."""
-    docs = _docs(spark, sf_dir)
+def _md_payload():
     nl = "\n"
-    payload = F.concat(
+    return F.concat(
         F.lit("# Doc "), F.col("doc_id").cast("string"), F.lit(f"{nl}{nl}"),
         F.col("text"), F.lit(f"{nl}{nl}## Stats{nl}{nl}"),
         F.col("n_chars").cast("string"),
         F.lit(f" chars{nl}{nl}- alpha beta{nl}- gamma delta{nl}{nl}"),
         F.lit(f"| k | v |{nl}|---|---|{nl}| chars | "),
         F.col("n_chars").cast("string"), F.lit(f" |{nl}"))
-    corpus = _single_span_corpus(docs, "md", payload)
+
+
+def _csv_payload():
+    nl = "\n"
+    return F.concat(
+        F.lit(f"name,value{nl}doc,"), F.col("doc_id").cast("string"),
+        F.lit(f"{nl}chars,"), F.col("n_chars").cast("string"), F.lit(nl))
+
+
+def _uspto_payload():
+    nl = "\n"
+    return F.concat(
+        F.lit(f"PATN{nl}"),
+        F.lit("TTL  Doc "), F.col("doc_id").cast("string"), F.lit(nl),
+        F.lit(f"ABST{nl}"),
+        F.lit("PAL  "), F.col("text"), F.lit(nl))
+
+
+def q_extract_md_spans(spark, sf_dir):
+    """Markdown branch of the extraction UDF: Catalyst-templated
+    CommonMark payloads (headings, paragraphs, bullet list, pipe table)
+    through the same mapInPandas stage."""
+    docs = _docs(spark, sf_dir)
+    corpus = _single_span_corpus(docs, "md", _md_payload())
     out = _exploded_spans(extract_spans(corpus, num_partitions=_par(spark)))
     return out.select("doc_id", "span_offset", "kind", "text")
 
@@ -135,11 +154,7 @@ def q_extract_csv_spans(spark, sf_dir):
     """CSV branch: dialect sniff + strict parse + first-row headers;
     whole file becomes one table span (csv_backend.py semantics)."""
     docs = _docs(spark, sf_dir)
-    nl = "\n"
-    payload = F.concat(
-        F.lit(f"name,value{nl}doc,"), F.col("doc_id").cast("string"),
-        F.lit(f"{nl}chars,"), F.col("n_chars").cast("string"), F.lit(nl))
-    corpus = _single_span_corpus(docs, "csv", payload)
+    corpus = _single_span_corpus(docs, "csv", _csv_payload())
     out = _exploded_spans(extract_spans(corpus, num_partitions=_par(spark)))
     return out.select("doc_id", "span_offset", "kind", "text")
 
@@ -229,18 +244,7 @@ def q_extract_uspto_spans(spark, sf_dir):
     pure Catalyst, extracted by the same mapInPandas stage as every
     other format."""
     docs = _docs(spark, sf_dir)
-    nl = "\n"
-    payload = F.concat(
-        F.lit(f"PATN{nl}"),
-        F.lit("TTL  Doc "), F.col("doc_id").cast("string"), F.lit(nl),
-        F.lit(f"ABST{nl}"),
-        F.lit("PAL  "), F.col("text"), F.lit(nl))
-    corpus = docs.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.array(F.struct(
-            F.lit("uspto").alias("kind"), payload.alias("text"),
-            F.lit("").alias("media_ref"),
-            F.lit(0).cast("int").alias("offset"))).alias("spans"))
+    corpus = _single_span_corpus(docs, "uspto", _uspto_payload())
     out = _exploded_spans(extract_spans(corpus, num_partitions=_par(spark)))
     return out.select("doc_id", "span_offset", "kind", "text")
 
@@ -306,6 +310,47 @@ def q_extract_image_docs(spark, sf_dir):
                      F.col("s.offset").alias("span_offset"),
                      F.col("s.kind").alias("kind"),
                      F.col("s.media_ref").alias("media_ref"))
+
+
+def q_extract_mixed_routed(spark, sf_dir):
+    """The production shape end-to-end: ONE interleaved corpus mixing
+    six formats (html, md, csv, uspto APS, paginated pdf_page, pure
+    image) routed by extract_routed — doc path, page-parallel path and
+    Catalyst-only image path all in one plan, one output table. Format
+    is doc_id % 6; each branch reuses the exact payload template of its
+    single-format oracle query."""
+    from docling_spark.operators.extract import extract_routed
+    from docling_spark.sources.corpus import (
+        corpus_from_documents,
+        corpus_pdf_pages,
+    )
+    docs = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 6
+    html = (corpus_from_documents(spark, sf_dir)
+            .filter(F.col("doc_id").cast("long") % 6 == 0))
+    md = _single_span_corpus(docs.filter(m == 1), "md", _md_payload())
+    csv = _single_span_corpus(docs.filter(m == 2), "csv", _csv_payload())
+    uspto = _single_span_corpus(docs.filter(m == 3), "uspto",
+                                _uspto_payload())
+    pdf = (corpus_pdf_pages(spark, sf_dir)
+           .filter(F.col("doc_id").cast("long") % 6 == 4))
+    image = docs.filter(m == 5).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(F.struct(
+            F.lit("image").alias("kind"), F.lit("").alias("text"),
+            F.concat(F.lit("img://"), F.col("doc_id").cast("string"))
+             .alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"))).alias("spans"))
+    corpus = (html.unionByName(md).unionByName(csv).unionByName(uspto)
+              .unionByName(pdf).unionByName(image))
+    out = extract_routed(corpus, num_partitions=_par(spark))
+    ex = out.select("doc_id", "status", F.explode("spans").alias("s"))
+    return ex.select(
+        "doc_id", "status",
+        F.col("s.offset").alias("span_offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"))
 
 
 def q_pdf_page_cells(spark, sf_dir):
@@ -981,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pptx_spans": q_extract_pptx_spans,
         "extract_status_counts": q_extract_status_counts,
         "extract_pdf_paged": q_extract_pdf_paged,
+        "extract_mixed_routed": q_extract_mixed_routed,
         "pdf_page_cells": q_pdf_page_cells,
         "extract_image_docs": q_extract_image_docs,
         "export_markdown": q_export_markdown,
@@ -1387,6 +1433,92 @@ UNION ALL
 SELECT doc_id, CAST(CASE WHEN h > 1 THEN 2 ELSE 1 END AS INT), 'text',
        array_to_string(toks[h+1:len(toks)], ' ')
 FROM p WHERE len(toks) > h
+"""
+
+    oracles["extract_mixed_routed"] = """
+WITH pt AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   string_split(text, ' ') AS toks
+            FROM documents WHERE doc_id % 6 = 4),
+pp AS (SELECT doc_id, toks, CAST(ceil(len(toks) / 2.0) AS INT) AS h
+       FROM pt)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'success' AS status,
+       CAST(0 AS INT) AS span_offset, 'title' AS kind,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS text, '' AS media_ref
+FROM documents WHERE doc_id % 6 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'success', CAST(1 AS INT), 'text', text,
+       '' FROM documents WHERE doc_id % 6 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'success', CAST(2 AS INT),
+       'section_header', 'Stats', '' FROM documents WHERE doc_id % 6 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'success', CAST(3 AS INT), 'text',
+       CAST(n_chars AS VARCHAR) || ' chars', ''
+FROM documents WHERE doc_id % 6 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'success', CAST(4 AS INT), 'picture',
+       '', 'media://' || CAST(doc_id AS VARCHAR)
+FROM documents WHERE doc_id % 6 = 0 AND doc_id % 5 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'success', CAST(0 AS INT), 'title',
+       'Doc ' || CAST(doc_id AS VARCHAR), ''
+FROM documents WHERE doc_id % 6 = 1
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'success', CAST(1 AS INT), 'paragraph',
+       text, '' FROM documents WHERE doc_id % 6 = 1
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'success', CAST(2 AS INT),
+       'section_header', 'Stats', '' FROM documents WHERE doc_id % 6 = 1
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'success', CAST(3 AS INT), 'paragraph',
+       CAST(n_chars AS VARCHAR) || ' chars', ''
+FROM documents WHERE doc_id % 6 = 1
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'success', CAST(4 AS INT), 'list_item',
+       'alpha beta', '' FROM documents WHERE doc_id % 6 = 1
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'success', CAST(5 AS INT), 'list_item',
+       'gamma delta', '' FROM documents WHERE doc_id % 6 = 1
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'success', CAST(6 AS INT), 'table',
+       '2x2' || chr(10) || 'k' || chr(9) || 'v' || chr(10)
+       || 'chars' || chr(9) || CAST(n_chars AS VARCHAR) || chr(10)
+       || 'H:1' || chr(9) || '1', ''
+FROM documents WHERE doc_id % 6 = 1
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'success', CAST(0 AS INT), 'table',
+       '3x2' || chr(10) || 'name' || chr(9) || 'value' || chr(10)
+       || 'doc' || chr(9) || CAST(doc_id AS VARCHAR) || chr(10)
+       || 'chars' || chr(9) || CAST(n_chars AS VARCHAR) || chr(10)
+       || 'H:1' || chr(9) || '1', ''
+FROM documents WHERE doc_id % 6 = 2
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'success', CAST(0 AS INT), 'title',
+       'Doc ' || CAST(doc_id AS VARCHAR), ''
+FROM documents WHERE doc_id % 6 = 3
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'success', CAST(1 AS INT),
+       'section_header', 'ABSTRACT', ''
+FROM documents WHERE doc_id % 6 = 3
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'success', CAST(2 AS INT), 'paragraph',
+       text, '' FROM documents WHERE doc_id % 6 = 3
+UNION ALL
+SELECT doc_id, 'success', CAST(0 AS INT), 'section_header', toks[1], ''
+FROM pp
+UNION ALL
+SELECT doc_id, 'success', CAST(1 AS INT), 'text',
+       array_to_string(toks[2:h], ' '), ''
+FROM pp WHERE h > 1
+UNION ALL
+SELECT doc_id, 'success',
+       CAST(CASE WHEN h > 1 THEN 2 ELSE 1 END AS INT), 'text',
+       array_to_string(toks[h+1:len(toks)], ' '), ''
+FROM pp WHERE len(toks) > h
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'success', CAST(0 AS INT), 'picture',
+       '', 'img://' || CAST(doc_id AS VARCHAR)
+FROM documents WHERE doc_id % 6 = 5
 """
 
     oracles["extract_image_docs"] = """
