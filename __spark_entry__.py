@@ -441,6 +441,67 @@ def q_export_doctags(spark, sf_dir):
     return export_doctags(out)
 
 
+def q_export_doctags_loc(spark, sf_dir):
+    """Full DocTags dialect (doctags_dialect.py, byte-parity with the
+    reference's 11 *.doctags.txt goldens): loc tokens on a 0-500 page
+    grid, OTSL table cell stream, nested caption, page_break — rendered
+    from Catalyst-templated DoclingDocument JSON with provenance, one
+    Arrow stage."""
+    from docling_spark.operators.export import export_doctags_docling
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    b1 = (F.col("doc_id") % 100 + 40).cast("int").cast("string")
+    nch = F.col("n_chars").cast("string")
+
+    def bb(l, t, r, b, page=1):
+        return (f'"prov":[{{"page_no":{page},"bbox":{{"l":{l},"t":{t},'
+                f'"r":{r},"b":{b},"coord_origin":"TOPLEFT"}}}}]')
+
+    def cell(r, c, text, ched):
+        return (f'{{"start_row_offset_idx":{r},"start_col_offset_idx":{c},'
+                f'"end_row_offset_idx":{r + 1},"end_col_offset_idx":{c + 1},'
+                f'"text":"{text}","column_header":{str(ched).lower()}}}')
+
+    payload = F.concat(
+        F.lit('{"schema_name":"DoclingDocument",'
+              '"pages":{"1":{"size":{"width":500.0,"height":500.0}},'
+              '"2":{"size":{"width":500.0,"height":500.0}}},'
+              '"body":{"self_ref":"#/body","children":['
+              '{"$ref":"#/texts/0"},{"$ref":"#/texts/1"},'
+              '{"$ref":"#/tables/0"},{"$ref":"#/pictures/0"},'
+              '{"$ref":"#/texts/3"},{"$ref":"#/texts/4"}]},'
+              '"texts":['
+              '{"self_ref":"#/texts/0","label":"section_header",'
+              '"level":1,"text":"Doc '), did,
+        F.lit(f'",{bb(10, 20, 200, 30)}}},'
+              '{"self_ref":"#/texts/1","label":"text","text":"'),
+        F.col("text"),
+        F.lit('","prov":[{"page_no":1,"bbox":{"l":10,"t":40,"r":490,"b":'),
+        b1,
+        F.lit(',"coord_origin":"TOPLEFT"}}]},'
+              '{"self_ref":"#/texts/2","label":"caption",'
+              f'"text":"Figure 1",{bb(10, 410, 150, 420)}}},'
+              '{"self_ref":"#/texts/3","label":"page_footer",'
+              f'"text":"p1",{bb(240, 470, 260, 480)}}},'
+              '{"self_ref":"#/texts/4","label":"text",'
+              f'"text":"page two",{bb(10, 20, 100, 30, page=2)}}}],'
+              '"tables":[{"self_ref":"#/tables/0","label":"table",'
+              '"captions":[{"$ref":"#/texts/2"}],'
+              '"children":[{"$ref":"#/texts/2"}],'
+              f'{bb(10, 200, 300, 260)},'
+              '"data":{"num_rows":2,"num_cols":2,"table_cells":['
+              f'{cell(0, 0, "k", True)},{cell(0, 1, "v", True)},'
+              f'{cell(1, 0, "chars", False)},'
+              '{"start_row_offset_idx":1,"start_col_offset_idx":1,'
+              '"end_row_offset_idx":2,"end_col_offset_idx":2,"text":"'),
+        nch,
+        F.lit('","column_header":false}]}}],'
+              '"pictures":[{"self_ref":"#/pictures/0","label":"picture",'
+              f'{bb(10, 300, 200, 400)}}}]}}'))
+    corpus = _single_span_corpus(docs, "docling_json", payload)
+    return export_doctags_docling(corpus)
+
+
 def q_export_html(spark, sf_dir):
     """Sink: extraction output rendered to a standalone HTML document
     (SURVEY §2.5), pure Catalyst projection with SQL-replayable
@@ -1034,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_docling_itxt": q_extract_docling_itxt,
         "page_dump": q_page_dump,
         "export_doctags": q_export_doctags,
+        "export_doctags_loc": q_export_doctags_loc,
         "export_html": q_export_html,
         "chunk_documents": q_chunk_documents,
         "enrich_spans": q_enrich_spans,
@@ -1353,6 +1415,25 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        || CASE WHEN doc_id % 5 = 0
                THEN chr(10) || '<picture></picture>' ELSE '' END
        || '</doctag>' AS doctags
+FROM documents
+"""
+
+    oracles["export_doctags_loc"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+  '<doctag><section_header_level_1><loc_10><loc_20><loc_200><loc_30>Doc '
+  || CAST(doc_id AS VARCHAR) || '</section_header_level_1>' || chr(10)
+  || '<text><loc_10><loc_40><loc_490><loc_'
+  || CAST(doc_id % 100 + 40 AS VARCHAR) || '>' || text || '</text>'
+  || chr(10)
+  || '<otsl><loc_10><loc_200><loc_300><loc_260><ched>k<ched>v<nl>'
+  || '<fcel>chars<fcel>' || CAST(n_chars AS VARCHAR) || '<nl>'
+  || '<caption><loc_10><loc_410><loc_150><loc_420>Figure 1</caption>'
+  || '</otsl>' || chr(10)
+  || '<picture><loc_10><loc_300><loc_200><loc_400></picture>' || chr(10)
+  || '<page_footer><loc_240><loc_470><loc_260><loc_480>p1</page_footer>'
+  || chr(10) || '<page_break>' || chr(10)
+  || '<text><loc_10><loc_20><loc_100><loc_30>page two</text>' || chr(10)
+  || '</doctag>' AS doctags
 FROM documents
 """
 

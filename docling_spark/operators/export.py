@@ -159,3 +159,34 @@ def export_text(extracted: DataFrame,
                 spans_col: str = "spans") -> DataFrame:
     return extracted.select(
         "doc_id", text_col(F.col(spans_col)).alias("text"))
+
+
+def export_doctags_docling(corpus: DataFrame) -> DataFrame:
+    """(doc_id, spans) with a serialized-DoclingDocument JSON payload →
+    (doc_id, doctags) in the reference's FULL DocTags dialect —
+    loc tokens (0-500 page grid, one quad per prov entry), OTSL table
+    cell streams, nested captions, page breaks (doctags_dialect.py,
+    byte-parity with all 11 reference ``*.doctags.txt`` goldens).
+
+    One Arrow-batched stage, doc-local — at 100 TB this is a rendering
+    map with zero shuffle. The pure-Catalyst ``export_doctags`` above
+    stays the cheap path for span tables without provenance."""
+    import json as _json
+
+    import pandas as _pd
+
+    def _render(batches):
+        from docling_spark.doctags_dialect import render_doctags_docling
+        for pdf in batches:
+            out_ids, out_tags = [], []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                payload = spans[0]["text"] if len(spans) else "{}"
+                try:
+                    tags = render_doctags_docling(_json.loads(payload))
+                except Exception as exc:  # malformed json → error tag
+                    tags = f"<doctag><error>{exc}</error></doctag>"
+                out_ids.append(doc_id)
+                out_tags.append(tags)
+            yield _pd.DataFrame({"doc_id": out_ids, "doctags": out_tags})
+
+    return corpus.mapInPandas(_render, schema="doc_id string, doctags string")
