@@ -973,6 +973,56 @@ def q_media_frame_plan(spark, sf_dir):
         F.element_at(plan, -1).alias("last_ms"))
 
 
+def q_media_audio_meta(spark, sf_dir):
+    """Audio plumbing: Catalyst-templated WAV/RIFF bytes (little-endian
+    chunk fields, deterministic from doc_id) → Arrow-batched header
+    parse (channels/rate/bits/samples/duration) + pure-Catalyst
+    STFT-window plan. The decode half stays the pluggable codec stub —
+    same split as the image path (multimodal.py)."""
+    from docling_spark.operators.multimodal import (audio_window_plan,
+                                                    with_audio_meta)
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+
+    def b(col):  # one byte → 2 lowercase hex chars
+        return F.lpad(F.lower(F.hex(col.cast("long"))), 2, "0")
+
+    def le16(col):
+        return F.concat(b(col % 256), b(F.floor(col / 256) % 256))
+
+    def le32(col):
+        return F.concat(b(col % 256), b(F.floor(col / 256) % 256),
+                        b(F.floor(col / 65536) % 256),
+                        b(F.floor(col / 16777216) % 256))
+
+    ch = (F.col("doc_id") % 2 + 1).cast("long")
+    sr = (F.lit(8000) + (F.col("doc_id") % 8) * 1000).cast("long")
+    ns = ((F.col("doc_id") % 100 + 50) * 40).cast("long")
+    ba = ch * 2                      # block align, 16-bit PCM
+    dsz = ns * ba
+    payload = F.repeat(F.md5(F.col("doc_id").cast("string")), 1500) \
+               .substr(F.lit(1), (dsz * 2).cast("int"))
+    hexstr = F.concat(
+        F.lit("52494646"), le32(dsz + 36),          # RIFF <size>
+        F.lit("57415645666d742010000000"),          # WAVE fmt<16>
+        F.lit("0100"), le16(ch), le32(sr),          # PCM, channels, rate
+        le32(sr * ba), le16(ba), F.lit("1000"),     # byte rate, align, 16
+        F.lit("64617461"), le32(dsz), payload)      # data <size> <pcm>
+    media = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    out = with_audio_meta(media)
+    return out.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.channels").alias("channels"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.bits").alias("bits"),
+        F.col("meta.n_samples").alias("n_samples"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.size(audio_window_plan(F.col("meta.duration_ms"),
+                                 window_ms=25, hop_ms=10))
+         .alias("n_windows"))
+
+
 def q_tpch_q1_pricing(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     dec = lambda c, p, s: F.col(c).cast(f"decimal({p},{s})")
@@ -1130,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": q_events_json_props,
         "media_decode_meta": q_media_decode_meta,
         "media_frame_plan": q_media_frame_plan,
+        "media_audio_meta": q_media_audio_meta,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
@@ -2377,6 +2428,30 @@ SELECT event_id, duration_ms, nf AS n_frames,
        CAST(floor((nf - 1) * (duration_ms / CAST(nf AS DOUBLE)))
             AS BIGINT) AS last_ms
 FROM n
+"""
+
+    oracles["media_audio_meta"] = """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 2 + 1 AS channels,
+         8000 + (doc_id % 8) * 1000 AS sample_rate,
+         (doc_id % 100 + 50) * 40 AS n_samples
+  FROM documents WHERE doc_id % 5 = 0),
+d AS (SELECT *,
+        CAST(floor(n_samples * 1000.0 / sample_rate) AS BIGINT)
+          AS duration_ms
+      FROM p)
+SELECT doc_id, 'audio/wav' AS mime,
+       CAST(channels AS INT) AS channels,
+       CAST(sample_rate AS INT) AS sample_rate,
+       CAST(16 AS INT) AS bits,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       duration_ms,
+       CAST(44 + n_samples * channels * 2 AS INT) AS n_bytes,
+       CASE WHEN duration_ms >= 25
+            THEN CAST(floor((duration_ms - 25) / 10.0) + 1 AS INT)
+            ELSE 0 END AS n_windows
+FROM d
 """
 
     oracles["tpch_q1_pricing"] = """

@@ -152,8 +152,106 @@ def frame_sample_plan(duration_ms: Column, fps: float = 1.0,
         lambda i: (i * (duration_ms / n)).cast("long"))
 
 
+# ---------------------------------------------------------------------------
+# real: audio header parsing (WAV/RIFF chunk walk, stdlib) + window plan
+
+
+AUDIO_DDL = ("mime string, channels int, sample_rate int, bits int, "
+             "n_samples long, duration_ms long, n_bytes int")
+
+
+def parse_audio_header(data: bytes):
+    """(mime, channels, sample_rate, bits, n_samples, duration_ms) from
+    a WAV/RIFF container — a chunk walk honoring the spec's odd-size
+    pad byte, robust to truncated payloads (header fields win; the data
+    chunk need not be materialized to plan over it). Returns
+    (``application/octet-stream``, None…) for non-RIFF bytes.
+
+    This is the audio analogue of ``parse_image_header``: the METADATA
+    step is real; PCM decode (the codec step) is the pluggable stub
+    ``decode_audio`` below, same contract as ``decode_image``."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return ("application/octet-stream", None, None, None, None, None)
+    channels = sample_rate = bits = block_align = None
+    data_size = None
+    i = 12
+    while i + 8 <= len(data):
+        cid = data[i:i + 4]
+        size = struct.unpack("<I", data[i + 4:i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(data):
+            _, channels, sample_rate, _, block_align, bits = struct.unpack(
+                "<HHIIHH", data[i + 8:i + 24])
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if channels is None or not block_align or not sample_rate:
+        return ("audio/wav", channels, sample_rate, bits, None, None)
+    n_samples = None if data_size is None else data_size // block_align
+    duration_ms = (None if n_samples is None
+                   else n_samples * 1000 // sample_rate)
+    return ("audio/wav", channels, sample_rate, bits, n_samples,
+            duration_ms)
+
+
+def audio_meta_udf(col: Column) -> Column:
+    @pandas_udf(AUDIO_DDL)
+    def meta(blobs: pd.Series) -> pd.DataFrame:
+        out = {"mime": [], "channels": [], "sample_rate": [], "bits": [],
+               "n_samples": [], "duration_ms": [], "n_bytes": []}
+        for b in blobs:
+            data = bytes(b) if b is not None else b""
+            mime, ch, sr, bits, n, dur = parse_audio_header(data)
+            out["mime"].append(mime)
+            out["channels"].append(ch)
+            out["sample_rate"].append(sr)
+            out["bits"].append(bits)
+            out["n_samples"].append(n)
+            out["duration_ms"].append(dur)
+            out["n_bytes"].append(len(data))
+        return pd.DataFrame(out)
+
+    return meta(col)
+
+
+def decode_audio(data: bytes) -> np.ndarray:
+    """PCM sample decode — NOT available in this container.
+
+    Raises NotImplementedError by design, same contract as
+    ``decode_image``: plug soundfile/ffmpeg here; signature is
+    bytes → (n_samples, channels) int16 array."""
+    raise NotImplementedError(
+        "no audio codec in this environment; plug soundfile/ffmpeg here")
+
+
+def audio_window_plan(duration_ms: Column, window_ms: int = 25,
+                      hop_ms: int = 10,
+                      max_windows: int = 4096) -> Column:
+    """Deterministic STFT-style analysis-window start offsets (ms) for
+    an audio column: [0, hop, 2·hop, …] while a full window fits,
+    capped at ``max_windows`` — pure Catalyst metadata math, the
+    planning half of feature extraction (the decode half is the
+    pluggable stub). Empty array when the clip is shorter than one
+    window."""
+    n_raw = F.floor((duration_ms - F.lit(window_ms))
+                    / F.lit(hop_ms)).cast("int") + 1
+    n = F.least(n_raw, F.lit(max_windows))
+    # two guards: least() SKIPS nulls (null duration must give a null
+    # plan, not max_windows), and sequence(1, 0) is the DESCENDING
+    # [1, 0], not [] (sub-window clips must give an empty plan)
+    return (F.when(n_raw.isNull(), F.lit(None).cast("array<bigint>"))
+             .when(n >= 1,
+                   F.transform(F.sequence(F.lit(1), n),
+                               lambda i: ((i - 1) * F.lit(hop_ms))
+                               .cast("long")))
+             .otherwise(F.array().cast("array<bigint>")))
+
+
 def with_image_meta(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     return df.withColumn("meta", image_meta_udf(F.col(bytes_col)))
+
+
+def with_audio_meta(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    return df.withColumn("meta", audio_meta_udf(F.col(bytes_col)))
 
 
 def with_image_features(df: DataFrame,

@@ -88,3 +88,67 @@ def test_frame_sample_plan(spark):
     assert got[2] == [0]             # sub-second clip → 1 frame
     assert len(got[3]) == 8          # capped at max_frames
     assert got[1][0] == 0 and got[1][-1] < 5500
+
+
+# ---------------------------------------------------------------------------
+# audio: WAV/RIFF chunk walk + window planning
+
+
+def make_wav(channels=2, rate=16000, n_samples=400, extra_chunk=False):
+    """Minimal valid 16-bit PCM WAV via stdlib only."""
+    ba = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * ba, ba, 16)
+    pcm = bytes(n_samples * ba)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:  # odd-sized chunk exercises the word-align pad byte
+        body += b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_wav_header_parse():
+    from docling_spark.operators.multimodal import parse_audio_header
+    mime, ch, sr, bits, n, dur = parse_audio_header(
+        make_wav(channels=1, rate=8000, n_samples=1200))
+    assert (mime, ch, sr, bits, n) == ("audio/wav", 1, 8000, 16, 1200)
+    assert dur == 150  # 1200 / 8000 s
+
+
+def test_wav_odd_chunk_padding_and_fallbacks():
+    from docling_spark.operators.multimodal import parse_audio_header
+    mime, ch, sr, bits, n, dur = parse_audio_header(
+        make_wav(channels=2, rate=16000, n_samples=160, extra_chunk=True))
+    assert (ch, sr, n, dur) == (2, 16000, 160, 10)
+    assert parse_audio_header(b"not riff")[0] == "application/octet-stream"
+    # truncated after the fmt chunk: header fields parse, no duration
+    wav = make_wav()
+    cut = wav[:36]
+    mime, ch, sr, bits, n, dur = parse_audio_header(cut)
+    assert mime == "audio/wav" and n is None and dur is None
+
+
+def test_audio_decode_is_an_explicit_stub():
+    from docling_spark.operators.multimodal import decode_audio
+    with pytest.raises(NotImplementedError):
+        decode_audio(make_wav())
+
+
+def test_audio_meta_and_window_plan_through_spark(spark):
+    from docling_spark.operators.multimodal import (audio_window_plan,
+                                                    with_audio_meta)
+    rows = [(1, make_wav(1, 8000, 1200)),   # 150 ms
+            (2, make_wav(2, 16000, 160)),   # 10 ms < one 25 ms window
+            (3, b"junk")]
+    df = spark.createDataFrame(rows, "doc_id long, bytes binary")
+    out = (with_audio_meta(df)
+           .select("doc_id", "meta.*",
+                   audio_window_plan(F.col("meta.duration_ms"),
+                                     window_ms=25, hop_ms=10)
+                   .alias("plan"))
+           .orderBy("doc_id").collect())
+    assert out[0]["duration_ms"] == 150
+    # windows: starts 0,10,…,120 (last full 25 ms window ends at 145)
+    assert out[0]["plan"] == [10 * i for i in range(13)]
+    assert out[1]["plan"] == []          # clip shorter than one window
+    assert out[2]["mime"] == "application/octet-stream"
+    assert out[2]["plan"] is None        # no duration → no plan
