@@ -502,6 +502,32 @@ def q_export_doctags_loc(spark, sf_dir):
     return export_doctags_docling(corpus)
 
 
+def q_export_docling_json(spark, sf_dir):
+    """Sink: span table → DoclingDocument JSON (the reference's primary
+    serialization, groundtruth *.json shape v1.3.0), pure Catalyst
+    to_json — title/text/table/picture spans per doc so the oracle
+    covers the per-category ref indexing AND the canonical-grid →
+    TableData cell re-expansion."""
+    from docling_spark.operators.export import export_docling_json
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    nch = F.col("n_chars").cast("string")
+
+    def mk(kind, text, off):
+        return F.struct(F.lit(kind).alias("kind"), text.alias("text"),
+                        F.lit("").alias("media_ref"),
+                        F.lit(off).cast("int").alias("offset"))
+
+    spans = F.array(
+        mk("title", F.concat(F.lit("Doc "), did), 0),
+        mk("text", F.col("text"), 1),
+        mk("table", F.concat(F.lit("2x2\nk\tv\nchars\t"), nch,
+                             F.lit("\nH:1\t1")), 2),
+        mk("picture", F.lit(""), 3))
+    corpus = docs.select(did.alias("doc_id"), spans.alias("spans"))
+    return export_docling_json(corpus)
+
+
 def q_export_html(spark, sf_dir):
     """Sink: extraction output rendered to a standalone HTML document
     (SURVEY §2.5), pure Catalyst projection with SQL-replayable
@@ -1146,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_dump": q_page_dump,
         "export_doctags": q_export_doctags,
         "export_doctags_loc": q_export_doctags_loc,
+        "export_docling_json": q_export_docling_json,
         "export_html": q_export_html,
         "chunk_documents": q_chunk_documents,
         "enrich_spans": q_enrich_spans,
@@ -1486,6 +1513,45 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
   || '<text><loc_10><loc_20><loc_100><loc_30>page two</text>' || chr(10)
   || '</doctag>' AS doctags
 FROM documents
+"""
+
+    oracles["export_docling_json"] = """
+WITH c AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, text,
+         CAST(n_chars AS VARCHAR) AS nch
+  FROM documents)
+SELECT id AS doc_id,
+  '{"schema_name":"DoclingDocument","version":"1.3.0","name":"' || id
+  || '","furniture":{"self_ref":"#/furniture","children":[],'
+  || '"content_layer":"furniture","name":"_root_","label":"unspecified"},'
+  || '"body":{"self_ref":"#/body","children":[{"$ref":"#/texts/0"},'
+  || '{"$ref":"#/texts/1"},{"$ref":"#/tables/0"},{"$ref":"#/pictures/0"}],'
+  || '"content_layer":"body","name":"_root_","label":"unspecified"},'
+  || '"groups":[],'
+  || '"texts":[{"self_ref":"#/texts/0","parent":{"$ref":"#/body"},'
+  || '"content_layer":"body","label":"title","orig":"Doc ' || id
+  || '","text":"Doc ' || id || '"},'
+  || '{"self_ref":"#/texts/1","parent":{"$ref":"#/body"},'
+  || '"content_layer":"body","label":"text","orig":"' || text
+  || '","text":"' || text || '"}],'
+  || '"pictures":[{"self_ref":"#/pictures/0","parent":{"$ref":"#/body"},'
+  || '"content_layer":"body","label":"picture"}],'
+  || '"tables":[{"self_ref":"#/tables/0","parent":{"$ref":"#/body"},'
+  || '"content_layer":"body","label":"table","data":{"table_cells":['
+  || '{"start_row_offset_idx":0,"start_col_offset_idx":0,'
+  || '"end_row_offset_idx":1,"end_col_offset_idx":1,"text":"k",'
+  || '"column_header":true},'
+  || '{"start_row_offset_idx":0,"start_col_offset_idx":1,'
+  || '"end_row_offset_idx":1,"end_col_offset_idx":2,"text":"v",'
+  || '"column_header":true},'
+  || '{"start_row_offset_idx":1,"start_col_offset_idx":0,'
+  || '"end_row_offset_idx":2,"end_col_offset_idx":1,"text":"chars",'
+  || '"column_header":false},'
+  || '{"start_row_offset_idx":1,"start_col_offset_idx":1,'
+  || '"end_row_offset_idx":2,"end_col_offset_idx":2,"text":"' || nch
+  || '","column_header":false}],"num_rows":2,"num_cols":2}}]}'
+  AS doc_json
+FROM c
 """
 
     oracles["export_html"] = """

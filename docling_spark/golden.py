@@ -44,7 +44,21 @@ def _table_text(item: dict) -> str:
     data = item.get("data", {})
     num_rows = int(data.get("num_rows", 0))
     num_cols = int(data.get("num_cols", 0))
-    grid = data.get("grid") or []
+    grid = data.get("grid")
+    if grid is None and data.get("table_cells"):
+        # docling-core derives ``grid`` from ``table_cells`` on load
+        # (TableData.grid is a computed field); documents serialized
+        # without it (e.g. our own export_docling_json) reconstruct the
+        # same way: each cell fills its [start,end) row/col rectangle.
+        grid = [[None] * num_cols for _ in range(num_rows)]
+        for c in data["table_cells"]:
+            for r in range(int(c.get("start_row_offset_idx", 0)),
+                           min(int(c.get("end_row_offset_idx", 0)), num_rows)):
+                for j in range(int(c.get("start_col_offset_idx", 0)),
+                               min(int(c.get("end_col_offset_idx", 0)),
+                                   num_cols)):
+                    grid[r][j] = c
+    grid = grid or []
     grid_texts = [[(c or {}).get("text", "") for c in row] for row in grid]
     header_flags = [bool((c or {}).get("column_header", False))
                     for c in (grid[0] if grid else [])]

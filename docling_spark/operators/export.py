@@ -190,3 +190,119 @@ def export_doctags_docling(corpus: DataFrame) -> DataFrame:
             yield _pd.DataFrame({"doc_id": out_ids, "doctags": out_tags})
 
     return corpus.mapInPandas(_render, schema="doc_id string, doctags string")
+
+
+# ---------------------------------------------------------------------------
+# DoclingDocument JSON export (the reference's primary serialization,
+# groundtruth *.json; docling-core DoclingDocument shape v1.3.0)
+
+
+def _table_data_col(text: Column) -> Column:
+    """Canonical grid text (doctree.serialize_table: "RxC" line, tab
+    rows, trailing "H:" flags) → docling-core TableData struct
+    (num_rows, num_cols, table_cells with offsets + column_header).
+
+    Known limitation: a cell whose text contains a literal tab or
+    newline cannot be recovered exactly (the canonical form reuses
+    those as delimiters); such cells split at the embedded delimiter.
+    Re-export of the reloaded document is a fixed point
+    (tests/test_export_json.py)."""
+    lines = F.split(text, "\n")
+    dims = F.split(F.element_at(lines, 1), "x")
+    nr = F.element_at(dims, 1).cast("int")
+    nc = F.element_at(dims, 2).cast("int")
+    rows = F.slice(lines, 2, F.greatest(F.size(lines) - 2, F.lit(0)))
+    flags = F.split(F.substring(F.element_at(lines, -1), 3, 1_000_000),
+                    "\t")
+    cells = F.flatten(F.transform(rows, lambda row, r: F.transform(
+        F.split(row, "\t"), lambda c, j: F.struct(
+            r.alias("start_row_offset_idx"),
+            j.alias("start_col_offset_idx"),
+            (r + 1).alias("end_row_offset_idx"),
+            (j + 1).alias("end_col_offset_idx"),
+            c.alias("text"),
+            ((r == 0) & (F.element_at(flags, j + 1) == "1"))
+            .alias("column_header")))))
+    return F.struct(cells.alias("table_cells"), nr.alias("num_rows"),
+                    nc.alias("num_cols"))
+
+
+def _ref(prefix: str, idx: Column) -> Column:
+    return F.struct(
+        F.concat(F.lit(prefix), idx.cast("string")).alias("$ref"))
+
+
+def docling_json_col(doc_id: Column, spans: Column) -> Column:
+    """Ordered spans array → one DoclingDocument JSON string loadable
+    by docling-core's ``DoclingDocument.model_validate_json`` (shape of
+    the reference groundtruth ``*.json``, schema v1.3.0): body children
+    in span order, per-category items under texts/pictures/tables,
+    canonical grid text re-expanded into real TableData cells. Pure
+    Catalyst (``to_json``) — zero Python at render time."""
+    is_table = lambda s: s["kind"] == "table"        # noqa: E731
+    is_pic = lambda s: s["kind"] == "picture"        # noqa: E731
+    is_text = lambda s: ~s["kind"].isin("table", "picture")  # noqa: E731
+
+    def prior(i, pred):  # per-category index = same-kind spans before i
+        return F.size(F.filter(F.slice(spans, 1, i), pred))
+
+    children = F.transform(spans, lambda s, i: F.when(
+        is_table(s), _ref("#/tables/", prior(i, is_table))).when(
+        is_pic(s), _ref("#/pictures/", prior(i, is_pic))).otherwise(
+        _ref("#/texts/", prior(i, is_text))))
+
+    root = lambda name: F.struct(                    # noqa: E731
+        F.lit(f"#/{name}").alias("self_ref"),
+        (children if name == "body"
+         else F.array().cast("array<struct<`$ref`:string>>"))
+        .alias("children"),
+        F.lit("furniture" if name == "furniture" else "body")
+        .alias("content_layer"),
+        F.lit("_root_").alias("name"),
+        F.lit("unspecified").alias("label"))
+
+    texts = F.transform(
+        F.filter(spans, is_text), lambda s, i: F.struct(
+            F.concat(F.lit("#/texts/"), i.cast("string"))
+            .alias("self_ref"),
+            F.struct(F.lit("#/body").alias("$ref")).alias("parent"),
+            F.lit("body").alias("content_layer"),
+            s["kind"].alias("label"),
+            s["text"].alias("orig"),
+            s["text"].alias("text")))
+    pictures = F.transform(
+        F.filter(spans, is_pic), lambda s, i: F.struct(
+            F.concat(F.lit("#/pictures/"), i.cast("string"))
+            .alias("self_ref"),
+            F.struct(F.lit("#/body").alias("$ref")).alias("parent"),
+            F.lit("body").alias("content_layer"),
+            F.lit("picture").alias("label")))
+    tables = F.transform(
+        F.filter(spans, is_table), lambda s, i: F.struct(
+            F.concat(F.lit("#/tables/"), i.cast("string"))
+            .alias("self_ref"),
+            F.struct(F.lit("#/body").alias("$ref")).alias("parent"),
+            F.lit("body").alias("content_layer"),
+            F.lit("table").alias("label"),
+            _table_data_col(s["text"]).alias("data")))
+
+    doc = F.struct(
+        F.lit("DoclingDocument").alias("schema_name"),
+        F.lit("1.3.0").alias("version"),
+        doc_id.cast("string").alias("name"),
+        root("furniture").alias("furniture"),
+        root("body").alias("body"),
+        F.array().cast(
+            "array<struct<self_ref:string>>").alias("groups"),
+        texts.alias("texts"),
+        pictures.alias("pictures"),
+        tables.alias("tables"))
+    return F.to_json(doc)
+
+
+def export_docling_json(extracted: DataFrame,
+                        spans_col: str = "spans") -> DataFrame:
+    return extracted.select(
+        "doc_id",
+        docling_json_col(F.col("doc_id"), F.col(spans_col))
+        .alias("doc_json"))
