@@ -432,6 +432,18 @@ def q_extract_docling_itxt(spark, sf_dir):
     return out.select("doc_id", "itxt")
 
 
+def q_extract_docling_html(spark, sf_dir):
+    """UDF-side docling-dialect HTML rendering (html_dialect.py,
+    byte-parity with the reference's export_to_html golden
+    word_tables.docx.html): whole-document head + one item per line,
+    rendered from the parse tree inside the extraction UDF at zero
+    extra parse cost."""
+    corpus = corpus_from_documents(spark, sf_dir)
+    out = extract_spans(corpus, num_partitions=_par(spark),
+                        with_html=True)
+    return out.select("doc_id", "html")
+
+
 def q_export_doctags(spark, sf_dir):
     """Sink: extraction output rendered to DocTags (SURVEY §2.5), pure
     Catalyst projection over the span table."""
@@ -1169,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_markdown": q_export_markdown,
         "extract_docling_markdown": q_extract_docling_markdown,
         "extract_docling_itxt": q_extract_docling_itxt,
+        "extract_docling_html": q_extract_docling_html,
         "page_dump": q_page_dump,
         "export_doctags": q_export_doctags,
         "export_doctags_loc": q_export_doctags_loc,
@@ -1437,6 +1450,20 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
           THEN chr(10) || '      item-5 at level 3: picture'
           ELSE '' END
   AS itxt
+FROM documents
+"""
+
+    from docling_spark.html_dialect import HTML_HEAD as _HTML_HEAD
+    oracles["extract_docling_html"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       '""" + _HTML_HEAD.replace("'", "''") + """' || chr(10)
+       || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10)
+       || '<p>' || text || '</p>' || chr(10)
+       || '<h3>Stats</h3>' || chr(10)
+       || '<p>' || CAST(n_chars AS VARCHAR) || ' chars</p>' || chr(10)
+       || CASE WHEN doc_id % 5 = 0
+               THEN '<figure></figure>' || chr(10) ELSE '' END
+       || '</html>' AS html
 FROM documents
 """
 

@@ -101,15 +101,17 @@ def _span_field(span, key, default=None):
 
 def _extract_one(doc_spans: list, parsers: dict,
                  with_markdown: bool = False,
-                 with_itxt: bool = False) -> tuple:
+                 with_itxt: bool = False,
+                 with_html: bool = False) -> tuple:
     """Extract one document. Returns (spans, status, errors, markdown,
-    itxt). ``with_markdown`` / ``with_itxt`` additionally render the
-    parse tree through the docling-dialect serializers (md_dialect /
-    itxt_dialect) before flattening — byte-parity with the reference's
-    export goldens, pinned by tests/test_md_dialect.py and
-    tests/test_itxt_dialect.py."""
+    itxt, html). ``with_markdown`` / ``with_itxt`` / ``with_html``
+    additionally render the parse tree through the docling-dialect
+    serializers (md_dialect / itxt_dialect / html_dialect) before
+    flattening — byte-parity with the reference's export goldens,
+    pinned by tests/test_md_dialect.py, tests/test_itxt_dialect.py and
+    tests/test_html_dialect.py."""
     if not doc_spans:
-        return [], STATUS_SKIPPED, [], None, None
+        return [], STATUS_SKIPPED, [], None, None, None
 
     ordered = sorted(doc_spans, key=lambda s: _span_field(s, "offset", 0) or 0)
     media_refs: List[str] = []
@@ -129,7 +131,7 @@ def _extract_one(doc_spans: list, parsers: dict,
             payloads.append(_span_field(s, "text", "") or "")
 
     if payload_kind is None:
-        return [], STATUS_SKIPPED, [], None, None
+        return [], STATUS_SKIPPED, [], None, None, None
 
     try:
         if payload_kind == "pdf_page":
@@ -138,7 +140,7 @@ def _extract_one(doc_spans: list, parsers: dict,
         else:
             parse = parsers.get(payload_kind)
             if parse is None:
-                return [], STATUS_SKIPPED, [], None, None
+                return [], STATUS_SKIPPED, [], None, None, None
             tree = parse("".join(payloads))
         markdown = None
         if with_markdown:
@@ -148,6 +150,10 @@ def _extract_one(doc_spans: list, parsers: dict,
         if with_itxt:
             from ..itxt_dialect import render_itxt
             itxt = render_itxt(tree)
+        html = None
+        if with_html:
+            from ..html_dialect import render_html_docling
+            html = render_html_docling(tree)
         spans = flatten(tree)
         # interleaved media refs → picture spans, in order (FIXTURES.md §3.4)
         if media_refs:
@@ -156,17 +162,18 @@ def _extract_one(doc_spans: list, parsers: dict,
                 if sp["kind"] == "picture" and pic_idx < len(media_refs):
                     sp["media_ref"] = media_refs[pic_idx]
                     pic_idx += 1
-        return spans, STATUS_SUCCESS, [], markdown, itxt
+        return spans, STATUS_SUCCESS, [], markdown, itxt, html
     except Exception as exc:  # per-doc containment — never kill the task
         return [], STATUS_FAILURE, [{
             "component": "extract",
             "module": payload_kind,
             "message": f"{type(exc).__name__}: {exc}"[:500],
-        }], None, None
+        }], None, None, None
 
 
 def _make_extract_batches(with_markdown: bool = False,
-                          with_itxt: bool = False):
+                          with_itxt: bool = False,
+                          with_html: bool = False):
     def _extract_batches(
             batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parsers = _load_parsers()  # executor-local init-once per task
@@ -179,12 +186,14 @@ def _make_extract_batches(with_markdown: bool = False,
                 out["markdown"] = []
             if with_itxt:
                 out["itxt"] = []
+            if with_html:
+                out["html"] = []
             for doc_id, raw in zip(doc_ids, span_lists):
                 t0 = time.monotonic_ns()
                 raw_list = list(raw) if raw is not None else []
-                spans, status, errors, markdown, itxt = _extract_one(
+                spans, status, errors, markdown, itxt, html = _extract_one(
                     raw_list, parsers, with_markdown=with_markdown,
-                    with_itxt=with_itxt)
+                    with_itxt=with_itxt, with_html=with_html)
                 out["doc_id"].append(doc_id)
                 out["spans"].append(
                     [(s["kind"], s["text"], s["media_ref"], s["offset"])
@@ -199,6 +208,8 @@ def _make_extract_batches(with_markdown: bool = False,
                     out["markdown"].append(markdown)
                 if with_itxt:
                     out["itxt"].append(itxt)
+                if with_html:
+                    out["html"].append(html)
             yield pd.DataFrame(out)
 
     return _extract_batches
@@ -433,10 +444,11 @@ def extract_spans(
     num_partitions: Optional[int] = None,
     with_markdown: bool = False,
     with_itxt: bool = False,
+    with_html: bool = False,
     oversize: str = "drop",
 ) -> DataFrame:
     """(doc_id, spans) → (doc_id, spans, status, errors, n_spans, wall_us
-    [, markdown] [, itxt]).
+    [, markdown] [, itxt] [, html]).
 
     ``oversize`` controls what happens to documents over
     ``max_payload_chars``: ``"drop"`` (default) filters them before the
@@ -473,9 +485,11 @@ def extract_spans(
         df = df.repartition(num_partitions, "doc_id")
     schema = (OUTPUT_DDL
               + (", markdown string" if with_markdown else "")
-              + (", itxt string" if with_itxt else ""))
-    out = df.mapInPandas(_make_extract_batches(with_markdown, with_itxt),
-                         schema=schema)
+              + (", itxt string" if with_itxt else "")
+              + (", html string" if with_html else ""))
+    out = df.mapInPandas(
+        _make_extract_batches(with_markdown, with_itxt, with_html),
+        schema=schema)
     if oversize_df is not None:
         fail = oversize_df.select(
             "doc_id",
@@ -496,7 +510,9 @@ def extract_spans(
             *([F.lit(None).cast("string").alias("markdown")]
               if with_markdown else []),
             *([F.lit(None).cast("string").alias("itxt")]
-              if with_itxt else []))
+              if with_itxt else []),
+            *([F.lit(None).cast("string").alias("html")]
+              if with_html else []))
         out = out.unionByName(fail)
     return out
 

@@ -19,7 +19,7 @@ payloads = st.text(
 @settings(max_examples=60, deadline=None)
 @given(kind=st.sampled_from(KINDS), payload=payloads)
 def test_extract_one_never_raises(kind, payload):
-    spans, status, errors, _md, _itxt = _extract_one(
+    spans, status, errors, _md, _itxt, _html = _extract_one(
         [{"kind": kind, "text": payload, "media_ref": "", "offset": 0}],
         PARSERS)
     assert status in ("success", "failure", "skipped")
@@ -33,7 +33,7 @@ def test_extract_one_never_raises(kind, payload):
 @settings(max_examples=40, deadline=None)
 @given(payload=payloads)
 def test_pdf_page_payloads_contained(payload):
-    spans, status, errors, _md, _itxt = _extract_one(
+    spans, status, errors, _md, _itxt, _html = _extract_one(
         [{"kind": "pdf_page", "text": payload, "media_ref": "",
           "offset": 0}], PARSERS)
     assert status in ("success", "failure", "skipped")
@@ -46,7 +46,7 @@ def test_binary_container_payloads_contained(payload):
     # docx/xlsx/pptx take base64 zip containers; arbitrary bytes must
     # fail cleanly, never crash
     for kind in ("docx", "xlsx", "pptx"):
-        spans, status, errors, _md, _itxt = _extract_one(
+        spans, status, errors, _md, _itxt, _html = _extract_one(
             [{"kind": kind, "text": payload, "media_ref": "",
               "offset": 0}], PARSERS)
         assert status in ("success", "failure", "skipped")
