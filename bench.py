@@ -146,9 +146,19 @@ def main() -> None:
 
     corpus = corpus_from_documents(spark, SF_DIR)
     n_docs = corpus.count()
-    t0 = time.monotonic()
-    extract_spans(corpus).select("n_spans").groupBy().sum().collect()
-    extract_sec = time.monotonic() - t0
+    # the production shape (jobs/extract.py): hash-repartition by doc_id
+    # to cluster parallelism before the parse UDF — a small-file source
+    # arrives as ONE scan partition, which would serialize the whole
+    # parse behind a single Python worker (measured: 3-6× throughput
+    # loss at sf0.1). Best-of-2 like every other timing here.
+    npart = spark.sparkContext.defaultParallelism
+    extract_sec = None
+    for _ in range(2):
+        t0 = time.monotonic()
+        (extract_spans(corpus, num_partitions=npart)
+         .select("n_spans").groupBy().sum().collect())
+        sec = time.monotonic() - t0
+        extract_sec = sec if extract_sec is None else min(extract_sec, sec)
     docs_per_sec = n_docs / extract_sec if extract_sec > 0 else 0.0
 
     print(json.dumps({

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import simhash_pairs
-from .textstats import lang_pred_col, norm_text, tokens_col
+from .textstats import LANG_ORDER, _pred_from_scores, _staged, lang_score
 
 
 def curate(docs: DataFrame, *, lang: str = "en",
@@ -40,12 +40,20 @@ def curate(docs: DataFrame, *, lang: str = "en",
     documents that pass the token-count quality gate, are identified as
     ``lang``, and survive exact + SimHash near-duplicate removal (the
     lowest doc_id of each duplicate group/pair is kept)."""
-    n_tokens = F.size(tokens_col())
-    base = docs.select(
+    # staged projections: tokenize/normalize ONCE, score languages off
+    # the materialized array, argmax off the materialized scores (the
+    # inline lang_pred_col() spelling re-tokenizes per score reference
+    # in the interpreted-HOF path — measured 4× on this pipeline)
+    scored = _staged(docs).select(
         "doc_id", "text",
-        n_tokens.alias("n_tokens"),
-        lang_pred_col().alias("lang_pred"),
-        F.md5(norm_text()).alias("fingerprint"))
+        F.size("_toks").alias("n_tokens"),
+        *[lang_score(lg, F.col("_toks")).alias(f"_s_{lg}")
+          for lg in LANG_ORDER],
+        F.md5("_nt").alias("fingerprint"))
+    base = scored.select(
+        "doc_id", "text", "n_tokens", "fingerprint",
+        _pred_from_scores({lg: F.col(f"_s_{lg}") for lg in LANG_ORDER})
+        .alias("lang_pred"))
     gated = base.filter(
         (F.col("n_tokens") >= min_tokens)
         & (F.col("n_tokens") <= max_tokens)

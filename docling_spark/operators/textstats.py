@@ -15,6 +15,8 @@ heuristic), document fingerprinting (exact md5 + MOSS winnowing).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -49,14 +51,33 @@ def tokens_col() -> Column:
 BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
+def _staged(docs: DataFrame, with_lines: bool = False) -> DataFrame:
+    """Materialize the normalized text + token array (and optionally
+    the trimmed non-empty line array) ONCE as columns before the
+    signal math. Array higher-order functions are CodegenFallback
+    (interpreted), so an expression tree that embeds ``tokens_col()``
+    at every use site re-tokenizes the whole document per use — and
+    per *element* when nested inside another HOF lambda (measured 30×
+    on doc_language_id, O(n²) on the bigram build). CollapseProject
+    keeps these aliases materialized because each is referenced more
+    than once and is non-cheap."""
+    lines_raw = F.transform(F.split(F.col("text"), "\n"),
+                            lambda x: F.trim(x))
+    cols = [docs["*"], norm_text().alias("_nt"),
+            F.split(norm_text(), " ").alias("_toks")]
+    if with_lines:
+        cols.append(F.filter(lines_raw, lambda x: x != "").alias("_lines"))
+    return docs.select(*cols)
+
+
 def with_token_stats(docs: DataFrame) -> DataFrame:
-    toks = tokens_col()
-    return docs.select(
+    toks = F.col("_toks")
+    return _staged(docs).select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
-        F.length(norm_text()).alias("n_chars_norm"),
+        F.length("_nt").alias("n_chars_norm"),
         F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
-        F.size(F.regexp_extract_all(norm_text(), F.lit(BPE_TOKEN_RE), 0))
+        F.size(F.regexp_extract_all(F.col("_nt"), F.lit(BPE_TOKEN_RE), 0))
          .alias("n_bpe_tokens"),
     )
 
@@ -66,11 +87,11 @@ def with_quality(docs: DataFrame) -> DataFrame:
     repetition/shape signals (symbol ratio, alphabetic-token ratio,
     max token length) + a keep flag (the boilerplate-quality gate of a
     pretraining pipeline)."""
-    toks = tokens_col()
+    toks = F.col("_toks")
     n_tokens = F.size(toks)
-    n_chars = F.length(norm_text())
-    punct = F.length(F.regexp_replace(norm_text(), r"[^.,;:!?]", ""))
-    symbol = F.length(F.regexp_replace(norm_text(), r"[^#…]", ""))
+    n_chars = F.length("_nt")
+    punct = F.length(F.regexp_replace(F.col("_nt"), r"[^.,;:!?]", ""))
+    symbol = F.length(F.regexp_replace(F.col("_nt"), r"[^#…]", ""))
     stop_hits = F.size(F.filter(
         toks, lambda t: t.isin(EN_STOPWORDS)))
     alpha_hits = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
@@ -81,7 +102,7 @@ def with_quality(docs: DataFrame) -> DataFrame:
         return F.floor(x * 10000).cast("long")
 
     mean_tok_len = (n_chars - (n_tokens - 1)) / F.greatest(n_tokens, F.lit(1))
-    return docs.select(
+    return _staged(docs).select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         e4(punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio_e4"),
@@ -97,16 +118,15 @@ def with_quality(docs: DataFrame) -> DataFrame:
     )
 
 
-def lang_score(lang: str) -> Column:
-    toks = tokens_col()
+def lang_score(lang: str, toks: Optional[Column] = None) -> Column:
+    if toks is None:
+        toks = tokens_col()
     return F.size(F.filter(toks, lambda t: t.isin(LANG_MARKERS[lang])))
 
 
-def lang_pred_col() -> Column:
-    """The language-ID decision as a standalone column (fixed-precedence
-    CASE argmax: en > es > de > fr on ties, so Spark and the SQL
-    oracle agree)."""
-    s = {lang: lang_score(lang) for lang in LANG_ORDER}
+def _pred_from_scores(s: dict) -> Column:
+    """Fixed-precedence CASE argmax over score columns/expressions:
+    en > es > de > fr on ties, so Spark and the SQL oracle agree."""
     return (
         F.when((s["en"] > 0) & (s["en"] >= s["es"]) & (s["en"] >= s["de"])
                & (s["en"] >= s["fr"]), F.lit("en"))
@@ -117,14 +137,31 @@ def lang_pred_col() -> Column:
         .otherwise(F.lit("und")))
 
 
+def lang_pred_col() -> Column:
+    """The language-ID decision as one standalone column. NOTE: embeds
+    the tokenizer once per language score — callers that can stage
+    columns should prefer the with_language_id shape (scores off a
+    materialized ``_toks``, argmax off materialized scores)."""
+    return _pred_from_scores(
+        {lang: lang_score(lang) for lang in LANG_ORDER})
+
+
 def with_language_id(docs: DataFrame) -> DataFrame:
-    """Stop-word-marker language ID; see lang_pred_col."""
-    s = {lang: lang_score(lang) for lang in LANG_ORDER}
-    pred = lang_pred_col()
-    return docs.select(
+    """Stop-word-marker language ID. Two staged projections: marker
+    scores computed once off the materialized token array, then the
+    CASE argmax off the materialized score columns (the argmax
+    references every score up to 4×; inlined interpreted-HOF scores
+    would re-tokenize the document each time — measured 30× slower)."""
+    toks = F.col("_toks")
+    scored = _staged(docs).select(
         "doc_id", F.col("lang").alias("lang_true"),
-        *[s[lang].alias(f"score_{lang}") for lang in LANG_ORDER],
-        pred.alias("lang_pred"))
+        *[lang_score(lang, toks).alias(f"score_{lang}")
+          for lang in LANG_ORDER])
+    s = {lang: F.col(f"score_{lang}") for lang in LANG_ORDER}
+    return scored.select(
+        "doc_id", "lang_true",
+        *[f"score_{lang}" for lang in LANG_ORDER],
+        _pred_from_scores(s).alias("lang_pred"))
 
 
 def _winnow_udf(k: int, w: int):
@@ -216,34 +253,39 @@ def with_repetition(docs: DataFrame) -> DataFrame:
       computed in one Arrow-batched Counter pass — a Catalyst spelling
       would be an O(n²) interpreted HOF)
 
-    Everything else is linear ``array_distinct`` math inside
-    whole-stage codegen; the operator is zero-shuffle (all signals are
-    doc-local), so at 100 TB it fuses into the scan stage.
+    Everything else is linear ``array_distinct`` math, zero-shuffle
+    (all signals are doc-local), so at 100 TB it fuses into the scan
+    stage. Three staged projections keep each derived array (lines,
+    distinct lines, tokens, bigrams) evaluated exactly once; the
+    bigram build is a ``zip_with`` of two slices of the materialized
+    token array — the previous indexed-transform spelling embedded the
+    tokenizer inside the element lambda, re-tokenizing the document
+    per bigram (O(n²) interpreted, measured 23 s → 1.4 s at sf0.1).
     """
-    lines_raw = F.transform(F.split(F.col("text"), "\n"),
-                            lambda x: F.trim(x))
-    lines = F.filter(lines_raw, lambda x: x != "")
-    n_lines = F.size(lines)
-    n_uniq_lines = F.size(F.array_distinct(lines))
-    chars_all = F.aggregate(lines, F.lit(0),
-                            lambda acc, x: acc + F.length(x))
-    chars_uniq = F.aggregate(F.array_distinct(lines), F.lit(0),
-                             lambda acc, x: acc + F.length(x))
-    toks = tokens_col()
+    toks = F.col("_toks")
     n_tok = F.size(toks)
-    bigrams = F.when(n_tok >= 2, F.transform(
-        F.slice(toks, 1, n_tok - 1),
-        lambda x, i: F.concat(x, F.lit("\x1f"),
-                              F.element_at(toks, i + 2)))
-    ).otherwise(F.array().cast("array<string>"))
-    n_bi = F.size(bigrams)
-    n_uniq_bi = F.size(F.array_distinct(bigrams))
+    staged = _staged(docs, with_lines=True).select(
+        "doc_id", "_lines", "_toks",
+        F.array_distinct("_lines").alias("_ulines"),
+        F.when(n_tok >= 2, F.zip_with(
+            F.slice(toks, 1, n_tok - 1),
+            F.slice(toks, 2, n_tok - 1),
+            lambda a, b: F.concat(a, F.lit("\x1f"), b)))
+        .otherwise(F.array().cast("array<string>")).alias("_bi"))
+    n_lines = F.size("_lines")
+    n_uniq_lines = F.size("_ulines")
+    chars_all = F.aggregate("_lines", F.lit(0),
+                            lambda acc, x: acc + F.length(x))
+    chars_uniq = F.aggregate("_ulines", F.lit(0),
+                             lambda acc, x: acc + F.length(x))
+    n_bi = F.size("_bi")
+    n_uniq_bi = F.size(F.array_distinct("_bi"))
     top_bi = _top_bigram_udf()
 
     def e4(x):
         return F.floor(x * 10000).cast("long")
 
-    return docs.select(
+    return staged.select(
         "doc_id",
         n_lines.cast("int").alias("n_lines"),
         e4((n_lines - n_uniq_lines) / F.greatest(n_lines, F.lit(1)))
@@ -252,7 +294,7 @@ def with_repetition(docs: DataFrame) -> DataFrame:
          .alias("dup_line_char_frac_e4"),
         e4((n_bi - n_uniq_bi) / F.greatest(n_bi, F.lit(1)))
          .alias("dup_bigram_frac_e4"),
-        e4(top_bi(toks) / F.greatest(n_bi, F.lit(1)))
+        e4(top_bi(F.col("_toks")) / F.greatest(n_bi, F.lit(1)))
          .alias("top_bigram_frac_e4"),
     )
 
