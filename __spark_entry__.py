@@ -197,6 +197,41 @@ def q_extract_jats_spans(spark, sf_dir):
     return out.select("doc_id", "span_offset", "kind", "text")
 
 
+def q_extract_doctags_spans(spark, sf_dir):
+    """DocTags branch — the input half of the reference's VLM pipeline
+    (vlm_pipeline.py:31-214: model emits DocTags markup, docling parses
+    it back into a document; parsers/doctags_parser.py is the parse
+    re-expression, byte-parity-gated against the reference's 11
+    *.doctags.txt goldens). Catalyst-templated markup exercises text
+    items, heading levels, lists, OTSL tables with nested caption,
+    picture+caption, page_break, and the furniture rule (page_footer
+    excluded from the span sequence)."""
+    docs = _docs(spark, sf_dir)
+    nl = "\n"
+    payload = F.concat(
+        F.lit("<doctag><title><loc_10><loc_20><loc_400><loc_30>Doc "),
+        F.col("doc_id").cast("string"), F.lit(f"</title>{nl}<text>"),
+        F.col("text"), F.lit(f"</text>{nl}"
+                             "<section_header_level_2><loc_10><loc_40>"
+                             "<loc_200><loc_50>Stats"
+                             f"</section_header_level_2>{nl}"
+                             "<unordered_list><list_item>"),
+        F.col("n_chars").cast("string"),
+        F.lit(" chars</list_item><list_item>alpha beta</list_item>"
+              f"</unordered_list>{nl}"
+              "<otsl><loc_10><loc_60><loc_300><loc_120>"
+              "<ched>k<ched>v<nl><fcel>chars<fcel>"),
+        F.col("n_chars").cast("string"),
+        F.lit(f"<nl><caption>Table 1</caption></otsl>{nl}"
+              f"<picture><loc_10><loc_130><loc_200><loc_230>"
+              f"<caption>Fig</caption></picture>{nl}"
+              f"<page_break>{nl}<page_footer>1</page_footer>{nl}"
+              "</doctag>"))
+    corpus = _single_span_corpus(docs, "doctags", payload)
+    out = _exploded_spans(extract_spans(corpus, num_partitions=_par(spark)))
+    return out.select("doc_id", "span_offset", "kind", "text")
+
+
 def q_extract_docling_json_spans(spark, sf_dir):
     """Docling-JSON passthrough branch: serialized DoclingDocument JSON
     (Catalyst-templated) → validated span emission."""
@@ -341,8 +376,12 @@ def q_extract_mixed_routed(spark, sf_dir):
             F.concat(F.lit("img://"), F.col("doc_id").cast("string"))
              .alias("media_ref"),
             F.lit(0).cast("int").alias("offset"))).alias("spans"))
+    # extract_routed filters the corpus three ways (doc / paged / image
+    # path); persist the templated input so the six-branch Catalyst
+    # payload construction runs once, not once per path (at scale the
+    # input is a real table scan and this persist disappears)
     corpus = (html.unionByName(md).unionByName(csv).unionByName(uspto)
-              .unionByName(pdf).unionByName(image))
+              .unionByName(pdf).unionByName(image)).persist()
     out = extract_routed(corpus, num_partitions=_par(spark))
     ex = out.select("doc_id", "status", F.explode("spans").alias("s"))
     return ex.select(
@@ -1170,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_asciidoc_spans": q_extract_asciidoc_spans,
         "extract_jats_spans": q_extract_jats_spans,
         "extract_docling_json_spans": q_extract_docling_json_spans,
+        "extract_doctags_spans": q_extract_doctags_spans,
         "extract_docx_spans": q_extract_docx_spans,
         "extract_xlsx_spans": q_extract_xlsx_spans,
         "extract_pptx_spans": q_extract_pptx_spans,
@@ -1289,6 +1329,40 @@ SELECT CAST(doc_id AS VARCHAR), CAST(6 AS INT), 'table',
        '2x2' || chr(10) || 'k' || chr(9) || 'v' || chr(10)
        || 'chars' || chr(9) || CAST(n_chars AS VARCHAR) || chr(10)
        || 'H:1' || chr(9) || '1'
+FROM documents
+"""
+
+    oracles["extract_doctags_spans"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS INT) AS span_offset,
+       'title' AS kind, 'Doc ' || CAST(doc_id AS VARCHAR) AS text
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(1 AS INT), 'text', text
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(2 AS INT), 'section_header', 'Stats'
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(3 AS INT), 'list_item',
+       CAST(n_chars AS VARCHAR) || ' chars'
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(4 AS INT), 'list_item', 'alpha beta'
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(5 AS INT), 'table',
+       '2x2' || chr(10) || 'k' || chr(9) || 'v' || chr(10)
+       || 'chars' || chr(9) || CAST(n_chars AS VARCHAR) || chr(10)
+       || 'H:1' || chr(9) || '1'
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(6 AS INT), 'caption', 'Table 1'
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(7 AS INT), 'picture', ''
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(8 AS INT), 'caption', 'Fig'
 FROM documents
 """
 

@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "extract_pdf_paged",
     "extract_uspto_spans",
     "extract_status_counts",
+    "extract_doctags_spans",
     "extract_image_docs",
     "extract_mixed_routed",
     "pdf_page_cells",

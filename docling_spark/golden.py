@@ -101,7 +101,65 @@ def golden_spans(gt: dict, media_refs: Optional[List[str]] = None) -> List[dict]
             # key_value_items / form_items: absent from declarative-format
             # goldens; ignored here.
         for child in item.get("children", []):
-            child_ref = child.get("$ref") if isinstance(child, dict) else None
+            # schema v1.0 serializes child pointers as "$ref",
+            # v1.3+ (the PDF groundtruths) as "cref"
+            child_ref = (child.get("$ref") or child.get("cref")) \
+                if isinstance(child, dict) else None
+            if child_ref:
+                visit(child_ref)
+
+    visit("#/body")
+    return spans
+
+
+def doctags_view_spans(gt: dict) -> List[dict]:
+    """Golden spans as the DocTags serializer sees the document — the
+    parity target for parsers/doctags_parser.py against the reference's
+    ``*.doctags.txt`` goldens. Differs from :func:`golden_spans` exactly
+    where the serializer's traversal differs from the plain body DFS
+    (dialect observed across all 11 goldens, doctags_dialect.py):
+
+    * descendants of tables/pictures are NOT serialized (docling-core's
+      ``traverse_pictures=False`` default) — except captions, which
+      render nested inside the owner, so they re-appear right after it;
+    * furniture is carried by label (``page_header``/``page_footer``
+      tags), not by ``content_layer`` — the markup has no layer field.
+    """
+    spans: List[dict] = []
+
+    def _emit(kind: str, text: str) -> None:
+        spans.append({"kind": kind, "text": text, "media_ref": "",
+                      "offset": len(spans)})
+
+    def _captions(owner: dict) -> None:
+        for cref in owner.get("captions") or []:
+            ref = (cref.get("$ref") or cref.get("cref")) \
+                if isinstance(cref, dict) else None
+            cap = _resolve(gt, ref) if ref else None
+            if cap is not None:
+                _emit("caption", cap.get("text", ""))
+
+    def visit(ref: str) -> None:
+        item = _resolve(gt, ref)
+        if item is None:
+            return
+        if ref.startswith("#/tables"):
+            _emit("table", _table_text(item))
+            _captions(item)
+            return
+        if ref.startswith("#/pictures"):
+            _emit("picture", "")
+            _captions(item)
+            return
+        is_group = (ref.startswith("#/groups")
+                    or ref in ("#/body", "#/furniture"))
+        if not is_group:
+            label = item.get("label", "text")
+            if label not in ("page_header", "page_footer"):
+                _emit(label, item.get("text", ""))
+        for child in item.get("children", []):
+            child_ref = (child.get("$ref") or child.get("cref")) \
+                if isinstance(child, dict) else None
             if child_ref:
                 visit(child_ref)
 

@@ -63,7 +63,14 @@ def curate(docs: DataFrame, *, lang: str = "en",
     reps = (gated
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .drop("rn", "lang_pred"))
+            .drop("rn", "lang_pred")
+            # reps feeds BOTH the SimHash pair generation and the final
+            # anti-join; without the persist the whole upstream
+            # (parse-normalize-tokenize-score + exact-dedup window) runs
+            # twice inside one action (measured ~40% of the pipeline at
+            # sf0.1). At 100 TB swap for a checkpoint-to-table between
+            # the two stages — same plan shape.
+            .persist())
 
     pairs = simhash_pairs(reps.select("doc_id", "text"),
                           bits=bits, bands=bands, max_hamming=max_hamming)

@@ -233,13 +233,19 @@ def dedup_components(pairs: DataFrame, *,
 
     Labels persist per round and the previous round unpersists, so
     lineage stays one round deep (no exponential recompute)."""
-    edges = pairs.select("doc_a", "doc_b")
     # materialize the symmetric edge list ONCE: every propagation round
     # joins against it, and without the persist each round would re-run
-    # the whole upstream candidate-generation pipeline
-    sym = edges.unionByName(
-        edges.select(F.col("doc_b").alias("doc_a"),
-                     F.col("doc_a").alias("doc_b"))).persist()
+    # the whole upstream candidate-generation pipeline. Symmetrize with
+    # one explode pass — a union of (a,b) ∪ (b,a) branches would run
+    # the upstream pair pipeline TWICE to fill the cache (measured ~2×
+    # the materialization cost at sf0.1).
+    sym = (pairs.select(F.explode(F.array(
+               F.struct(F.col("doc_a"), F.col("doc_b")),
+               F.struct(F.col("doc_b").alias("doc_a"),
+                        F.col("doc_a").alias("doc_b")))).alias("e"))
+           .select(F.col("e.doc_a").alias("doc_a"),
+                   F.col("e.doc_b").alias("doc_b"))
+           .persist())
     labels = (sym.select(F.col("doc_a").alias("doc_id")).distinct()
               .withColumn("component", F.col("doc_id"))
               .persist())

@@ -86,6 +86,11 @@ def _load_parsers() -> Dict[str, Callable[[str], object]]:
     except ImportError:
         pass
     try:
+        from ..parsers.doctags_parser import parse_doctags
+        parsers["doctags"] = parse_doctags
+    except ImportError:
+        pass
+    try:
         from ..parsers.pdf_page import parse_pdf_pages
         parsers["pdf_page"] = None  # multi-span path, handled separately
     except ImportError:

@@ -56,8 +56,9 @@ def format_col(payload: Column) -> Column:
                     | head.contains("jats-journalpublishing")
                     | head.contains("//jats//"))
     return (
-        F.when(head.contains("<!doctype html") | head.contains("<html"),
-               F.lit("html"))
+        F.when(payload.startswith("<doctag>"), F.lit("doctags"))
+        .when(head.contains("<!doctype html") | head.contains("<html"),
+              F.lit("html"))
         .when(payload.startswith("PATN\n")
               | (head.contains("<!doctype") & uspto_doctype),
               F.lit("uspto"))
