@@ -791,6 +791,42 @@ def q_curate_corpus(spark, sf_dir):
     return curate(corpus)
 
 
+def _source_corpus(docs: DataFrame) -> DataFrame:
+    """documents + exact clones of every src0-src3 doc (+1000000):
+    those four sources get a 0.5 within-source duplicate ratio, so the
+    domain-reputation dup gate does real work at every sf."""
+    clones = (docs.filter(F.col("source").isin("src0", "src1",
+                                               "src2", "src3"))
+              .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                      "text", "source"))
+    return docs.select("doc_id", "text", "source").unionByName(clones)
+
+
+def q_source_reputation(spark, sf_dir):
+    """CCNet/RefinedWeb-style domain-level curation: per-source quality
+    aggregates (dup ratio by normalized-md5, mean tokens, stop-word
+    share) + keep flag — one algebraic groupBy(source), map-side
+    partial agg (operators/curate.py:source_reputation)."""
+    from docling_spark.operators.curate import source_reputation
+    return source_reputation(_source_corpus(_docs(spark, sf_dir)),
+                             max_dup_ratio_e4=2500,
+                             min_avg_tokens_e4=100_000,
+                             min_stop_ratio_e4=300)
+
+
+def q_source_gated_docs(spark, sf_dir):
+    """Domain gate applied: documents from sources that passed
+    reputation, via a broadcast semi-join (the corpus never
+    shuffles)."""
+    from docling_spark.operators.curate import (gate_by_source,
+                                                source_reputation)
+    corpus = _source_corpus(_docs(spark, sf_dir))
+    rep = source_reputation(corpus, max_dup_ratio_e4=2500,
+                            min_avg_tokens_e4=100_000,
+                            min_stop_ratio_e4=300)
+    return gate_by_source(corpus, rep).select("doc_id", "source")
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     """Hamming-ball near-dup pairs: 32-bit SimHash → 4 band slices →
     bucket equijoin (pigeonhole covers Hamming ≤ 3) → bit_count
@@ -861,6 +897,18 @@ def q_knn_cosine_ivf(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 10)
     out = knn_ivf(emb, queries, k=5)
     return out.withColumnRenamed("rank", "rnk")
+
+
+def q_knn_classify(spark, sf_dir):
+    """k-NN majority-vote classification over the labeled embedding
+    corpus: exact top-5 cosine neighbors per query (two-phase scan,
+    no corpus shuffle), labels looked up by broadcasting the tiny
+    neighbor table, plurality vote with smaller-label tie-break."""
+    from docling_spark.operators.similarity import knn_classify
+    emb = _read(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", "embedding")
+    queries = vecs.filter(F.col("vec_id") < 10)
+    return knn_classify(vecs, queries, emb.select("vec_id", "label"), k=5)
 
 
 def q_events_sessionize(spark, sf_dir):
@@ -1246,12 +1294,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "curate_corpus": q_curate_corpus,
+        "source_reputation": q_source_reputation,
+        "source_gated_docs": q_source_gated_docs,
         "dedup_components": q_dedup_components,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "knn_cosine_bruteforce": q_knn_cosine_bruteforce,
         "knn_cosine_int8": q_knn_cosine_int8,
         "knn_cosine_lsh": q_knn_cosine_lsh,
         "knn_cosine_ivf": q_knn_cosine_ivf,
+        "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
         "format_sniff_exact": q_format_sniff_exact,
@@ -2147,6 +2198,47 @@ FROM reps r LEFT JOIN dropped d ON r.doc_id = d.doc_id
 WHERE d.doc_id IS NULL
 """
 
+    source_rep_core = f"""
+raw AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, source FROM documents
+  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+srn AS (SELECT doc_id, source, {NORM_SQL} AS nt FROM raw),
+srx AS (SELECT doc_id, source, nt, string_split(nt, ' ') AS t FROM srn),
+srsig AS (SELECT doc_id, source, len(t) AS ntoks,
+            len(list_filter(t, w -> list_contains({stop_list}, w)))
+              AS stop,
+            md5(nt) AS fp
+          FROM srx),
+sragg AS (SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS u,
+            SUM(ntoks) AS st, SUM(stop) AS ss
+          FROM srsig GROUP BY source),
+srrep AS (SELECT source, n_docs,
+            floor(10000.0 * (n_docs - u) / n_docs) AS dup_ratio,
+            floor(10000.0 * st / n_docs) AS avg_toks,
+            floor(10000.0 * ss / greatest(st, 1)) AS stop_ratio
+          FROM sragg)
+"""
+    source_keep = ("dup_ratio <= 2500 AND avg_toks >= 100000"
+                   " AND stop_ratio >= 300")
+    oracles["source_reputation"] = f"""
+WITH {source_rep_core}
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(dup_ratio AS BIGINT) AS dup_ratio_e4,
+  CAST(avg_toks AS BIGINT) AS avg_tokens_e4,
+  CAST(stop_ratio AS BIGINT) AS stop_ratio_e4,
+  CAST({source_keep} AS INT) AS keep
+FROM srrep
+"""
+
+    oracles["source_gated_docs"] = f"""
+WITH {source_rep_core}
+SELECT r.doc_id, r.source
+FROM raw r JOIN (SELECT source FROM srrep WHERE {source_keep}) k
+  ON r.source = k.source
+"""
+
     oracles["doc_fingerprint"] = f"""
 SELECT doc_id, md5({NORM_SQL}) AS fingerprint FROM documents
 """
@@ -2350,6 +2442,22 @@ SELECT query_id, nbr_id, CAST(rn AS INT) AS rnk,
 FROM ranked WHERE rn <= 5
 """
     oracles["knn_cosine_bruteforce"] = "WITH " + knn_core.format(extra_cond="")
+
+    knn_ctes = knn_core.format(extra_cond="").rsplit("SELECT query_id,", 1)[0]
+    oracles["knn_classify"] = "WITH " + knn_ctes + """,
+top AS (SELECT query_id, nbr_id, rn FROM ranked WHERE rn <= 5),
+votes AS (SELECT t.query_id, e.label, COUNT(*) AS votes,
+                 MIN(t.rn) AS best_rank
+          FROM top t JOIN embeddings e ON t.nbr_id = e.vec_id
+          GROUP BY t.query_id, e.label),
+sel AS (SELECT query_id, label, votes, best_rank,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY votes DESC, label ASC) AS rr
+        FROM votes)
+SELECT query_id, label AS pred_label, CAST(votes AS BIGINT) AS votes,
+       CAST(best_rank AS INT) AS best_rank
+FROM sel WHERE rr = 1
+"""
 
     oracles["knn_cosine_int8"] = """
 WITH raw AS (SELECT vec_id,

@@ -54,12 +54,14 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "curate_corpus",
+    "source_reputation",
     "dedup_components",
     "embedding_dedup",
     "knn_cosine_bruteforce",
     "knn_cosine_int8",
     "knn_cosine_lsh",
     "knn_cosine_ivf",
+    "knn_classify",
     "events_sessionize",
     "events_windowed",
     "media_decode_meta",

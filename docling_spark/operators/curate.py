@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import simhash_pairs
-from .textstats import LANG_ORDER, _pred_from_scores, _staged, lang_score
+from .textstats import (EN_STOPWORDS, LANG_ORDER, _pred_from_scores,
+                        _staged, lang_score)
 
 
 def curate(docs: DataFrame, *, lang: str = "en",
@@ -77,3 +78,70 @@ def curate(docs: DataFrame, *, lang: str = "en",
     dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return (reps.join(dropped, "doc_id", "left_anti")
             .select("doc_id", "n_tokens", "fingerprint"))
+
+
+def source_reputation(docs: DataFrame, *,
+                      max_dup_ratio_e4: int = 2500,
+                      min_avg_tokens_e4: int = 100_000,
+                      min_stop_ratio_e4: int = 500,
+                      exact_distinct: bool = True) -> DataFrame:
+    """Per-source (domain) reputation — the CCNet/RefinedWeb-style
+    domain-level curation pass: aggregate quality signals per
+    ``source`` and flag sources worth keeping, so a whole bad domain
+    (SEO spam, mirror farms) is dropped in one decision instead of
+    per-document.
+
+    Returns (source, n_docs, dup_ratio_e4, avg_tokens_e4,
+    stop_ratio_e4, keep):
+
+    * ``dup_ratio_e4`` — share of docs whose normalized-text md5 repeats
+      within the source (mirror/boilerplate marker);
+    * ``avg_tokens_e4`` — mean token count ×1e4 (thin-content marker);
+    * ``stop_ratio_e4`` — stop-word share of all tokens (gibberish /
+      non-prose marker);
+    * ``keep`` — 1 iff all three clear their thresholds.
+
+    Scale shape: one projection over the scan (normalize + tokenize,
+    staged once), then ONE groupBy(source) whose aggregates are all
+    algebraic (count/sum partial-agg map-side). The exact duplicate
+    count is count(DISTINCT md5) — a two-phase expand keyed on
+    (source, fingerprint); at 100 TB flip ``exact_distinct=False`` for
+    one-pass HyperLogLog (`approx_count_distinct`), the standard
+    trade on domains with billions of pages."""
+    staged = _staged(docs).select(
+        "source",
+        F.size("_toks").alias("_nt_toks"),
+        F.size(F.filter(F.col("_toks"),
+                        lambda t: t.isin(EN_STOPWORDS))).alias("_stop"),
+        F.md5("_nt").alias("_fp"))
+    n_uniq = (F.count_distinct("_fp") if exact_distinct
+              else F.approx_count_distinct("_fp"))
+    agg = staged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        n_uniq.alias("_n_uniq"),
+        F.sum("_nt_toks").alias("_sum_toks"),
+        F.sum("_stop").alias("_sum_stop"))
+    dup_ratio = F.floor(F.lit(10000.0) * (F.col("n_docs") - F.col("_n_uniq"))
+                        / F.col("n_docs")).cast("long")
+    avg_toks = F.floor(F.lit(10000.0) * F.col("_sum_toks")
+                       / F.col("n_docs")).cast("long")
+    stop_ratio = F.floor(F.lit(10000.0) * F.col("_sum_stop")
+                         / F.greatest(F.col("_sum_toks"), F.lit(1))
+                         ).cast("long")
+    return agg.select(
+        "source", F.col("n_docs").cast("long").alias("n_docs"),
+        dup_ratio.alias("dup_ratio_e4"),
+        avg_toks.alias("avg_tokens_e4"),
+        stop_ratio.alias("stop_ratio_e4"),
+        ((dup_ratio <= max_dup_ratio_e4)
+         & (avg_toks >= min_avg_tokens_e4)
+         & (stop_ratio >= min_stop_ratio_e4)).cast("int").alias("keep"))
+
+
+def gate_by_source(docs: DataFrame, reputation: DataFrame) -> DataFrame:
+    """Keep only documents whose source passed :func:`source_reputation`.
+    The reputation table is source-cardinality (tiny vs the corpus), so
+    the gate is a BROADCAST semi-join — the 100 TB doc table never
+    shuffles."""
+    keep = reputation.filter(F.col("keep") == 1).select("source")
+    return docs.join(F.broadcast(keep), "source", "left_semi")

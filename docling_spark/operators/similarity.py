@@ -329,6 +329,34 @@ def knn_bruteforce_int8(embeddings: DataFrame, queries: DataFrame,
     return knn_bruteforce(qe, qq, k=k)
 
 
+def knn_classify(embeddings: DataFrame, queries: DataFrame,
+                 labels: DataFrame, k: int = 5) -> DataFrame:
+    """k-NN majority-vote classification: label each query vector by
+    the plurality label of its ``k`` nearest corpus neighbors (exact
+    cosine; ties break toward the smaller label, so the result is
+    deterministic and SQL-replayable).
+
+    ``labels``: (vec_id, label) — corpus-sized. Scale shape: the
+    neighbor table is tiny (n_queries × k), so the label lookup
+    broadcasts IT against the big labels table (no shuffle of the
+    corpus); the vote is a groupBy over n_queries × k rows and the
+    final argmax a window over n_queries × n_distinct_labels rows —
+    both negligible at any corpus size."""
+    nn = knn_bruteforce(embeddings, queries, k=k)
+    lbl = labels.select(F.col("vec_id").alias("nbr_id"), "label")
+    votes = (lbl.join(F.broadcast(nn), "nbr_id")
+             .groupBy("query_id", "label")
+             .agg(F.count("*").alias("votes"),
+                  F.min("rank").alias("best_rank")))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("votes").desc(), F.col("label").asc()))
+    return (votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("query_id", F.col("label").alias("pred_label"),
+                    F.col("votes").cast("long").alias("votes"),
+                    F.col("best_rank").cast("int").alias("best_rank")))
+
+
 def knn_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             n_planes: int = N_PLANES) -> DataFrame:
     """Approximate top-k: only corpus vectors in the query's LSH bucket

@@ -133,3 +133,82 @@ def test_pack_sequences_degenerate_docs(spark, n_tokens):
     r = pack_sequences(docs, seq_len=8, n_shards=1).collect()[0]
     # empty/1-token docs still occupy exactly one sequence slot
     assert r["n_seqs"] == 1 and r["first_seq"] == 0
+
+
+def test_source_reputation_signals_and_gate(spark):
+    from docling_spark.operators.curate import (gate_by_source,
+                                                source_reputation)
+
+    rows = []
+    # good.org: 4 distinct prose docs, stop-word rich
+    for i in range(4):
+        rows.append((i, "the quick brown fox and the lazy dog "
+                        "jumped over it for fun in the sun " + str(i),
+                     "good.org"))
+    # mirror.net: 4 docs, all the same text -> dup_ratio 7500
+    for i in range(4, 8):
+        rows.append((i, "the exact same mirrored page text is here "
+                        "and it is long enough to pass", "mirror.net"))
+    # thin.io: 4 distinct but tiny docs -> avg tokens below floor
+    for i in range(8, 12):
+        rows.append((i, "tiny doc " + str(i), "thin.io"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "source string")
+    rep = source_reputation(docs, max_dup_ratio_e4=2500,
+                            min_avg_tokens_e4=100_000,
+                            min_stop_ratio_e4=300)
+    by_src = {r["source"]: r for r in rep.collect()}
+    assert by_src["good.org"]["keep"] == 1
+    assert by_src["good.org"]["dup_ratio_e4"] == 0
+    assert by_src["mirror.net"]["keep"] == 0
+    assert by_src["mirror.net"]["dup_ratio_e4"] == 7500
+    assert by_src["thin.io"]["keep"] == 0
+    assert by_src["thin.io"]["avg_tokens_e4"] < 100_000
+
+    kept = gate_by_source(docs, rep)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2, 3]
+    # the gate must be a broadcast semi-join: the corpus never shuffles
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_source_reputation_approx_distinct_path(spark):
+    from docling_spark.operators.curate import source_reputation
+
+    docs = spark.createDataFrame(
+        [(i, "the word and more of it is that " + str(i % 3), "s")
+         for i in range(6)],
+        "doc_id long, text string, source string")
+    rep = source_reputation(docs, exact_distinct=False,
+                            min_avg_tokens_e4=10_000).collect()
+    assert rep[0]["n_docs"] == 6
+    # HLL on 3 distinct values is exact at this cardinality
+    assert rep[0]["dup_ratio_e4"] == 5000
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    from docling_spark.operators.similarity import knn_classify
+
+    # 2-d corpus: labels 0 cluster near +x, labels 1 near +y; one
+    # query sits on +x (majority 0), one equidistant query forces a
+    # 2-2-1 -> clear, and a tie case breaks toward the smaller label
+    emb = [
+        (0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0), (2, [0.95, 0.05], 0),
+        (3, [0.0, 1.0], 1), (4, [0.1, 0.9], 1), (5, [0.05, 0.95], 1),
+    ]
+    df = spark.createDataFrame(
+        emb, "vec_id long, embedding array<double>, label int")
+    vecs = df.select("vec_id", "embedding")
+    labels = df.select("vec_id", "label")
+
+    q = spark.createDataFrame([(100, [1.0, 0.02])],
+                              "vec_id long, embedding array<double>")
+    out = knn_classify(vecs, q, labels, k=3).collect()
+    assert len(out) == 1
+    assert out[0]["pred_label"] == 0 and out[0]["votes"] == 3
+
+    # k=6 over a 3/3 labeled corpus: tie -> smaller label wins
+    q2 = spark.createDataFrame([(101, [1.0, 1.0])],
+                               "vec_id long, embedding array<double>")
+    out2 = knn_classify(vecs, q2, labels, k=6).collect()
+    assert out2[0]["pred_label"] == 0 and out2[0]["votes"] == 3
