@@ -827,6 +827,21 @@ def q_source_gated_docs(spark, sf_dir):
     return gate_by_source(corpus, rep).select("doc_id", "source")
 
 
+def q_dedup_boilerplate_lines(spark, sf_dir):
+    """CCNet-style cross-document line dedup: nav/footer lines injected
+    into every document are dropped (doc-frequency ≥ 2), the short
+    'ok' line survives the min-chars guard, and each doc's unique body
+    line survives (operators/curate.py:dedup_boilerplate_lines)."""
+    from docling_spark.operators.curate import dedup_boilerplate_lines
+    docs = _docs(spark, sf_dir)
+    payload = F.concat(
+        F.lit("nav home about contact\nok\n"), F.col("text"),
+        F.lit("\ncopyright footer all rights reserved 2026"))
+    return dedup_boilerplate_lines(
+        docs.select("doc_id", payload.alias("text")),
+        min_df=2, min_line_chars=8)
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     """Hamming-ball near-dup pairs: 32-bit SimHash → 4 band slices →
     bucket equijoin (pigeonhole covers Hamming ≤ 3) → bit_count
@@ -1296,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": q_curate_corpus,
         "source_reputation": q_source_reputation,
         "source_gated_docs": q_source_gated_docs,
+        "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
         "dedup_components": q_dedup_components,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "knn_cosine_bruteforce": q_knn_cosine_bruteforce,
@@ -2237,6 +2253,40 @@ WITH {source_rep_core}
 SELECT r.doc_id, r.source
 FROM raw r JOIN (SELECT source FROM srrep WHERE {source_keep}) k
   ON r.source = k.source
+"""
+
+    oracles["dedup_boilerplate_lines"] = """
+WITH raw AS (
+  SELECT doc_id,
+    'nav home about contact' || chr(10) || 'ok' || chr(10) || text
+    || chr(10) || 'copyright footer all rights reserved 2026' AS t
+  FROM documents),
+parts AS (SELECT doc_id, string_split(t, chr(10)) AS p FROM raw),
+lines AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(p)),
+           i -> struct_pack(pos := i - 1, line := p[i])),
+           recursive := true)
+  FROM parts),
+ln AS (
+  SELECT doc_id, pos, line,
+    CASE WHEN length(lower(trim(regexp_replace(line, '\\s+', ' ', 'g'))))
+              >= 8
+         THEN md5(lower(trim(regexp_replace(line, '\\s+', ' ', 'g'))))
+    END AS fp
+  FROM lines),
+boiler AS (
+  SELECT fp FROM (
+    SELECT fp, COUNT(DISTINCT doc_id) AS df FROM ln
+    WHERE fp IS NOT NULL GROUP BY fp) WHERE df >= 2)
+SELECT l.doc_id,
+  coalesce(string_agg(CASE WHEN b.fp IS NULL THEN l.line END, chr(10)
+                      ORDER BY l.pos), '') AS text,
+  CAST(SUM(CASE WHEN b.fp IS NULL THEN 1 ELSE 0 END) AS INT) AS n_kept,
+  CAST(SUM(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+    AS n_dropped
+FROM ln l LEFT JOIN boiler b ON l.fp = b.fp
+GROUP BY l.doc_id
 """
 
     oracles["doc_fingerprint"] = f"""

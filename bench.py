@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "dedup_simhash_pairs",
     "curate_corpus",
     "source_reputation",
+    "dedup_boilerplate_lines",
     "dedup_components",
     "embedding_dedup",
     "knn_cosine_bruteforce",

@@ -145,3 +145,52 @@ def gate_by_source(docs: DataFrame, reputation: DataFrame) -> DataFrame:
     shuffles."""
     keep = reputation.filter(F.col("keep") == 1).select("source")
     return docs.join(F.broadcast(keep), "source", "left_semi")
+
+
+def dedup_boilerplate_lines(docs: DataFrame, *, min_df: int = 2,
+                            min_line_chars: int = 8) -> DataFrame:
+    """CCNet-style cross-document line dedup: a line whose normalized
+    md5 occurs in ≥ ``min_df`` DISTINCT documents is boilerplate (nav
+    bars, cookie banners, copyright footers) and is removed from every
+    document; lines shorter than ``min_line_chars`` normalized chars
+    are never dropped (too ambiguous to be evidence of mirroring).
+
+    Returns (doc_id, text, n_kept, n_dropped) with boilerplate lines
+    removed and the remaining lines re-joined in original order.
+
+    Scale shape: explode to lines (narrow), ONE count-distinct-docs
+    aggregation keyed on line fingerprint (two-phase expand — the
+    standard exact spelling; at 100 TB the frequent-line table is
+    ~1e6 rows, so it broadcasts), one equijoin back, ONE
+    groupBy(doc_id) reassembly with sort_array — the same
+    doc-reassembly idiom as the paged-PDF path. Nothing is
+    order-dependent: the line position rides through the explode."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col("line"), r"\s+", " ")))
+    lines = (docs
+             .select("doc_id",
+                     F.posexplode(F.split(F.col("text"), "\n"))
+                      .alias("pos", "line"))
+             .withColumn("_norm", norm)
+             .withColumn("fp", F.when(F.length("_norm") >= min_line_chars,
+                                      F.md5(F.col("_norm"))))
+             .drop("_norm"))
+    boiler = (lines.filter(F.col("fp").isNotNull())
+              .groupBy("fp")
+              .agg(F.count_distinct("doc_id").alias("df"))
+              .filter(F.col("df") >= min_df)
+              .select("fp"))
+    kept_flag = F.col("b_fp").isNull()
+    joined = (lines.join(boiler.select(F.col("fp").alias("b_fp")),
+                         lines["fp"] == F.col("b_fp"), "left"))
+    return (joined
+            .groupBy("doc_id")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.when(kept_flag,
+                                   F.struct("pos", "line")))),
+                        lambda x: x["line"]), "\n").alias("text"),
+                F.sum(kept_flag.cast("int")).cast("int").alias("n_kept"),
+                F.sum((~kept_flag).cast("int")).cast("int")
+                 .alias("n_dropped")))

@@ -212,3 +212,28 @@ def test_knn_classify_majority_and_tiebreak(spark):
                                "vec_id long, embedding array<double>")
     out2 = knn_classify(vecs, q2, labels, k=6).collect()
     assert out2[0]["pred_label"] == 0 and out2[0]["votes"] == 3
+
+
+def test_dedup_boilerplate_lines(spark):
+    from docling_spark.operators.curate import dedup_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "subscribe to our newsletter\nunique content alpha\nok"),
+            (2, "subscribe to our newsletter\nunique content beta\nok"),
+            # whitespace/case variant still matches the normalized fp
+            (3, "  SUBSCRIBE   to our Newsletter \nunique content gamma"),
+            # doc that is ALL boilerplate -> empty text survives
+            (4, "subscribe to our newsletter"),
+        ],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup_boilerplate_lines(docs, min_df=2,
+                                   min_line_chars=8).collect()}
+    assert out[1]["text"] == "unique content alpha\nok"
+    assert out[1]["n_kept"] == 2 and out[1]["n_dropped"] == 1
+    # 'ok' is under min_line_chars: kept even though it repeats
+    assert out[2]["text"] == "unique content beta\nok"
+    assert out[3]["text"] == "unique content gamma"
+    assert out[4]["text"] == "" and out[4]["n_kept"] == 0
+    assert out[4]["n_dropped"] == 1
