@@ -230,3 +230,41 @@ def test_int8_quantizer_is_pure_catalyst(spark):
     plan = _plan(knn_bruteforce_int8(emb, emb.filter(F.col("vec_id") < 5)))
     assert "Join" not in plan
     assert "MapInPandas" in plan
+
+
+def test_source_gate_is_broadcast_and_agg_is_partial(spark):
+    """Domain gating never shuffles the corpus: the reputation table
+    broadcasts into a LeftSemi hash join, and the reputation groupBy
+    itself has a map-side partial phase."""
+    from docling_spark.operators.curate import (gate_by_source,
+                                                source_reputation)
+    docs = (spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "source"))
+    rep = source_reputation(docs)
+    rep_plan = _plan(rep)
+    # two-phase aggregate: partial_ markers before the final merge
+    assert "partial_" in rep_plan
+    gated = gate_by_source(docs, rep)
+    plan = _plan(gated)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the docs side reaches the join without an Exchange of its own
+    assert "SortMergeJoin" not in plan
+
+
+def test_boilerplate_lines_shape(spark):
+    """Line dedup is explode → df-agg → equijoin → one doc reassembly:
+    no sort-merge join (AQE broadcasts the frequent-line table at this
+    size), no global Sort (order is restored by array_sort inside the
+    per-doc aggregate), partial aggregation on the doc regroup."""
+    from docling_spark.operators.curate import dedup_boilerplate_lines
+    docs = (spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", F.concat(F.lit("header line here\n"),
+                                   F.col("text")).alias("text")))
+    out = dedup_boilerplate_lines(docs)
+    plan = _plan(out)
+    assert "Generate explode" in plan or "Generate posexplode" in plan
+    assert "partial_" in plan
+    # no global Sort node: reassembly sorts inside the aggregate
+    assert "\nSort " not in plan and "+- Sort " not in plan
