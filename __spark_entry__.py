@@ -232,6 +232,30 @@ def q_extract_doctags_spans(spark, sf_dir):
     return out.select("doc_id", "span_offset", "kind", "text")
 
 
+def q_extract_main_content(spark, sf_dir):
+    """DOM boilerplate stripping (the north-star text-density +
+    link-density heuristic pass, parsers/boilerplate.py): templated
+    pages carry a nav bar, a hinted sidebar, a link-farm paragraph, a
+    short link stub and a footer around one real prose block — only
+    the prose survives, and the doc-level link density is an exact
+    integer function of the text length."""
+    from docling_spark.operators.maincontent import extract_main_content
+    docs = _docs(spark, sf_dir)
+    payload = F.concat(
+        F.lit('<html><body>\n'
+              '<nav><a href="#">Home</a> <a href="#">About</a></nav>\n'
+              '<div class="sidebar"><p>promo box click here today</p>'
+              '</div>\n<p>MAIN '),
+        F.col("text"),
+        F.lit('</p>\n<p><a href="#">first link</a> '
+              '<a href="#">second link</a> also</p>\n'
+              '<p>tiny <a href="#">x</a></p>\n'
+              '<footer>copyright footer 2026</footer>\n'
+              '</body></html>'))
+    corpus = _single_span_corpus(docs, "html", payload)
+    return extract_main_content(corpus, num_partitions=_par(spark))
+
+
 def q_extract_docling_json_spans(spark, sf_dir):
     """Docling-JSON passthrough branch: serialized DoclingDocument JSON
     (Catalyst-templated) → validated span emission."""
@@ -1273,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_jats_spans": q_extract_jats_spans,
         "extract_docling_json_spans": q_extract_docling_json_spans,
         "extract_doctags_spans": q_extract_doctags_spans,
+        "extract_main_content": q_extract_main_content,
         "extract_docx_spans": q_extract_docx_spans,
         "extract_xlsx_spans": q_extract_xlsx_spans,
         "extract_pptx_spans": q_extract_pptx_spans,
@@ -1430,6 +1455,16 @@ SELECT CAST(doc_id AS VARCHAR), CAST(7 AS INT), 'picture', ''
 FROM documents
 UNION ALL
 SELECT CAST(doc_id AS VARCHAR), CAST(8 AS INT), 'caption', 'Fig'
+FROM documents
+"""
+
+    oracles["extract_main_content"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       'MAIN ' || text AS text,
+       CAST(1 AS INT) AS n_kept,
+       CAST(5 AS INT) AS n_dropped,
+       CAST(310000 // (95 + length(text)) AS BIGINT)
+         AS doc_link_density_e4
 FROM documents
 """
 

@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "extract_uspto_spans",
     "extract_status_counts",
     "extract_doctags_spans",
+    "extract_main_content",
     "extract_image_docs",
     "extract_mixed_routed",
     "pdf_page_cells",
