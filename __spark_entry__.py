@@ -938,6 +938,19 @@ def q_knn_cosine_ivf(spark, sf_dir):
     return out.withColumnRenamed("rank", "rnk")
 
 
+def q_knn_cosine_pq(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. ADC): 4 subspaces × 16
+    centroids (zero-training-budget codebook = the normalized first 16
+    corpus vectors, replayed exactly by the oracle), one Arrow encode
+    pass, then a two-phase top-k scan of the 4-byte codes via
+    per-query inner-product lookup tables."""
+    from docling_spark.operators.similarity import knn_pq
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = knn_pq(emb, queries, k=5)
+    return out.withColumnRenamed("rank", "rnk")
+
+
 def q_knn_classify(spark, sf_dir):
     """k-NN majority-vote classification over the labeled embedding
     corpus: exact top-5 cosine neighbors per query (two-phase scan,
@@ -1343,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine_int8": q_knn_cosine_int8,
         "knn_cosine_lsh": q_knn_cosine_lsh,
         "knn_cosine_ivf": q_knn_cosine_ivf,
+        "knn_cosine_pq": q_knn_cosine_pq,
         "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
@@ -2527,6 +2541,47 @@ SELECT query_id, nbr_id, CAST(rn AS INT) AS rnk,
 FROM ranked WHERE rn <= 5
 """
     oracles["knn_cosine_bruteforce"] = "WITH " + knn_core.format(extra_cond="")
+
+    oracles["knn_cosine_pq"] = """
+WITH raw AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0
+             FROM embeddings),
+n AS (SELECT vec_id,
+        list_transform(e0, x -> x / sqrt(list_reduce(
+          list_transform(e0, y -> y * y), (a, b) -> a + b))) AS e
+      FROM raw),
+jj AS (SELECT unnest(generate_series(0, 3)) AS j),
+sub AS (SELECT v.vec_id, jj.j, v.e[jj.j*16+1 : jj.j*16+16] AS s
+        FROM n v, jj),
+csub AS (SELECT vec_id AS cid, j, s AS c FROM sub WHERE vec_id < 16),
+dist AS (SELECT s.vec_id, s.j, c.cid,
+           list_reduce(list_transform(generate_series(1, 16),
+             i -> (s.s[i] - c.c[i]) * (s.s[i] - c.c[i])),
+             (a, b) -> a + b) AS d
+         FROM sub s JOIN csub c ON s.j = c.j),
+codes AS (SELECT vec_id, j, cid FROM (
+            SELECT vec_id, j, cid,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                 ORDER BY d ASC, cid ASC) AS rn
+            FROM dist) WHERE rn = 1),
+qsub AS (SELECT vec_id AS query_id, j, s AS qs FROM sub
+         WHERE vec_id < 10),
+scored AS (SELECT q.query_id, co.vec_id AS nbr_id,
+             SUM(list_reduce(list_transform(generate_series(1, 16),
+               i -> q.qs[i] * c.c[i]), (a, b) -> a + b)) AS score
+           FROM qsub q
+           JOIN codes co ON co.j = q.j
+           JOIN csub c ON c.j = co.j AND c.cid = co.cid
+           WHERE co.vec_id != q.query_id
+           GROUP BY q.query_id, co.vec_id),
+ranked AS (SELECT query_id, nbr_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, nbr_id ASC) AS rn,
+             score FROM scored)
+SELECT query_id, nbr_id, CAST(rn AS INT) AS rnk,
+       CAST(floor(score * 10000) AS BIGINT) AS score_e4
+FROM ranked WHERE rn <= 5
+"""
 
     knn_ctes = knn_core.format(extra_cond="").rsplit("SELECT query_id,", 1)[0]
     oracles["knn_classify"] = "WITH " + knn_ctes + """,

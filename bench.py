@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "knn_cosine_int8",
     "knn_cosine_lsh",
     "knn_cosine_ivf",
+    "knn_cosine_pq",
     "knn_classify",
     "events_sessionize",
     "events_windowed",

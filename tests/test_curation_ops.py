@@ -5,6 +5,7 @@ packing, weighted sampling. Each also has a driver oracle entry in
 rows where the expected values are computed by hand."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from docling_spark.operators.decontam import decontaminate
 from docling_spark.operators.packing import pack_sequences, sample_weighted
@@ -237,3 +238,28 @@ def test_dedup_boilerplate_lines(spark):
     assert out[3]["text"] == "unique content gamma"
     assert out[4]["text"] == "" and out[4]["n_kept"] == 0
     assert out[4]["n_dropped"] == 1
+
+
+def test_pq_codes_and_recall_vs_exact(spark):
+    """PQ codes are m small ints, and ADC top-k has reasonable overlap
+    with exact cosine top-k on the synthetic corpus (approximation
+    sanity, not a strict bound)."""
+    from docling_spark.operators.similarity import (knn_bruteforce,
+                                                    knn_pq, pq_encode)
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding")
+    codes = pq_encode(emb).collect()
+    assert all(len(r["codes"]) == 4 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r["codes"])
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["nbr_id"])
+             for r in knn_bruteforce(emb, queries, k=10).collect()}
+    approx = {(r["query_id"], r["nbr_id"])
+              for r in knn_pq(emb, queries, k=10).collect()}
+    # 4x16 codebook on 64-dim synthetic data: expect SOME overlap per
+    # query set, and exactly k results per query either way
+    assert len(approx) == len(exact) == 50
+    assert len(exact & approx) >= 10

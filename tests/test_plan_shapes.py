@@ -268,3 +268,31 @@ def test_boilerplate_lines_shape(spark):
     assert "partial_" in plan
     # no global Sort node: reassembly sorts inside the aggregate
     assert "\nSort " not in plan and "+- Sort " not in plan
+
+
+def test_pq_encode_never_shuffles(spark):
+    """PQ encoding is one Arrow pass against the broadcast codebook —
+    no Exchange, no Join, no Window (same index-build contract as
+    ivf_assign)."""
+    from docling_spark.operators.similarity import pq_encode
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding")
+    plan = _plan(pq_encode(emb))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_knn_pq_is_two_phase_scan(spark):
+    """ADC scoring scans the codes table once; no join materializes
+    corpus x queries."""
+    from docling_spark.operators.similarity import knn_pq
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding")
+    out = knn_pq(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    plan = _plan(out)
+    assert "Join" not in plan
+    assert "MapInPandas" in plan
