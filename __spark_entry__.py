@@ -938,6 +938,22 @@ def q_knn_cosine_ivf(spark, sf_dir):
     return out.withColumnRenamed("rank", "rnk")
 
 
+BM25_QUERIES = [(0, "fast table scan"), (1, "customer order query"),
+                (2, "vector window merge")]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 retrieval (Lucene-variant idf) over the corpus with
+    a salted two-phase distributed top-k (operators/retrieval.py) —
+    the single-partition-per-query window is the anti-pattern this
+    engine removed from brute-force kNN in round 1."""
+    from docling_spark.operators.retrieval import bm25_topk
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    queries = spark.createDataFrame(BM25_QUERIES,
+                                    "query_id long, qtext string")
+    return bm25_topk(docs, queries, k=10)
+
+
 def q_knn_cosine_pq(spark, sf_dir):
     """Product-quantization ANN (Jégou et al. ADC): 4 subspaces × 16
     centroids (zero-training-budget codebook = the normalized first 16
@@ -1357,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine_lsh": q_knn_cosine_lsh,
         "knn_cosine_ivf": q_knn_cosine_ivf,
         "knn_cosine_pq": q_knn_cosine_pq,
+        "bm25_topk": q_bm25_topk,
         "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
@@ -2541,6 +2558,42 @@ SELECT query_id, nbr_id, CAST(rn AS INT) AS rnk,
 FROM ranked WHERE rn <= 5
 """
     oracles["knn_cosine_bruteforce"] = "WITH " + knn_core.format(extra_cond="")
+
+    bm25_vals = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
+    oracles["bm25_topk"] = f"""
+WITH q(query_id, qtext) AS (VALUES {bm25_vals}),
+nd AS (SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\\s+', ' ',
+                                                'g'))), ' ') AS t
+       FROM documents),
+dt AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM nd),
+tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+       FROM dt GROUP BY doc_id, dl, term),
+qt AS (SELECT query_id,
+         unnest(list_distinct(string_split(lower(trim(regexp_replace(
+           qtext, '\\s+', ' ', 'g'))), ' '))) AS term
+       FROM q),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(len(t)) AS avgdl FROM nd),
+dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf
+        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+idf AS (SELECT term,
+          ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf, avgdl
+        FROM dfc, stats),
+per AS (SELECT qt.query_id, tf.doc_id,
+          idf.idf * tf.tf * (1.2 + 1.0)
+          / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / idf.avgdl)) AS s
+        FROM tf JOIN qt ON tf.term = qt.term
+                JOIN idf ON idf.term = tf.term),
+sc AS (SELECT query_id, doc_id, SUM(s) AS score
+       FROM per GROUP BY query_id, doc_id),
+r AS (SELECT query_id, doc_id,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, doc_id ASC) AS rnk,
+        score FROM sc)
+SELECT query_id, doc_id, CAST(rnk AS INT) AS rank,
+       CAST(floor(score * 10000) AS BIGINT) AS score_e4
+FROM r WHERE rnk <= 10
+"""
 
     oracles["knn_cosine_pq"] = """
 WITH raw AS (SELECT vec_id,

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "knn_cosine_ivf",
     "knn_cosine_pq",
     "knn_classify",
+    "bm25_topk",
     "events_sessionize",
     "events_windowed",
     "media_decode_meta",
