@@ -87,14 +87,17 @@ def _as_double(df: DataFrame, col: str = "embedding") -> DataFrame:
 def _topk(scored: DataFrame, k: int) -> DataFrame:
     """Final top-k merge. Only ever applied to CANDIDATE sets (LSH/IVF
     bucket matches, or the per-batch partial top-k of the brute-force
-    pass) — never to a full corpus × query score table."""
-    w = (Window.partitionBy("query_id")
-         .orderBy(F.col("score").desc(), F.col("nbr_id").asc()))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "nbr_id", "rank",
-                    F.floor(F.col("score") * 10000).cast("long")
-                    .alias("score_e4")))
+    pass) — never to a full corpus × query score table. Even so, the
+    candidate set grows with the partition count (n_batches × k per
+    query on the brute-force path), so the merge itself is the salted
+    two-phase rank (retrieval.distributed_topk): no single task ever
+    holds one query's whole candidate stream."""
+    from .retrieval import distributed_topk
+    top = distributed_topk(scored, key="query_id", order="score",
+                           tie="nbr_id", k=k)
+    return top.select("query_id", "nbr_id", "rank",
+                      F.floor(F.col("score") * 10000).cast("long")
+                      .alias("score_e4"))
 
 
 def _collect_matrix(df: DataFrame, limit: int = None):
