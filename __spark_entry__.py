@@ -967,6 +967,16 @@ def q_knn_cosine_pq(spark, sf_dir):
     return out.withColumnRenamed("rank", "rnk")
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Deterministic Lloyd's k-means (k=8, 2 iterations, first-k
+    init): Arrow argmin assign + pure-Catalyst per-dimension means,
+    centroids rounded to 6 decimals between iterations so the oracle
+    replays the float path exactly (operators/clustering.py)."""
+    from docling_spark.operators.clustering import kmeans_assign
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return kmeans_assign(emb, k=8, iters=2)
+
+
 def q_knn_classify(spark, sf_dir):
     """k-NN majority-vote classification over the labeled embedding
     corpus: exact top-5 cosine neighbors per query (two-phase scan,
@@ -1374,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine_ivf": q_knn_cosine_ivf,
         "knn_cosine_pq": q_knn_cosine_pq,
         "bm25_topk": q_bm25_topk,
+        "kmeans_clusters": q_kmeans_clusters,
         "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
@@ -2558,6 +2569,37 @@ SELECT query_id, nbr_id, CAST(rn AS INT) AS rnk,
 FROM ranked WHERE rn <= 5
 """
     oracles["knn_cosine_bruteforce"] = "WITH " + knn_core.format(extra_cond="")
+
+    km_avg = ", ".join(f"round(avg(v.e[{i + 1}]), 6)" for i in range(64))
+    km_dist = ("list_reduce(list_transform(generate_series(1, 64), "
+               "i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i])), "
+               "(a, b) -> a + b)")
+    oracles["kmeans_clusters"] = f"""
+WITH raw AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             FROM embeddings),
+cent0 AS (SELECT vec_id AS cluster, e FROM raw WHERE vec_id < 8),
+d1 AS (SELECT v.vec_id, c.cluster, {km_dist} AS d
+       FROM raw v, cent0 c),
+a1 AS (SELECT vec_id, cluster FROM (
+         SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d ASC, cluster ASC) AS rn
+         FROM d1) WHERE rn = 1),
+m1 AS (SELECT a1.cluster, [{km_avg}] AS e
+       FROM a1 JOIN raw v USING (vec_id) GROUP BY a1.cluster),
+cent1 AS (SELECT cluster, e FROM m1
+          UNION ALL
+          SELECT cluster, e FROM cent0
+          WHERE cluster NOT IN (SELECT cluster FROM m1)),
+d2 AS (SELECT v.vec_id, c.cluster, {km_dist} AS d
+       FROM raw v, cent1 c)
+SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
+  SELECT vec_id, cluster,
+    ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY d ASC, cluster ASC) AS rn
+  FROM d2) WHERE rn = 1
+"""
 
     bm25_vals = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
     oracles["bm25_topk"] = f"""

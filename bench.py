@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "knn_cosine_pq",
     "knn_classify",
     "bm25_topk",
+    "kmeans_clusters",
     "events_sessionize",
     "events_windowed",
     "media_decode_meta",

@@ -1,0 +1,76 @@
+"""Embedding clustering: deterministic Lloyd's k-means.
+
+The 100 TB corpus-organization primitive (coarse sharding for ANN,
+near-dup bucketing, topic-balanced sampling): a fixed number of Lloyd
+iterations with a zero-randomness initialization (the first ``k``
+corpus vectors by vec_id — the same deterministic convention as the
+IVF coarse quantizer and PQ codebook), so the result is replayable by
+the SQL oracle and stable across runs.
+
+Per iteration:
+* ASSIGN — one Arrow-batched argmin-L2 pass against the broadcast
+  centroid matrix (zero joins / shuffles / windows; the ivf_assign
+  shape);
+* UPDATE — one groupBy(cluster) with ``dim`` per-dimension AVG
+  aggregates (pure Catalyst, map-side partial agg), centroids rounded
+  to 6 decimals before reuse so ulp-level differences in distributed
+  float summation order can never flip the next iteration's argmin;
+  the k×dim result is collected to the driver (bounded, tiny) and
+  broadcast into the next assign pass.
+
+Empty clusters keep their previous centroid (the standard Lloyd
+fallback; deterministic).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .similarity import _as_double, _collect_matrix
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _assign_udf(cents: np.ndarray):
+    @pandas_udf("int")
+    def assign(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        ev = np.stack(emb.to_numpy()).astype(np.float64)
+        # (n, k) squared L2; argmin keeps the FIRST minimum -> ties
+        # break toward the lower cluster id, matching the oracle's
+        # ORDER BY dist, cluster
+        d = ((ev[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return assign
+
+
+def kmeans_assign(embeddings: DataFrame, *, k: int = KMEANS_K,
+                  iters: int = KMEANS_ITERS) -> DataFrame:
+    """(vec_id, embedding) → (vec_id, cluster) after ``iters`` Lloyd
+    iterations from the deterministic first-k initialization."""
+    e = _as_double(embeddings).select("vec_id", "embedding")
+    ids, init = _collect_matrix(e, limit=k)
+    if len(ids) < k:
+        raise ValueError(f"k-means needs {k} vectors, corpus has {len(ids)}")
+    cents = init
+    dim = init.shape[1]
+    for _ in range(iters - 1):
+        assigned = e.select(
+            _assign_udf(cents)(F.col("embedding")).alias("cluster"),
+            "embedding")
+        mean_cols = [F.round(F.avg(F.col("embedding")[i]), 6).alias(f"c{i}")
+                     for i in range(dim)]
+        rows = assigned.groupBy("cluster").agg(*mean_cols).collect()
+        new = cents.copy()  # empty clusters keep the previous centroid
+        for r in rows:
+            new[r["cluster"]] = [r[f"c{i}"] for i in range(dim)]
+        cents = new
+    return e.select("vec_id",
+                    _assign_udf(cents)(F.col("embedding")).alias("cluster"))

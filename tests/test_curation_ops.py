@@ -263,3 +263,23 @@ def test_pq_codes_and_recall_vs_exact(spark):
     # query set, and exactly k results per query either way
     assert len(approx) == len(exact) == 50
     assert len(exact & approx) >= 10
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    from docling_spark.operators.clustering import kmeans_assign
+
+    # vec 0 and vec 1 are the deterministic inits — one per cluster
+    rows = ([(0, [10.0, 0.0]), (1, [0.0, 10.0])]
+            + [(10 + i, [10.5 + 0.1 * i, 0.3]) for i in range(6)]
+            + [(20 + i, [0.1 * i, 10.5]) for i in range(6)])
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["cluster"]
+           for r in kmeans_assign(df, k=2, iters=3).collect()}
+    right = {out[i] for i in [0] + [10 + i for i in range(6)]}
+    top = {out[i] for i in [1] + [20 + i for i in range(6)]}
+    assert right == {0} and top == {1}
+    # deterministic across runs
+    out2 = {r["vec_id"]: r["cluster"]
+            for r in kmeans_assign(df, k=2, iters=3).collect()}
+    assert out == out2

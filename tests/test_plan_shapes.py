@@ -296,3 +296,18 @@ def test_knn_pq_is_two_phase_scan(spark):
     plan = _plan(out)
     assert "Join" not in plan
     assert "MapInPandas" in plan
+
+
+def test_kmeans_assign_pass_never_shuffles(spark):
+    """The k-means assign stage is one Arrow pass against broadcast
+    centroids — the final assignment plan has no Exchange/Join/Window
+    (the update-step aggregation runs as its own bounded job per
+    iteration)."""
+    from docling_spark.operators.clustering import kmeans_assign
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding")
+    plan = _plan(kmeans_assign(emb, k=4, iters=1))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" in plan
