@@ -967,6 +967,21 @@ def q_knn_cosine_pq(spark, sf_dir):
     return out.withColumnRenamed("rank", "rnk")
 
 
+def q_doc_embed_hash(spark, sf_dir):
+    """Feature-hash text embeddings (hashing trick, signed md5
+    buckets, L2-unit): the vocabulary-free vectorizer that feeds the
+    kNN / k-means / PQ stack from raw text. Emitted exploded as
+    (doc_id, dim, v_e4) so the oracle compares every component."""
+    from docling_spark.operators.vectorize import embed_hash
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    emb = embed_hash(docs, dim=64)
+    ex = emb.select(F.col("vec_id").alias("doc_id"),
+                    F.posexplode("embedding").alias("dim", "v"))
+    return ex.select(
+        "doc_id", F.col("dim").cast("int").alias("dim"),
+        F.floor(F.col("v") * 10000).cast("long").alias("v_e4"))
+
+
 def q_kmeans_clusters(spark, sf_dir):
     """Deterministic Lloyd's k-means (k=8, 2 iterations, first-k
     init): Arrow argmin assign + pure-Catalyst per-dimension means,
@@ -1385,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine_pq": q_knn_cosine_pq,
         "bm25_topk": q_bm25_topk,
         "kmeans_clusters": q_kmeans_clusters,
+        "doc_embed_hash": q_doc_embed_hash,
         "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
@@ -2569,6 +2585,29 @@ SELECT query_id, nbr_id, CAST(rn AS INT) AS rnk,
 FROM ranked WHERE rn <= 5
 """
     oracles["knn_cosine_bruteforce"] = "WITH " + knn_core.format(extra_cond="")
+
+    oracles["doc_embed_hash"] = f"""
+WITH n AS (SELECT doc_id, {NORM_SQL} AS nt FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM n),
+hb AS (SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS INT)
+           AS dim,
+         CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT >= 8
+              THEN 1.0 ELSE -1.0 END AS sgn
+       FROM tok WHERE tok != ''),
+sums AS (SELECT doc_id, dim, SUM(sgn) AS v FROM hb GROUP BY doc_id, dim),
+grid AS (SELECT d.doc_id, g.dim
+         FROM (SELECT DISTINCT doc_id FROM n) d,
+              (SELECT unnest(generate_series(0, 63)) AS dim) g),
+vec AS (SELECT g.doc_id, g.dim, COALESCE(s.v, 0.0) AS v
+        FROM grid g LEFT JOIN sums s
+          ON g.doc_id = s.doc_id AND g.dim = s.dim),
+nrm AS (SELECT doc_id, sqrt(SUM(v * v)) AS nrm FROM vec GROUP BY doc_id)
+SELECT v.doc_id, v.dim,
+       CAST(floor((CASE WHEN n2.nrm > 0 THEN v.v / n2.nrm ELSE v.v END)
+                  * 10000) AS BIGINT) AS v_e4
+FROM vec v JOIN nrm n2 ON v.doc_id = n2.doc_id
+"""
 
     km_avg = ", ".join(f"round(avg(v.e[{i + 1}]), 6)" for i in range(64))
     km_dist = ("list_reduce(list_transform(generate_series(1, 64), "

@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "knn_classify",
     "bm25_topk",
     "kmeans_clusters",
+    "doc_embed_hash",
     "events_sessionize",
     "events_windowed",
     "media_decode_meta",

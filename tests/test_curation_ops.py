@@ -283,3 +283,50 @@ def test_kmeans_separates_obvious_clusters(spark):
     out2 = {r["vec_id"]: r["cluster"]
             for r in kmeans_assign(df, k=2, iters=3).collect()}
     assert out == out2
+
+
+def test_embed_hash_semantics(spark):
+    import hashlib
+    import math
+
+    from docling_spark.operators.vectorize import embed_hash
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "Apple  APPLE banana"),
+         (3, "")],
+        "doc_id long, text string")
+    out = {r["vec_id"]: list(r["embedding"])
+           for r in embed_hash(docs, dim=16).collect()}
+    # case/whitespace normalization: docs 1 and 2 embed identically
+    assert out[1] == out[2]
+    # empty doc -> zero vector (no NaNs from the norm guard)
+    assert out[3] == [0.0] * 16
+    # hand-build doc 1: apple x2, banana x1 into signed buckets
+    v = [0.0] * 16
+    for tok, cnt in (("apple", 2), ("banana", 1)):
+        h = hashlib.md5(tok.encode()).hexdigest()
+        b = int(h[:8], 16) % 16
+        s = 1.0 if int(h[8], 16) >= 8 else -1.0
+        v[b] += s * cnt
+    n = math.sqrt(sum(x * x for x in v))
+    want = [x / n for x in v]
+    assert out[1] == want
+    assert abs(sum(x * x for x in out[1]) - 1.0) < 1e-12  # unit norm
+
+
+def test_embed_hash_feeds_vector_stack(spark):
+    """End-to-end: text -> hash embeddings -> exact kNN returns the
+    near-duplicate text as the nearest neighbor."""
+    from docling_spark.operators.similarity import knn_bruteforce
+    from docling_spark.operators.vectorize import embed_hash
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "the quick brown fox jumps over the lazy cat"),
+         (2, "completely unrelated legal boilerplate text here"),
+         (3, "another wholly different sentence about spark plans")],
+        "doc_id long, text string")
+    emb = embed_hash(docs)
+    nn = knn_bruteforce(emb, emb.filter(F.col("vec_id") == 0), k=1)
+    top = nn.collect()[0]
+    assert top["nbr_id"] == 1  # the near-dup wins
