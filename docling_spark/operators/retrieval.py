@@ -68,23 +68,35 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, *, k: int = 10,
     count), then broadcast into the tf join; candidate rows are only
     (doc, query-term) matches."""
     toks = _norm_tokens(F.col("text"))
-    doc_terms = (docs
-                 .select("doc_id", F.size(toks).alias("dl"),
-                         F.explode(toks).alias("term"))
-                 .groupBy("doc_id", "term", "dl")
-                 .agg(F.count("*").alias("tf")))
-
     qterms = (queries
               .select("query_id",
                       F.explode(F.array_distinct(
                           _norm_tokens(F.col("qtext")))).alias("term")))
     vocab = qterms.select("term").distinct()
 
+    # broadcast-prune to the query vocabulary BEFORE any aggregation:
+    # the corpus explode is ~tokens-per-doc × corpus rows, and without
+    # this the tf groupBy shuffles the ENTIRE term stream to count
+    # terms no query asks about (measured 16.7 s → ~2 s at sf0.1)
+    exploded = docs.select("doc_id", F.size(toks).alias("dl"),
+                           F.explode(toks).alias("term"))
+    # doc_terms feeds BOTH the df count and the score join — persist
+    # the (doc, query-term) candidate table so the corpus explode runs
+    # once, not twice (measured ~2× the query wall at sf0.1). Size is
+    # bounded by matches against the query vocabulary; MEMORY_AND_DISK
+    # spills rather than thrashing when a stop-wordy query matches
+    # everything.
+    from pyspark import StorageLevel
+    doc_terms = (exploded.join(F.broadcast(vocab), "term")
+                 .groupBy("doc_id", "term", "dl")
+                 .agg(F.count("*").alias("tf"))
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+
     stats = docs.select(
         F.count("*").alias("n_docs"),
         F.avg(F.size(toks)).alias("avgdl"))
 
-    df_counts = (doc_terms.join(F.broadcast(vocab), "term")
+    df_counts = (doc_terms
                  .groupBy("term")
                  .agg(F.count_distinct("doc_id").alias("df")))
     idf = df_counts.crossJoin(F.broadcast(stats)).select(
