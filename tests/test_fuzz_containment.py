@@ -52,3 +52,38 @@ def test_binary_container_payloads_contained(payload):
         assert status in ("success", "failure", "skipped")
         if status == "failure":
             assert errors and errors[0]["component"] == "extract"
+
+
+@settings(max_examples=60, deadline=None)
+@given(payload=payloads)
+def test_boilerplate_strip_invariants(payload):
+    # the stripper runs under the operator's per-doc try/except, but
+    # stdlib html.parser accepts anything — the stripper itself should
+    # hold its invariants on arbitrary input, tags or not
+    from docling_spark.parsers.boilerplate import strip_boilerplate
+    out = strip_boilerplate(payload)
+    assert out["n_kept"] >= 0 and out["n_dropped"] >= 0
+    assert 0 <= out["doc_link_density_e4"] <= 10000
+    assert isinstance(out["text"], str)
+    if out["n_kept"] == 0:
+        assert out["text"] == ""
+
+
+@settings(max_examples=60, deadline=None)
+@given(payload=payloads)
+def test_embed_hash_token_math_contained(payload):
+    # driver-side replica of the embed UDF inner loop: any text maps
+    # to a unit (or zero) vector with finite components
+    import math
+
+    from docling_spark.operators.vectorize import _token_bucket_sign
+    v = [0.0] * 16
+    for tok in " ".join(payload.split()).lower().split(" "):
+        if not tok:
+            continue
+        b, s = _token_bucket_sign(tok, 16)
+        assert 0 <= b < 16 and s in (1.0, -1.0)
+        v[b] += s
+    n = math.sqrt(sum(x * x for x in v))
+    assert all(math.isfinite(x) for x in v)
+    assert n >= 0.0
