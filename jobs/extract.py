@@ -70,6 +70,9 @@ def main(argv=None) -> int:
                     help="also render spans to this sink format")
     ap.add_argument("--enrich", action="store_true",
                     help="also write the enrichment side-table")
+    ap.add_argument("--main-content", action="store_true",
+                    help="also write the DOM-boilerplate-stripped "
+                         "main-content side-table for html docs")
     args = ap.parse_args(argv)
 
     from docling_spark.lake import (
@@ -127,6 +130,12 @@ def main(argv=None) -> int:
         path = f"{args.output}/enrichment"
         enrich_spans(out).write.mode("overwrite").parquet(path)
         side_outputs["enrichment"] = path
+    if args.main_content:
+        from docling_spark.operators.maincontent import extract_main_content
+        path = f"{args.output}/main_content"
+        (extract_main_content(todo, num_partitions=args.partitions)
+         .write.mode("overwrite").parquet(path))
+        side_outputs["main_content"] = path
     out.unpersist()
 
     print(json.dumps({
