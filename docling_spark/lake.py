@@ -106,8 +106,19 @@ class SnapshotTable:
 
     # -- read --------------------------------------------------------------
 
-    def read(self, spark: SparkSession) -> Optional[DataFrame]:
-        dirs = [s["data"] for s in self.snapshots()]
+    def read(self, spark: SparkSession,
+             as_of: Optional[str] = None) -> Optional[DataFrame]:
+        """Read the committed table; ``as_of=<snapshot id>`` time-travels
+        to the table as of that commit (inclusive) — the manifest is
+        append-only under the commit lock, so list order IS commit
+        order, exactly like Iceberg's snapshot log."""
+        snaps = self.snapshots()
+        if as_of is not None:
+            idx = [i for i, s in enumerate(snaps) if s["id"] == as_of]
+            if not idx:
+                raise KeyError(f"unknown snapshot id: {as_of}")
+            snaps = snaps[:idx[0] + 1]
+        dirs = [s["data"] for s in snaps]
         if not dirs:
             return None
         return spark.read.parquet(*dirs)

@@ -117,3 +117,22 @@ def test_iceberg_roundtrip_when_jar_present(spark, tmp_path):
     table.write_snapshot(out, metrics=partition_metrics(out))
     assert table.read(spark).count() == 4
     assert resume_filter(_corpus(spark, range(0, 6)), table).count() == 2
+
+
+def test_time_travel_as_of_snapshot(spark, tmp_path):
+    import pytest as _pytest
+
+    table = SnapshotTable(str(tmp_path / "lake"))
+    first = extract_spans(_corpus(spark, range(0, 3)))
+    s1 = table.write_snapshot(first)
+    second = extract_spans(_corpus(spark, range(3, 6)))
+    table.write_snapshot(second)
+
+    # head reads both commits
+    assert table.read(spark).count() == 6
+    # as_of the first commit: the second snapshot is invisible
+    old = table.read(spark, as_of=s1["id"])
+    ids = sorted(r["doc_id"] for r in old.select("doc_id").collect())
+    assert ids == [f"d{i}" for i in range(3)]
+    with _pytest.raises(KeyError):
+        table.read(spark, as_of="no-such-snapshot")
