@@ -1004,6 +1004,29 @@ def q_knn_classify(spark, sf_dir):
     return knn_classify(vecs, queries, emb.select("vec_id", "label"), k=5)
 
 
+def q_events_asof_join(spark, sf_dir):
+    """As-of join: every purchase event picks the user's most recent
+    view at-or-before it (operators/asof.py — tag+union+carry window,
+    one shuffle, no join node; the oracle replays the same carry in
+    SQL)."""
+    from docling_spark.operators.asof import asof_join
+    ev = (_read(spark, sf_dir, "events")
+          .select("event_id", "user_id",
+                  F.col("ts").cast("timestamp").alias("ts"),
+                  "event_type", "value"))
+    left = (ev.filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts", "value"))
+    right = (ev.filter(F.col("event_type") == "view")
+             .select("event_id", "user_id", "ts", "value"))
+    out = asof_join(left, right, right_cols=["event_id", "value"],
+                    prefix="view_")
+    return out.select(
+        "event_id", "user_id",
+        F.col("view_event_id").cast("long").alias("view_event_id"),
+        F.floor(F.col("view_value") * 100).cast("long")
+         .alias("view_value_e2"))
+
+
 def q_events_sessionize(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1401,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "kmeans_clusters": q_kmeans_clusters,
         "doc_embed_hash": q_doc_embed_hash,
+        "events_asof_join": q_events_asof_join,
         "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
@@ -2638,6 +2662,29 @@ SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
     ROW_NUMBER() OVER (PARTITION BY vec_id
                        ORDER BY d ASC, cluster ASC) AS rn
   FROM d2) WHERE rn = 1
+"""
+
+    oracles["events_asof_join"] = """
+WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   event_type, value FROM events),
+u AS (
+  SELECT user_id, ts, event_id, 0 AS isr,
+         event_id AS l_id, NULL AS r_id, NULL AS r_val
+  FROM ev WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, 1, NULL, event_id, value
+  FROM ev WHERE event_type = 'view'),
+c AS (SELECT user_id, isr, l_id,
+        last_value(r_id IGNORE NULLS) OVER w AS a_id,
+        last_value(r_val IGNORE NULLS) OVER w AS a_val
+      FROM u
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts ASC, isr DESC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT l_id AS event_id, user_id,
+       CAST(a_id AS BIGINT) AS view_event_id,
+       CAST(floor(a_val * 100) AS BIGINT) AS view_value_e2
+FROM c WHERE isr = 0
 """
 
     bm25_vals = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)

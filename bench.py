@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "bm25_topk",
     "kmeans_clusters",
     "doc_embed_hash",
+    "events_asof_join",
     "events_sessionize",
     "events_windowed",
     "media_decode_meta",
