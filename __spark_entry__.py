@@ -1027,6 +1027,25 @@ def q_events_asof_join(spark, sf_dir):
          .alias("view_value_e2"))
 
 
+def q_events_range_join(spark, sf_dir):
+    """Bucketed interval join: event values land in nation-derived
+    price bands ([20k, 20k+19.99]) via bucket-equijoin + exact
+    containment — never the BroadcastNestedLoop a raw BETWEEN join
+    compiles to (operators/asof.py:range_join). The oracle runs the
+    naive inequality join; both must agree exactly."""
+    from docling_spark.operators.asof import range_join
+    ev = (_read(spark, sf_dir, "events")
+          .select("event_id", "value"))
+    bands = (_read(spark, sf_dir, "nation")
+             .select(F.col("n_nationkey").alias("band"),
+                     (F.col("n_nationkey") * 20.0).alias("lo"),
+                     ((F.col("n_nationkey") + 1) * 20.0).alias("hi")))
+    out = range_join(ev, bands, point_col="value",
+                     start_col="lo", end_col="hi", bucket_width=20.0,
+                     end_inclusive=False)
+    return out.select("event_id", F.col("band").cast("int").alias("band"))
+
+
 def q_events_sessionize(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1425,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "doc_embed_hash": q_doc_embed_hash,
         "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
         "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
@@ -2685,6 +2705,14 @@ SELECT l_id AS event_id, user_id,
        CAST(a_id AS BIGINT) AS view_event_id,
        CAST(floor(a_val * 100) AS BIGINT) AS view_value_e2
 FROM c WHERE isr = 0
+"""
+
+    oracles["events_range_join"] = """
+SELECT e.event_id, CAST(n.n_nationkey AS INT) AS band
+FROM events e
+JOIN nation n
+  ON e.value >= n.n_nationkey * 20.0
+ AND e.value < (n.n_nationkey + 1) * 20.0
 """
 
     bm25_vals = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)

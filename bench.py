@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "kmeans_clusters",
     "doc_embed_hash",
     "events_asof_join",
+    "events_range_join",
     "events_sessionize",
     "events_windowed",
     "media_decode_meta",

@@ -55,3 +55,38 @@ def asof_join(left: DataFrame, right: DataFrame, *,
     out_cols = [F.col(c) for c in left.columns]
     out_cols += [F.col("_a")[c].alias(f"{prefix}{c}") for c in right_cols]
     return carried.filter(F.col("_isr") == 0).select(*out_cols)
+
+
+def range_join(points: DataFrame, intervals: DataFrame, *,
+               point_col: str, start_col: str, end_col: str,
+               bucket_width: float,
+               end_inclusive: bool = True) -> DataFrame:
+    """Interval (range) join: every point row pairs with every
+    interval row containing it (``start ≤ p ≤ end``), as an EQUIJOIN.
+
+    Catalyst executes a raw ``p BETWEEN start AND end`` join as
+    BroadcastNestedLoop / cross-product-then-filter — O(P×I) per
+    partition. This spelling buckets the number line with width
+    ``bucket_width``: each interval explodes into the buckets it
+    covers, each point maps to one bucket, and the join is a plain
+    hash equijoin on the bucket id followed by the exact containment
+    filter. Shuffle is keyed and linear; the only amplification is the
+    interval explode factor (avg interval length / bucket_width — pick
+    the width near the median interval length). Works for numeric or
+    epoch-time axes; negative values bucket correctly via floor.
+    ``end_inclusive=False`` gives half-open ``[start, end)`` intervals
+    — the usual shape for tiling bands, and the one to prefer when
+    bounds are derived arithmetic (an inclusive fractional end like
+    ``lo + 19.99`` is decimal-vs-double trap territory across
+    engines)."""
+    iv = intervals.withColumn(
+        "_b", F.explode(F.sequence(
+            F.floor(F.col(start_col) / bucket_width).cast("long"),
+            F.floor(F.col(end_col) / bucket_width).cast("long"))))
+    pt = points.withColumn(
+        "_b", F.floor(F.col(point_col) / bucket_width).cast("long"))
+    upper = (F.col(point_col) <= F.col(end_col) if end_inclusive
+             else F.col(point_col) < F.col(end_col))
+    return (pt.join(iv, "_b")
+            .filter((F.col(point_col) >= F.col(start_col)) & upper)
+            .drop("_b"))

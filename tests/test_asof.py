@@ -63,3 +63,43 @@ def test_asof_plan_has_no_join(spark):
     assert "Join" not in plan     # union + window, never a range join
     assert "Window" in plan
     assert plan.count("Exchange") <= 2  # one per union branch at most
+
+
+def test_range_join_semantics_and_overlaps(spark):
+    from docling_spark.operators.asof import range_join
+
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 25.0), (4, 99.0)],
+        "pid long, v double")
+    iv = spark.createDataFrame(
+        [(0, 0.0, 10.0), (1, 10.0, 20.0), (2, 5.0, 30.0)],
+        "band long, lo double, hi double")
+    # inclusive ends: point 2 (v=10) matches bands 0, 1 AND 2
+    out = range_join(points, iv, point_col="v", start_col="lo",
+                     end_col="hi", bucket_width=10.0)
+    got = sorted((r["pid"], r["band"]) for r in out.collect())
+    assert got == [(1, 0), (1, 2), (2, 0), (2, 1), (2, 2), (3, 2)]
+    # half-open: v=10 no longer matches band 0's end
+    out2 = range_join(points, iv, point_col="v", start_col="lo",
+                      end_col="hi", bucket_width=10.0,
+                      end_inclusive=False)
+    got2 = sorted((r["pid"], r["band"]) for r in out2.collect())
+    assert got2 == [(1, 0), (1, 2), (2, 1), (2, 2), (3, 2)]
+    # point 4 (v=99) is outside every interval in both modes
+
+
+def test_range_join_is_hash_equijoin(spark):
+    from docling_spark.operators.asof import range_join
+
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .select("event_id", "value"))
+    nat = (spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+           .select(F.col("n_nationkey").alias("band"),
+                   (F.col("n_nationkey") * 20.0).alias("lo"),
+                   ((F.col("n_nationkey") + 1) * 20.0).alias("hi")))
+    out = range_join(ev, nat, point_col="value", start_col="lo",
+                     end_col="hi", bucket_width=20.0,
+                     end_inclusive=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan  # broadcast or shuffled — but hashed
