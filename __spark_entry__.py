@@ -1027,6 +1027,25 @@ def q_events_asof_join(spark, sf_dir):
          .alias("view_value_e2"))
 
 
+def q_events_rollup(spark, sf_dir):
+    """Hypertable-style continuous-aggregate rollup: one pass produces
+    the hour-level, day-level, and grand-total aggregates via
+    ROLLUP(day, hour, event_type) grouping sets — Catalyst expands the
+    sets map-side, so the multi-granularity cube costs one shuffle,
+    not one job per granularity (the TimescaleDB continuous-aggregate
+    idiom)."""
+    ev = (_read(spark, sf_dir, "events")
+          .select(F.date_trunc("day", F.col("ts").cast("timestamp"))
+                  .cast("date").alias("day"),
+                  F.date_trunc("hour", F.col("ts").cast("timestamp"))
+                  .alias("hour"),
+                  "event_type", "value"))
+    return (ev.rollup("day", "hour", "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.floor(F.sum("value") * 100).cast("long")
+                 .alias("sum_value_e2")))
+
+
 def q_events_range_join(spark, sf_dir):
     """Bucketed interval join: event values land in nation-derived
     price bands ([20k, 20k+19.99]) via bucket-equijoin + exact
@@ -1445,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_embed_hash": q_doc_embed_hash,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
+        "events_rollup": q_events_rollup,
         "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
@@ -2705,6 +2725,16 @@ SELECT l_id AS event_id, user_id,
        CAST(a_id AS BIGINT) AS view_event_id,
        CAST(floor(a_val * 100) AS BIGINT) AS view_value_e2
 FROM c WHERE isr = 0
+"""
+
+    oracles["events_rollup"] = """
+SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(floor(SUM(value) * 100) AS BIGINT) AS sum_value_e2
+FROM events
+GROUP BY ROLLUP (day, hour, event_type)
 """
 
     oracles["events_range_join"] = """

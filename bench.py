@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "doc_embed_hash",
     "events_asof_join",
     "events_range_join",
+    "events_rollup",
     "events_sessionize",
     "events_windowed",
     "media_decode_meta",
