@@ -1027,6 +1027,17 @@ def q_events_asof_join(spark, sf_dir):
          .alias("view_value_e2"))
 
 
+def q_events_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch: estimated distinct users per event
+    type from the 32 smallest md5-unit hashes (operators/sketch.py) —
+    deterministic, so unlike HLL the oracle replays the estimate
+    exactly; groups under k distinct report the exact count."""
+    from docling_spark.operators.sketch import kmv_distinct
+    ev = _read(spark, sf_dir, "events").select("event_type", "user_id")
+    return kmv_distinct(ev, group_col="event_type",
+                        value_col="user_id", k=32)
+
+
 def q_events_rollup(spark, sf_dir):
     """Hypertable-style continuous-aggregate rollup: one pass produces
     the hour-level, day-level, and grand-total aggregates via
@@ -1465,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
         "events_rollup": q_events_rollup,
+        "events_kmv_distinct": q_events_kmv_distinct,
         "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
@@ -2725,6 +2737,24 @@ SELECT l_id AS event_id, user_id,
        CAST(a_id AS BIGINT) AS view_event_id,
        CAST(floor(a_val * 100) AS BIGINT) AS view_value_e2
 FROM c WHERE isr = 0
+"""
+
+    oracles["events_kmv_distinct"] = """
+WITH h AS (SELECT DISTINCT event_type AS grp,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+               ::BIGINT / 281474976710656.0 AS u
+           FROM events),
+r AS (SELECT grp, u,
+        ROW_NUMBER() OVER (PARTITION BY grp ORDER BY u ASC) AS rn
+      FROM h),
+kk AS (SELECT grp, COUNT(*) AS n_min, MAX(u) AS u_k
+       FROM r WHERE rn <= 32 GROUP BY grp)
+SELECT grp AS event_type,
+  CAST(floor((CASE WHEN n_min < 32 THEN CAST(n_min AS DOUBLE)
+                   ELSE 31 / u_k END) * 10000) AS BIGINT)
+    AS est_distinct_e4,
+  CAST(n_min < 32 AS INT) AS n_exact_small
+FROM kk
 """
 
     oracles["events_rollup"] = """

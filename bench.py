@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "events_asof_join",
     "events_range_join",
     "events_rollup",
+    "events_kmv_distinct",
     "events_sessionize",
     "events_windowed",
     "media_decode_meta",

@@ -37,21 +37,24 @@ def _norm_tokens(col: Column) -> Column:
 
 def distributed_topk(scored: DataFrame, *, key: str, order: str,
                      tie: str, k: int,
-                     salt_buckets: int = TOPK_SALT_BUCKETS) -> DataFrame:
+                     salt_buckets: int = TOPK_SALT_BUCKETS,
+                     ascending: bool = False) -> DataFrame:
     """Generic two-phase distributed top-k: rows are first ranked
     inside (key, salt) buckets — salt = hash(tie) mod s, so each
     bucket holds ~1/s of the key's rows and the heavy window never
     concentrates one key's whole score table in one task — then the
-    s·k survivors per key take the tiny final ranking."""
+    s·k survivors per key take the tiny final ranking.
+    ``ascending=True`` ranks smallest-first (bottom-k)."""
+    ordc = F.col(order).asc() if ascending else F.col(order).desc()
     salt = F.pmod(F.xxhash64(F.col(tie)), F.lit(salt_buckets))
     partial = (scored.withColumn("_salt", salt)
                .withColumn("_rn", F.row_number().over(
                    Window.partitionBy(key, "_salt")
-                   .orderBy(F.col(order).desc(), F.col(tie).asc())))
+                   .orderBy(ordc, F.col(tie).asc())))
                .filter(F.col("_rn") <= k)
                .drop("_salt", "_rn"))
     w2 = (Window.partitionBy(key)
-          .orderBy(F.col(order).desc(), F.col(tie).asc()))
+          .orderBy(ordc, F.col(tie).asc()))
     return (partial.withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= k))
 

