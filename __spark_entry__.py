@@ -1038,6 +1038,20 @@ def q_events_kmv_distinct(spark, sf_dir):
                         value_col="user_id", k=32)
 
 
+def q_events_quantiles(spark, sf_dir):
+    """Exact per-type value quantiles (p50/p90/p99) by discrete order
+    statistics — value at rank ceil(p*n), no interpolation, so Spark
+    and the oracle agree bit-for-bit (operators/sketch.py)."""
+    from docling_spark.operators.sketch import quantiles_exact
+    ev = _read(spark, sf_dir, "events").select("event_type", "value",
+                                               "event_id")
+    out = quantiles_exact(ev, group_col="event_type",
+                          value_col="value", tie="event_id")
+    return out.select("event_type", "p_pct",
+                      F.floor(F.col("value") * 100).cast("long")
+                      .alias("value_e2"))
+
+
 def q_events_rollup(spark, sf_dir):
     """Hypertable-style continuous-aggregate rollup: one pass produces
     the hour-level, day-level, and grand-total aggregates via
@@ -1477,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "events_rollup": q_events_rollup,
         "events_kmv_distinct": q_events_kmv_distinct,
+        "events_quantiles": q_events_quantiles,
         "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
@@ -2737,6 +2752,21 @@ SELECT l_id AS event_id, user_id,
        CAST(a_id AS BIGINT) AS view_event_id,
        CAST(floor(a_val * 100) AS BIGINT) AS view_value_e2
 FROM c WHERE isr = 0
+"""
+
+    oracles["events_quantiles"] = """
+WITH r AS (
+  SELECT event_type, value,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY value ASC, event_id ASC) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+p AS (SELECT unnest([0.5, 0.9, 0.99]) AS p)
+SELECT r.event_type,
+       CAST(floor(p.p * 100) AS INT) AS p_pct,
+       CAST(floor(r.value * 100) AS BIGINT) AS value_e2
+FROM r, p
+WHERE r.rn = CAST(ceil(p.p * r.n) AS BIGINT)
 """
 
     oracles["events_kmv_distinct"] = """

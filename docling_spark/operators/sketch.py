@@ -23,7 +23,7 @@ a single task.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .retrieval import distributed_topk
@@ -63,3 +63,33 @@ def kmv_distinct(df: DataFrame, *, group_col: str, value_col: str,
         F.col("grp").alias(group_col),
         F.floor(est * 10000).cast("long").alias("est_distinct_e4"),
         small.cast("int").alias("n_exact_small"))
+
+
+def quantiles_exact(df: DataFrame, *, group_col: str, value_col: str,
+                    tie: str, ps=(0.5, 0.9, 0.99)) -> DataFrame:
+    """Exact per-group quantiles by order statistics — the discrete
+    (type-1) quantile: value at rank ceil(p·n), no interpolation, so
+    the result is a row FROM the data and replays exactly in any
+    engine (interpolated quantiles differ in last-ulp arithmetic
+    across engines).
+
+    One window per group (rank + count) and a rank-membership filter
+    emit all requested quantiles in a single pass. Exact quantiles
+    need a per-group total order — this is the exact path; at 100 TB
+    group cardinality is the parallelism, and for quantiles over few
+    huge groups switch to `approx_percentile` (t-digest) as the
+    documented approximate knob."""
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.col(value_col).asc(), F.col(tie).asc()))
+    ranked = df.select(
+        group_col, value_col,
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(Window.partitionBy(group_col)).alias("_n"))
+    qs = F.array(*[F.lit(float(p)) for p in ps])
+    picked = (ranked
+              .withColumn("_p", F.explode(qs))
+              .filter(F.col("_rn") == F.ceil(F.col("_p") * F.col("_n"))))
+    return picked.select(
+        group_col,
+        F.floor(F.col("_p") * 100).cast("int").alias("p_pct"),
+        F.col(value_col).alias("value"))

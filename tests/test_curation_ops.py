@@ -360,3 +360,20 @@ def test_kmv_distinct_estimates(spark):
             kmv_distinct(df, group_col="grp", value_col="v",
                          k=32).collect()}
     assert out2["big"] == out["big"]["est_distinct_e4"]
+
+
+def test_quantiles_exact_order_statistics(spark):
+    from docling_spark.operators.sketch import quantiles_exact
+
+    rows = [("a", float(v), i) for i, v in enumerate(range(1, 11))]
+    rows += [("b", 42.0, 100)]
+    df = spark.createDataFrame(rows, "grp string, v double, id long")
+    out = {(r["grp"], r["p_pct"]): r["value"] for r in
+           quantiles_exact(df, group_col="grp", value_col="v",
+                           tie="id").collect()}
+    # n=10: p50 -> rank ceil(5)=5 -> value 5; p90 -> rank 9; p99 -> 10
+    assert out[("a", 50)] == 5.0
+    assert out[("a", 90)] == 9.0
+    assert out[("a", 99)] == 10.0
+    # singleton group: every quantile is the one value
+    assert out[("b", 50)] == out[("b", 99)] == 42.0
