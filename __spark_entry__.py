@@ -1052,6 +1052,132 @@ def q_events_quantiles(spark, sf_dir):
                       .alias("value_e2"))
 
 
+def q_events_pivot(spark, sf_dir):
+    """Day × event-type activity matrix via ``groupBy().pivot()`` with
+    EXPLICIT pivot values — Catalyst compiles it to one pass of
+    conditional aggregates (one shuffle, map-side partial agg); without
+    the value list Spark runs an extra collect-distinct job first,
+    which is a driver round-trip a 100 TB pipeline shouldn't pay for a
+    known enum."""
+    ev = (_read(spark, sf_dir, "events")
+          .select(F.date_trunc("day", F.col("ts").cast("timestamp"))
+                  .cast("date").alias("day"), "event_type"))
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (ev.groupBy("day").pivot("event_type", types)
+            .agg(F.count(F.lit(1))))
+    return wide.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).cast("long")
+                 .alias(f"n_{t}") for t in types])
+
+
+def q_top_terms(spark, sf_dir):
+    """Per-language heavy hitters by document frequency — explode the
+    per-doc DISTINCT token set (so the count is doc frequency, not term
+    frequency), one map-side-combinable groupBy, then the salted
+    two-phase distributed top-k (operators/retrieval.distributed_topk)
+    — never a single-partition-per-language window over the whole
+    vocabulary."""
+    from docling_spark.operators.retrieval import distributed_topk
+    from docling_spark.operators.textstats import tokens_col
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                    "text")
+    terms = docs.select(
+        "lang", F.explode(F.array_distinct(tokens_col())).alias("token"))
+    counts = terms.groupBy("lang", "token").agg(F.count("*").alias("df"))
+    top = distributed_topk(counts, key="lang", order="df", tie="token",
+                           k=10)
+    return top.select("lang", "token",
+                      F.col("rank").cast("int").alias("rank"),
+                      F.col("df").cast("long").alias("df"))
+
+
+def _diff_struct(kind, text, media, off):
+    return F.struct(kind.alias("kind"), text.alias("text"),
+                    media.alias("media_ref"),
+                    off.cast("int").alias("offset"))
+
+
+def q_span_diff(spark, sf_dir):
+    """Extraction regression diff — validate a new parser version
+    against the previous run's output at table scale. Left = templated
+    span arrays built from the corpus; right = a deterministically
+    perturbed re-extraction (every 7th doc drops its tail span, others
+    get an edited text / swapped media_ref, every 13th doc is missing,
+    and +1000000 clones exist only on the right). span_diff
+    (operators/diff.py) labels each doc equal / changed / only_left /
+    only_right and finds the first divergent offset — one full-outer
+    equijoin plus a zip_with, no explode."""
+    from docling_spark.operators.diff import span_diff
+    from docling_spark.operators.textstats import tokens_col
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select("doc_id", F.slice(tokens_col(), 1, 12).alias("toks"))
+
+    def span_at(t, i):  # i: 0-based element index column
+        idx = i + 1
+        kind = (F.when(idx == 1, F.lit("title"))
+                .when(idx % 5 == 0, F.lit("heading"))
+                .otherwise(F.lit("text")))
+        media = (F.when(idx % 6 == 0,
+                        F.concat(F.lit("m://"),
+                                 F.col("doc_id").cast("string"),
+                                 F.lit("/"), idx.cast("string")))
+                 .otherwise(F.lit("")))
+        return _diff_struct(kind, t, media, i)
+
+    left = base.select(
+        "doc_id", F.transform("toks", span_at).alias("spans"))
+
+    m = F.col("doc_id") % 7
+    mut = F.transform(
+        "spans",
+        lambda x, i: (
+            F.when((m == 1) & (i == 2),
+                   _diff_struct(x["kind"], F.upper(x["text"]),
+                                x["media_ref"], x["offset"]))
+            .when((m == 2) & (i == 5),
+                  _diff_struct(x["kind"], x["text"],
+                               F.lit("m://swapped"), x["offset"]))
+            .otherwise(x)))
+    right = (left
+             .withColumn("spans",
+                         F.when(m == 0,
+                                F.slice("spans", 1,
+                                        F.greatest(F.size("spans") - 1,
+                                                   F.lit(0))))
+                         .otherwise(mut))
+             .filter(F.col("doc_id") % 13 != 5))
+    clones = (left.filter(F.col("doc_id") < 40)
+              .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                      "spans"))
+    return span_diff(left, right.unionByName(clones))
+
+
+def q_changed_docs(spark, sf_dir):
+    """Incremental (CDC) work list: previous snapshot = docs with
+    doc_id%4≠0 (so every 4th doc is 'new'), of which every 9th carries
+    a stale hash ('changed'), plus +5000000 ghosts that exist only in
+    the snapshot ('deleted'). One full-outer equijoin on doc_id
+    (operators/diff.py:changed_docs)."""
+    from docling_spark.operators.diff import changed_docs
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    h = F.sha2(F.col("text"), 256)
+    current = docs.select("doc_id", h.alias("content_sha256"))
+    previous = (docs.filter(F.col("doc_id") % 4 != 0)
+                .select("doc_id",
+                        F.when(F.col("doc_id") % 9 == 1,
+                               F.sha2(F.concat(F.col("text"),
+                                               F.lit("-stale")), 256))
+                        .otherwise(h).alias("content_sha256")))
+    ghosts = (docs.filter(F.col("doc_id") < 25)
+              .select((F.col("doc_id") + 5000000).alias("doc_id"),
+                      h.alias("content_sha256")))
+    return changed_docs(current, previous.unionByName(ghosts),
+                        include_deleted=True)
+
+
 def q_events_rollup(spark, sf_dir):
     """Hypertable-style continuous-aggregate rollup: one pass produces
     the hour-level, day-level, and grand-total aggregates via
@@ -1492,6 +1618,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "events_kmv_distinct": q_events_kmv_distinct,
         "events_quantiles": q_events_quantiles,
+        "events_pivot": q_events_pivot,
+        "top_terms": q_top_terms,
+        "span_diff": q_span_diff,
+        "changed_docs": q_changed_docs,
         "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
@@ -2767,6 +2897,95 @@ SELECT r.event_type,
        CAST(floor(r.value * 100) AS BIGINT) AS value_e2
 FROM r, p
 WHERE r.rn = CAST(ceil(p.p * r.n) AS BIGINT)
+"""
+
+    oracles["events_pivot"] = """
+SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+       COUNT(*) FILTER (event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (event_type = 'error')    AS n_error,
+       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (event_type = 'view')     AS n_view
+FROM events GROUP BY day
+"""
+
+    oracles["top_terms"] = f"""
+WITH d AS (SELECT lang,
+                  unnest(list_distinct(string_split({NORM_SQL}, ' ')))
+                    AS token
+           FROM documents),
+c AS (SELECT lang, token, COUNT(*) AS df FROM d GROUP BY lang, token),
+r AS (SELECT lang, token, df,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY df DESC, token ASC) AS rank
+      FROM c)
+SELECT lang, token, CAST(rank AS INT) AS rank, CAST(df AS BIGINT) AS df
+FROM r WHERE rank <= 10
+"""
+
+    oracles["span_diff"] = f"""
+WITH t AS (SELECT doc_id,
+                  list_slice(string_split({NORM_SQL}, ' '), 1, 12) AS toks
+           FROM documents),
+l0 AS (SELECT doc_id, toks,
+              unnest(generate_series(1, len(toks))) AS idx
+       FROM t),
+l AS (SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+        CASE WHEN idx = 1 THEN 'title'
+             WHEN idx % 5 = 0 THEN 'heading' ELSE 'text' END AS kind,
+        toks[idx] AS text,
+        CASE WHEN idx % 6 = 0 THEN 'm://' || doc_id || '/' || idx
+             ELSE '' END AS media_ref
+      FROM l0),
+ln AS (SELECT l.*, MAX(idx) OVER (PARTITION BY doc_id) AS n FROM l),
+rb AS (SELECT doc_id, idx, kind,
+         CASE WHEN doc_id % 7 = 1 AND idx = 3
+              THEN upper(text) ELSE text END AS text,
+         CASE WHEN doc_id % 7 = 2 AND idx = 6
+              THEN 'm://swapped' ELSE media_ref END AS media_ref
+       FROM ln WHERE NOT (doc_id % 7 = 0 AND idx = n)),
+r AS (SELECT doc_id, idx, kind, text, media_ref FROM rb
+      WHERE doc_id % 13 <> 5
+      UNION ALL
+      SELECT doc_id + 1000000, idx, kind, text, media_ref FROM l
+      WHERE doc_id < 40),
+p AS (SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id,
+             l.idx AS li, r.idx AS ri,
+             COALESCE(l.idx, r.idx) AS idx,
+             (l.idx IS NULL OR r.idx IS NULL
+              OR l.kind <> r.kind OR l.text <> r.text
+              OR l.media_ref <> r.media_ref) AS mism
+      FROM l FULL JOIN r ON l.doc_id = r.doc_id AND l.idx = r.idx),
+a AS (SELECT doc_id, COUNT(li) AS n_left, COUNT(ri) AS n_right,
+             MIN(CASE WHEN mism THEN idx END) AS fd
+      FROM p GROUP BY doc_id)
+SELECT doc_id,
+  CASE WHEN n_right = 0 THEN 'only_left'
+       WHEN n_left = 0 THEN 'only_right'
+       WHEN fd IS NULL THEN 'equal' ELSE 'changed' END AS status,
+  CAST(n_left AS INT) AS n_left, CAST(n_right AS INT) AS n_right,
+  CAST(CASE WHEN n_left > 0 AND n_right > 0 THEN fd - 1 END AS INT)
+    AS first_diff_offset
+FROM a
+"""
+
+    oracles["changed_docs"] = """
+WITH cur AS (SELECT doc_id, sha256(text) AS h FROM documents),
+prev AS (SELECT doc_id,
+                CASE WHEN doc_id % 9 = 1 THEN sha256(text || '-stale')
+                     ELSE sha256(text) END AS h
+         FROM documents WHERE doc_id % 4 <> 0
+         UNION ALL
+         SELECT doc_id + 5000000, sha256(text) FROM documents
+         WHERE doc_id < 25),
+j AS (SELECT COALESCE(cur.doc_id, prev.doc_id) AS doc_id,
+             cur.h AS ch, prev.h AS ph
+      FROM cur FULL JOIN prev ON cur.doc_id = prev.doc_id)
+SELECT doc_id,
+       CASE WHEN ph IS NULL THEN 'new'
+            WHEN ch IS NULL THEN 'deleted'
+            WHEN ch <> ph THEN 'changed' END AS reason
+FROM j WHERE ph IS NULL OR ch IS NULL OR ch <> ph
 """
 
     oracles["events_kmv_distinct"] = """

@@ -72,6 +72,11 @@ BENCH_QUERIES = [
     "events_range_join",
     "events_rollup",
     "events_kmv_distinct",
+    "events_quantiles",
+    "events_pivot",
+    "top_terms",
+    "span_diff",
+    "changed_docs",
     "events_sessionize",
     "events_windowed",
     "media_decode_meta",
