@@ -1178,6 +1178,29 @@ def q_changed_docs(spark, sf_dir):
                         include_deleted=True)
 
 
+SUBSTR_BLURB = ("this work is licensed under the creative commons "
+                "attribution share alike international license terms")
+
+
+def q_dedup_substrings(spark, sf_dir):
+    """Exact repeated-substring removal (Lee et al. 2021 style): every
+    3rd doc gets a 14-token license blurb appended and every 5th gets
+    it prepended — dedup_substrings (operators/substring.py) must strip
+    every token covered by an 8-token window shared across ≥2 docs,
+    leaving the organic text intact."""
+    from docling_spark.operators.substring import dedup_substrings
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    m3 = F.col("doc_id") % 3 == 0
+    m5 = F.col("doc_id") % 5 == 1
+    corpus = docs.select(
+        "doc_id",
+        F.when(m3, F.concat(F.col("text"), F.lit(" " + SUBSTR_BLURB)))
+        .when(m5, F.concat(F.lit(SUBSTR_BLURB + " "), F.col("text")))
+        .otherwise(F.col("text")).alias("text"))
+    return dedup_substrings(corpus, k=8, min_df=2)
+
+
 def q_events_rollup(spark, sf_dir):
     """Hypertable-style continuous-aggregate rollup: one pass produces
     the hour-level, day-level, and grand-total aggregates via
@@ -1622,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "span_diff": q_span_diff,
         "changed_docs": q_changed_docs,
+        "dedup_substrings": q_dedup_substrings,
         "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
@@ -2986,6 +3010,40 @@ SELECT doc_id,
             WHEN ch IS NULL THEN 'deleted'
             WHEN ch <> ph THEN 'changed' END AS reason
 FROM j WHERE ph IS NULL OR ch IS NULL OR ch <> ph
+"""
+
+    oracles["dedup_substrings"] = f"""
+WITH c AS (SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN text || ' {SUBSTR_BLURB}'
+       WHEN doc_id % 5 = 1 THEN '{SUBSTR_BLURB} ' || text
+       ELSE text END AS text
+  FROM documents),
+t AS (SELECT doc_id, string_split({NORM_SQL}, ' ') AS toks FROM c),
+w0 AS (SELECT doc_id, toks,
+              unnest(generate_series(0, len(toks) - 8)) AS s
+       FROM t WHERE len(toks) >= 8),
+w AS (SELECT doc_id, s,
+             md5(array_to_string(toks[s+1:s+8], ' ')) AS fp
+      FROM w0),
+bad AS (SELECT fp FROM w GROUP BY fp
+        HAVING COUNT(DISTINCT doc_id) >= 2),
+cov AS (SELECT DISTINCT doc_id, pos FROM
+          (SELECT doc_id, unnest(generate_series(s, s + 7)) AS pos
+           FROM w JOIN bad USING (fp))),
+tok AS (SELECT doc_id,
+               unnest(generate_series(1, len(toks))) - 1 AS pos,
+               unnest(toks) AS tok
+        FROM t),
+kept AS (SELECT tok.* FROM tok ANTI JOIN cov USING (doc_id, pos)),
+reb AS (SELECT doc_id,
+               array_to_string(list(tok ORDER BY pos), ' ') AS text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, len(toks) AS n FROM t)
+SELECT tot.doc_id, COALESCE(reb.text, '') AS text,
+       CAST(COALESCE(n_kept, 0) AS INT) AS n_kept,
+       CAST(n - COALESCE(n_kept, 0) AS INT) AS n_removed
+FROM tot LEFT JOIN reb USING (doc_id)
 """
 
     oracles["events_kmv_distinct"] = """

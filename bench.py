@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_pairs",
+    "dedup_substrings",
     "curate_corpus",
     "source_reputation",
     "dedup_boilerplate_lines",

@@ -377,3 +377,27 @@ def test_quantiles_exact_order_statistics(spark):
     assert out[("a", 99)] == 10.0
     # singleton group: every quantile is the one value
     assert out[("b", 50)] == out[("b", 99)] == 42.0
+
+
+def test_dedup_substrings_removes_shared_spans(spark):
+    from docling_spark.operators.substring import dedup_substrings
+
+    blurb = "one two three four five six seven eight"  # 8 tokens, k=4
+    rows = [
+        (1, "alpha beta gamma " + blurb),
+        (2, blurb + " delta epsilon zeta"),
+        (3, "unrelated words entirely here okay fine"),
+        # within-doc repeat only: min_df counts DISTINCT docs, so kept
+        (4, "x y z w " + "p q r s p q r s"),
+        (5, "tiny doc"),  # shorter than k: untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup_substrings(df, k=4, min_df=2).collect()}
+    assert out[1]["text"] == "alpha beta gamma"
+    assert out[1]["n_removed"] == 8
+    assert out[2]["text"] == "delta epsilon zeta"
+    assert out[3]["n_removed"] == 0
+    assert out[4]["n_removed"] == 0
+    assert out[5]["text"] == "tiny doc"
+    assert out[5]["n_removed"] == 0
