@@ -992,6 +992,20 @@ def q_kmeans_clusters(spark, sf_dir):
     return kmeans_assign(emb, k=8, iters=2)
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (cluster → within-cluster cosine dedup): 50 exact
+    clones injected at +100000 must be dropped (cosine 1.0 to their
+    originals, same cluster by construction); organic pairs stay far
+    below the 0.8 threshold (max organic cosine ≈0.51 at sf0.01)
+    (operators/clustering.py:semdedup)."""
+    from docling_spark.operators.clustering import semdedup
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = (emb.filter(F.col("vec_id") < 50)
+              .select((F.col("vec_id") + 100000).alias("vec_id"),
+                      "embedding"))
+    return semdedup(emb.unionByName(clones), k=8, iters=2, threshold=0.8)
+
+
 def q_knn_classify(spark, sf_dir):
     """k-NN majority-vote classification over the labeled embedding
     corpus: exact top-5 cosine neighbors per query (two-phase scan,
@@ -1646,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_diff": q_span_diff,
         "changed_docs": q_changed_docs,
         "dedup_substrings": q_dedup_substrings,
+        "semdedup": q_semdedup,
         "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
@@ -2858,10 +2873,13 @@ FROM vec v JOIN nrm n2 ON v.doc_id = n2.doc_id
     km_dist = ("list_reduce(list_transform(generate_series(1, 64), "
                "i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i])), "
                "(a, b) -> a + b)")
-    oracles["kmeans_clusters"] = f"""
-WITH raw AS (SELECT vec_id,
+
+    def km_cte(src):
+        # two-iteration deterministic Lloyd's over `src`, ending in a2
+        # (vec_id -> cluster); shared by kmeans_clusters and semdedup
+        return f"""raw AS (SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-             FROM embeddings),
+             FROM {src}),
 cent0 AS (SELECT vec_id AS cluster, e FROM raw WHERE vec_id < 8),
 d1 AS (SELECT v.vec_id, c.cluster, {km_dist} AS d
        FROM raw v, cent0 c),
@@ -2877,12 +2895,39 @@ cent1 AS (SELECT cluster, e FROM m1
           SELECT cluster, e FROM cent0
           WHERE cluster NOT IN (SELECT cluster FROM m1)),
 d2 AS (SELECT v.vec_id, c.cluster, {km_dist} AS d
-       FROM raw v, cent1 c)
-SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
-  SELECT vec_id, cluster,
-    ROW_NUMBER() OVER (PARTITION BY vec_id
-                       ORDER BY d ASC, cluster ASC) AS rn
-  FROM d2) WHERE rn = 1
+       FROM raw v, cent1 c),
+a2 AS (SELECT vec_id, cluster FROM (
+         SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d ASC, cluster ASC) AS rn
+         FROM d2) WHERE rn = 1)"""
+
+    oracles["kmeans_clusters"] = f"""
+WITH {km_cte('embeddings')}
+SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a2
+"""
+
+    sd_dot = ("list_reduce(list_transform(generate_series(1, len(a.e)), "
+              "i -> a.e[i] * b.e[i]), (x, y) -> x + y)")
+    sd_nrm = ("sqrt(list_reduce(list_transform({s}.e, x -> x * x), "
+              "(x, y) -> x + y))")
+    oracles["semdedup"] = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 50),
+{km_cte('corpus')},
+v AS (SELECT a2.vec_id, a2.cluster, raw.e
+      FROM a2 JOIN raw USING (vec_id)),
+p AS (SELECT b.vec_id AS vec_b,
+        {sd_dot} / ({sd_nrm.format(s='a')} * {sd_nrm.format(s='b')})
+          AS score
+      FROM v a JOIN v b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+drp AS (SELECT DISTINCT vec_b FROM p WHERE score >= 0.8)
+SELECT v.vec_id, CAST(v.cluster AS INT) AS cluster,
+       CAST(CASE WHEN d.vec_b IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+FROM v LEFT JOIN drp d ON v.vec_id = d.vec_b
 """
 
     oracles["events_asof_join"] = """

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "knn_classify",
     "bm25_topk",
     "kmeans_clusters",
+    "semdedup",
     "doc_embed_hash",
     "events_asof_join",
     "events_range_join",

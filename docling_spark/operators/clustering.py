@@ -74,3 +74,48 @@ def kmeans_assign(embeddings: DataFrame, *, k: int = KMEANS_K,
         cents = new
     return e.select("vec_id",
                     _assign_udf(cents)(F.col("embedding")).alias("cluster"))
+
+
+def semdedup(embeddings: DataFrame, *, k: int = KMEANS_K,
+             iters: int = KMEANS_ITERS,
+             threshold: float = 0.95) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering then WITHIN-cluster pairwise cosine —
+    for every within-cluster pair with cosine ≥ ``threshold`` the
+    higher ``vec_id`` is dropped (deterministic, oracle-replayable;
+    the paper keeps the pair member farther from the centroid, an
+    arbitrary-but-fixed choice this engine replaces with the same
+    lowest-id-wins convention as every other dedup operator here).
+
+    Returns (vec_id, cluster, keep).
+
+    Scale shape: the k-means assign is the zero-shuffle Arrow argmin
+    pass; the pair generation is an equijoin on cluster id — never a
+    corpus cross-product. The quadratic unit is the CLUSTER, exactly
+    as published: k grows with the corpus (SemDeDup uses 50k clusters
+    for LAION) so expected cluster size stays bounded; for skewed
+    giant clusters, AQE skew-join splits the straggler, or sub-bucket
+    with LSH inside the cluster (dedup.embedding_dedup) first.
+    """
+    from .similarity import cosine_udf
+
+    assigned = kmeans_assign(embeddings, k=k, iters=iters)
+    v = (_as_double(embeddings).select("vec_id", "embedding")
+         .join(assigned, "vec_id"))
+    a = v.select("cluster", F.col("vec_id").alias("vec_a"),
+                 F.col("embedding").alias("ea"))
+    b = v.select("cluster", F.col("vec_id").alias("vec_b"),
+                 F.col("embedding").alias("eb"))
+    pairs = (a.join(b, "cluster")
+             .filter(F.col("vec_a") < F.col("vec_b"))
+             .select("vec_b",
+                     cosine_udf(F.col("ea"), F.col("eb")).alias("score")))
+    dropped = (pairs.filter(F.col("score") >= threshold)
+               .select(F.col("vec_b").alias("vec_id"))
+               .distinct()
+               .withColumn("_d", F.lit(1)))
+    return (v.select("vec_id", "cluster")
+            .join(dropped, "vec_id", "left")
+            .select("vec_id", F.col("cluster").cast("int").alias("cluster"),
+                    F.when(F.col("_d").isNull(), 1).otherwise(0)
+                    .cast("int").alias("keep")))

@@ -401,3 +401,20 @@ def test_dedup_substrings_removes_shared_spans(spark):
     assert out[4]["n_removed"] == 0
     assert out[5]["text"] == "tiny doc"
     assert out[5]["n_removed"] == 0
+
+
+def test_semdedup_drops_clone_keeps_original(spark):
+    from docling_spark.operators.clustering import semdedup
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(16)]
+    rows.append((100, rows[3][1]))      # exact clone of vec 3
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           semdedup(df, k=4, iters=2, threshold=0.99).collect()}
+    assert out[3]["keep"] == 1          # lowest id wins
+    assert out[100]["keep"] == 0        # clone dropped
+    assert out[100]["cluster"] == out[3]["cluster"]
+    assert sum(1 - r["keep"] for r in out.values()) == 1
