@@ -311,3 +311,34 @@ def test_kmeans_assign_pass_never_shuffles(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "ArrowEvalPython" in plan
+
+
+def test_dedup_substrings_plan_shape(spark):
+    """Substring dedup stays sort-free and window-free: the repeated-
+    fingerprint table joins back BROADCAST, every aggregation is
+    hash-based with a map-side partial, and reassembly is the
+    collect_list idiom (ObjectHashAggregate), not a global sort."""
+    from docling_spark.operators.substring import dedup_substrings
+    docs = (spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text"))
+    plan = _plan(dedup_substrings(docs, k=8, min_df=2))
+    assert "Window" not in plan
+    assert "SortAggregate" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semdedup_pairs_are_cluster_equijoin(spark):
+    """SemDeDup pair generation is an equijoin on cluster id — never a
+    cartesian corpus product; the k-means assign inside is the
+    zero-shuffle Arrow pass."""
+    from docling_spark.operators.clustering import semdedup
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding")
+    plan = _plan(semdedup(emb, k=4, iters=2, threshold=0.9))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" in plan
