@@ -1215,6 +1215,18 @@ def q_dedup_substrings(spark, sf_dir):
     return dedup_substrings(corpus, k=8, min_df=2)
 
 
+def q_lm_quality(spark, sf_dir):
+    """CCNet-style LM quality gate: unigram model trained on the
+    doc_id%10==0 reference slice, every doc scored by mean NLL (per-
+    token log-probs quantized to integers in the vocabulary table, so
+    document sums are order-independent and engine-exact), gated at
+    3.43 nats (operators/lmscore.py)."""
+    from docling_spark.operators.lmscore import lm_score
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 10 == 0)
+    return lm_score(docs, ref, max_mean_nll_e6=3_430_000)
+
+
 def q_events_rollup(spark, sf_dir):
     """Hypertable-style continuous-aggregate rollup: one pass produces
     the hour-level, day-level, and grand-total aggregates via
@@ -1661,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changed_docs": q_changed_docs,
         "dedup_substrings": q_dedup_substrings,
         "semdedup": q_semdedup,
+        "lm_quality": q_lm_quality,
         "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
@@ -3055,6 +3068,29 @@ SELECT doc_id,
             WHEN ch IS NULL THEN 'deleted'
             WHEN ch <> ph THEN 'changed' END AS reason
 FROM j WHERE ph IS NULL OR ch IS NULL OR ch <> ph
+"""
+
+    oracles["lm_quality"] = f"""
+WITH rt AS (SELECT unnest(string_split({NORM_SQL}, ' ')) AS token
+            FROM documents WHERE doc_id % 10 = 0),
+c AS (SELECT token, count(*) AS c FROM rt GROUP BY token),
+s AS (SELECT sum(c) AS n, count(*) AS v FROM c),
+v AS (SELECT token,
+             CAST(floor(ln((c + 0.5) / (n + 0.5 * (v + 1))) * 1000000)
+                  AS BIGINT) AS lp
+      FROM c, s),
+u AS (SELECT CAST(floor(ln(0.5 / (n + 0.5 * (v + 1))) * 1000000)
+                  AS BIGINT) AS lp FROM s),
+w AS (SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS token
+      FROM documents),
+j AS (SELECT doc_id, COALESCE(v.lp, (SELECT lp FROM u)) AS lp
+      FROM w LEFT JOIN v USING (token)),
+a AS (SELECT doc_id, count(*) AS n, sum(lp) AS slp FROM j
+      GROUP BY doc_id)
+SELECT doc_id, CAST(n AS INT) AS n_tokens,
+       CAST(floor(-1.0 * slp / n) AS BIGINT) AS mean_nll_e6,
+       CAST(floor(-1.0 * slp / n) <= 3430000 AS INT) AS keep
+FROM a
 """
 
     oracles["dedup_substrings"] = f"""

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "doc_repetition",
     "pii_scrub",
     "decontaminate_docs",
+    "lm_quality",
     "pack_sequences",
     "sample_weighted",
     "token_histogram",

@@ -418,3 +418,38 @@ def test_semdedup_drops_clone_keeps_original(spark):
     assert out[100]["keep"] == 0        # clone dropped
     assert out[100]["cluster"] == out[3]["cluster"]
     assert sum(1 - r["keep"] for r in out.values()) == 1
+
+
+def test_lm_score_orders_by_reference_likeness(spark):
+    from docling_spark.operators.lmscore import lm_score
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog")
+         for i in range(5)], "doc_id long, text string")
+    docs = spark.createDataFrame([
+        (1, "the quick brown fox"),          # pure in-vocabulary
+        (2, "the quick zzz qqq"),            # half unseen
+        (3, "xxyy zzqq aabb ccdd"),          # all unseen
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lm_score(docs, ref).collect()}
+    assert (out[1]["mean_nll_e6"] < out[2]["mean_nll_e6"]
+            < out[3]["mean_nll_e6"])
+    # all-unseen doc scores exactly the unseen-class log-prob
+    assert out[3]["n_tokens"] == 4
+
+
+def test_lm_score_partition_invariant(spark):
+    """The integer-quantized per-token log-probs make document sums
+    independent of partitioning / aggregation order — the property
+    naive float log-prob sums do NOT have."""
+    from docling_spark.operators.lmscore import lm_score
+
+    docs = (spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text"))
+    ref = docs.filter(F.col("doc_id") % 10 == 0)
+    a = {r["doc_id"]: r["mean_nll_e6"]
+         for r in lm_score(docs.repartition(1), ref).collect()}
+    b = {r["doc_id"]: r["mean_nll_e6"]
+         for r in lm_score(docs.repartition(16), ref).collect()}
+    assert a == b
