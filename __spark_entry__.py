@@ -745,6 +745,16 @@ def q_sample_weighted(spark, sf_dir):
         docs, {"en": 8000, "es": 5000, "de": 2500, "fr": 1000})
 
 
+def q_split_docs(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test split: md5-uniform draw on
+    (salt, doc_id) → first covering cumulative bucket; zero-shuffle
+    projection, stable under re-runs and corpus growth
+    (operators/packing.py:split_docs)."""
+    from docling_spark.operators.packing import split_docs
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return split_docs(docs)
+
+
 def q_doc_language_id(spark, sf_dir):
     return with_language_id(_docs(spark, sf_dir))
 
@@ -1674,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substrings": q_dedup_substrings,
         "semdedup": q_semdedup,
         "lm_quality": q_lm_quality,
+        "split_docs": q_split_docs,
         "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
@@ -3068,6 +3079,17 @@ SELECT doc_id,
             WHEN ch IS NULL THEN 'deleted'
             WHEN ch <> ph THEN 'changed' END AS reason
 FROM j WHERE ph IS NULL OR ch IS NULL OR ch <> ph
+"""
+
+    oracles["split_docs"] = """
+SELECT doc_id,
+  CASE WHEN u < 9000 THEN 'train'
+       WHEN u < 9500 THEN 'val'
+       ELSE 'test' END AS split
+FROM (SELECT doc_id,
+        CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                             1, 8))::BIGINT % 10000 AS BIGINT) AS u
+      FROM documents)
 """
 
     oracles["lm_quality"] = f"""

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "lm_quality",
     "pack_sequences",
     "sample_weighted",
+    "split_docs",
     "token_histogram",
     "dedup_exact",
     "dedup_minhash_lsh",

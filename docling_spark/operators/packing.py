@@ -84,3 +84,28 @@ def sample_weighted(docs: DataFrame, rates_e4: dict[str, int], *,
     return (docs.withColumn("u_e4", u)
             .filter(F.col("u_e4") < rate)
             .select("doc_id", group_col, "u_e4"))
+
+
+def split_docs(docs: DataFrame, *, weights_e4: dict[str, int] = None,
+               salt: str = "split:") -> DataFrame:
+    """Deterministic train/val/test assignment: each doc draws an
+    md5-uniform value in [0, 10000) from (salt, doc_id) and falls into
+    the first split whose cumulative weight covers it. ``weights_e4``
+    maps split name → weight × 1e4 and must sum to 10000 (default
+    9000/500/500). The draw depends only on (salt, doc_id): re-runs,
+    new documents, and re-partitioning never move an existing doc
+    across splits — the property random() splits lack and the reason
+    eval contamination survives naive re-splits. Zero shuffle: one
+    projection."""
+    if weights_e4 is None:
+        weights_e4 = {"train": 9000, "val": 500, "test": 500}
+    if sum(weights_e4.values()) != 10000:
+        raise ValueError("weights_e4 must sum to 10000")
+    u = _hash_u(F.col("doc_id"), 10000, salt=salt)
+    expr = None
+    edge = 0
+    for name, w in weights_e4.items():  # insertion order = layout
+        edge += w
+        cond = u < edge
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return docs.withColumn("split", expr)

@@ -453,3 +453,20 @@ def test_lm_score_partition_invariant(spark):
     b = {r["doc_id"]: r["mean_nll_e6"]
          for r in lm_score(docs.repartition(16), ref).collect()}
     assert a == b
+
+
+def test_split_docs_stable_and_partitioned(spark):
+    from docling_spark.operators.packing import split_docs
+
+    docs = spark.createDataFrame([(i,) for i in range(2000)],
+                                 "doc_id long")
+    out = {r["doc_id"]: r["split"] for r in split_docs(docs).collect()}
+    frac = sum(1 for s in out.values() if s == "train") / 2000
+    assert 0.87 < frac < 0.93
+    # growth never moves existing docs across splits
+    bigger = spark.createDataFrame([(i,) for i in range(4000)],
+                                   "doc_id long")
+    out2 = {r["doc_id"]: r["split"] for r in split_docs(bigger).collect()}
+    assert all(out2[k] == v for k, v in out.items())
+    with pytest.raises(ValueError):
+        split_docs(docs, weights_e4={"train": 9999})
