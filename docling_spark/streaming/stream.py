@@ -184,3 +184,59 @@ def run_stream_to_table(stream_df: DataFrame, out_dir: str,
     if available_now:
         query.awaitTermination()
     return query
+
+
+_CDC_OUT_DDL = "doc_id bigint, reason string, content_sha256 string"
+_CDC_STATE_DDL = "h string"
+
+
+def cdc_stream(docs: DataFrame, *, seq_col: str = "seq") -> DataFrame:
+    """Streaming change-data-capture — the continuous-ingest twin of
+    operators/diff.changed_docs: per doc_id, emit ('new', hash) on
+    first sight and ('changed', hash) whenever the content hash moves;
+    unchanged re-deliveries are silent. Within a micro-batch, versions
+    order by ``seq_col`` (an ingest sequence / commit timestamp the
+    source must provide — arrival order inside a batch is not
+    meaningful in a distributed source).
+
+    State per doc_id is one 64-hex string (the last hash). At 10^12
+    docs that state is the real cost (like dedup_stream's fingerprint
+    set): production runs shard it across executors via the state
+    store, and bound it by keying on (doc_id bucket epoch) with
+    periodic batch changed_docs compaction against the snapshot
+    manifest."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        F.col(seq_col).cast("long").alias("seq"),
+                        F.sha2(F.col("text"), 256).alias("h"))
+
+    def fold(key, pdfs, state: GroupState):
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            return
+        df = pd.concat(frames).sort_values("seq")
+        last = state.get[0] if state.exists else None
+        reasons, hashes = [], []
+        for h in df["h"]:
+            if last is None:
+                reasons.append("new")
+                hashes.append(h)
+            elif h != last:
+                reasons.append("changed")
+                hashes.append(h)
+            last = h
+        state.update((last,))
+        if reasons:
+            yield pd.DataFrame({"doc_id": [key[0]] * len(reasons),
+                                "reason": reasons,
+                                "content_sha256": hashes})
+
+    return (keyed.groupBy("doc_id")
+            .applyInPandasWithState(
+                fold,
+                outputStructType=_CDC_OUT_DDL,
+                stateStructType=_CDC_STATE_DDL,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

