@@ -1402,6 +1402,22 @@ def q_events_windowed(spark, sf_dir):
     return windowed_event_counts(_read(spark, sf_dir, "events"))
 
 
+def q_events_sliding(spark, sf_dir):
+    """SLIDING-window rollup (1 h window, 15 min slide — each event
+    lands in 4 overlapping windows): Catalyst's window generator
+    expands window instances map-side (a projection, not a join), then
+    ONE shuffle aggregates; the streaming twin is the same expression
+    on readStream with a watermark."""
+    ev = _read(spark, sf_dir, "events")
+    w = F.window(F.col("ts").cast("timestamp"), "1 hour", "15 minutes")
+    return (ev.groupBy(w.alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.floor(F.sum("value") * 100).cast("long")
+                 .alias("sum_value_e2"))
+            .select(F.col("w.start").alias("window_start"),
+                    "event_type", "n_events", "sum_value_e2"))
+
+
 def q_events_json_props(spark, sf_dir):
     """JSON prop extraction + top-k (string/JSON function surface)."""
     ev = _read(spark, sf_dir, "events")
@@ -1685,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "lm_quality": q_lm_quality,
         "split_docs": q_split_docs,
+        "events_sliding": q_events_sliding,
         "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
@@ -3475,6 +3492,18 @@ pairs AS (
 SELECT doc_a, doc_b,
        CAST(floor(score * 10000 + 1e-6) AS BIGINT) AS score_e4
 FROM pairs WHERE score >= 0.98
+"""
+
+    oracles["events_sliding"] = """
+WITH x AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+           FROM events),
+e AS (SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - i * INTERVAL '15 minutes' AS window_start,
+             event_type, value
+      FROM x, (SELECT unnest(generate_series(0, 3)) AS i) g)
+SELECT window_start, event_type, COUNT(*) AS n_events,
+       CAST(floor(SUM(value) * 100) AS BIGINT) AS sum_value_e2
+FROM e GROUP BY 1, 2
 """
 
     oracles["events_windowed"] = """

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "changed_docs",
     "events_sessionize",
     "events_windowed",
+    "events_sliding",
     "media_decode_meta",
     "tpch_q1_pricing",
 ]
@@ -184,9 +185,13 @@ def main() -> None:
     docs_per_sec = n_docs / extract_sec if extract_sec > 0 else 0.0
 
     print(json.dumps({
-        "metric": "headline query wall time (docling_spark engine)",
+        "metric": ("headline query wall time (docling_spark engine); "
+                   "the query SET GROWS each round — compare per-query "
+                   "seconds or extra.extract_docs_per_sec (the "
+                   "BASELINE.json metric) across rounds, not the total"),
         "value": round(total, 3),
         "unit": "sec",
+        "n_queries": len(results),
         "queries": results,
         "sf": SF_DIR,
         "extra": {

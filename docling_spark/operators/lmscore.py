@@ -59,16 +59,26 @@ def unigram_lm_table(ref: DataFrame, *, alpha: float = LM_ALPHA):
 
 def lm_score(docs: DataFrame, ref: DataFrame, *,
              alpha: float = LM_ALPHA,
-             max_mean_nll_e6: int = None) -> DataFrame:
+             max_mean_nll_e6: int = None,
+             broadcast_vocab: bool = True) -> DataFrame:
     """(doc_id, text) → (doc_id, n_tokens, mean_nll_e6[, keep]) —
     mean negative log-likelihood (×1e6, floored) of each document
     under the unigram model trained on ``ref``. Lower = more like the
     reference corpus. With ``max_mean_nll_e6`` set, adds the CCNet
-    keep/drop gate column."""
+    keep/drop gate column.
+
+    ``broadcast_vocab`` pins the vocab join broadcast — right for the
+    CCNet setup (reference = curated corpus, vocabulary in the
+    millions). Disable it when the reference slice is itself web-scale
+    (typo-heavy vocabularies grow with corpus size per Heaps' law and
+    can exceed executor memory): the join falls back to a hash
+    shuffle on token, still one pass."""
     vocab, unseen = unigram_lm_table(ref, alpha=alpha)
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
     toks = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
     scored = (toks
-              .join(F.broadcast(vocab), "token", "left")
+              .join(vocab, "token", "left")
               .crossJoin(F.broadcast(
                   unseen.select(F.col("lp_e6").alias("_u"))))
               .select("doc_id", F.coalesce("lp_e6", "_u").alias("lp")))
