@@ -97,25 +97,36 @@ def semdedup(embeddings: DataFrame, *, k: int = KMEANS_K,
     giant clusters, AQE skew-join splits the straggler, or sub-bucket
     with LSH inside the cluster (dedup.embedding_dedup) first.
     """
-    from .similarity import cosine_udf
-
     assigned = kmeans_assign(embeddings, k=k, iters=iters)
     v = (_as_double(embeddings).select("vec_id", "embedding")
          .join(assigned, "vec_id"))
-    a = v.select("cluster", F.col("vec_id").alias("vec_a"),
-                 F.col("embedding").alias("ea"))
-    b = v.select("cluster", F.col("vec_id").alias("vec_b"),
-                 F.col("embedding").alias("eb"))
-    pairs = (a.join(b, "cluster")
-             .filter(F.col("vec_a") < F.col("vec_b"))
-             .select("vec_b",
-                     cosine_udf(F.col("ea"), F.col("eb")).alias("score")))
-    dropped = (pairs.filter(F.col("score") >= threshold)
-               .select(F.col("vec_b").alias("vec_id"))
-               .distinct()
-               .withColumn("_d", F.lit(1)))
-    return (v.select("vec_id", "cluster")
-            .join(dropped, "vec_id", "left")
-            .select("vec_id", F.col("cluster").cast("int").alias("cluster"),
-                    F.when(F.col("_d").isNull(), 1).otherwise(0)
-                    .cast("int").alias("keep")))
+
+    # Within-cluster scoring as ONE grouped Arrow stage: each cluster
+    # shuffles its vectors once (n rows) and a single normalized
+    # Gram matmul scores all pairs — the pair-equijoin spelling
+    # shuffles O(n²/k) rows each carrying TWO embedding copies
+    # (measured 8.5 s → see bench; ~100× more bytes moved at sf0.1).
+    # Memory is the c×c score matrix per cluster: size k so clusters
+    # stay ≤ ~5k vectors (SemDeDup's published regime), or pre-shard
+    # giant clusters with LSH (dedup.embedding_dedup) first.
+    def drop_in_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        e = np.stack(pdf["embedding"].to_numpy())[order].astype(np.float64)
+        nrm = np.linalg.norm(e, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        s = (e / nrm) @ (e / nrm).T
+        # drop j iff ANY lower-id i in the cluster has cos(i,j) ≥ th —
+        # the same rule as the pair formulation (i itself dropped or
+        # not), so results are oracle-identical
+        tri = np.triu(s >= threshold, 1)
+        keep = (~tri.any(axis=0)).astype("int32")
+        return pd.DataFrame({
+            "vec_id": ids,
+            "cluster": pdf["cluster"].iloc[0],
+            "keep": keep})
+
+    return (v.groupBy("cluster")
+            .applyInPandas(drop_in_cluster,
+                           schema="vec_id long, cluster int, keep int"))

@@ -330,10 +330,11 @@ def test_dedup_substrings_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_semdedup_pairs_are_cluster_equijoin(spark):
-    """SemDeDup pair generation is an equijoin on cluster id — never a
-    cartesian corpus product; the k-means assign inside is the
-    zero-shuffle Arrow pass."""
+def test_semdedup_is_grouped_matmul_not_pair_join(spark):
+    """SemDeDup scoring is ONE grouped Arrow stage per cluster (each
+    vector shuffles once); never a pair join materializing O(n²/k)
+    rows of embedding copies, and never a cartesian product. The
+    k-means assign inside stays the zero-shuffle Arrow pass."""
     from docling_spark.operators.clustering import semdedup
     emb = spark.read.parquet(
         "/root/testdata/sf0.001/embeddings.parquet").select(
@@ -341,4 +342,8 @@ def test_semdedup_pairs_are_cluster_equijoin(spark):
     plan = _plan(semdedup(emb, k=4, iters=2, threshold=0.9))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "ArrowEvalPython" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "ArrowEvalPython" in plan  # the k-means assign
+    # no join after the cluster assignment's: the scoring stage itself
+    # is join-free (one hash join total, embedding ⋈ assignment)
+    assert plan.count("HashJoin") <= 2
