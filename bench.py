@@ -108,10 +108,14 @@ def build_spark(cpus: str) -> SparkSession:
     )
 
 
+BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
 def time_query(fn, spark, sf_dir: str) -> tuple:
-    """Best of two runs — the sandbox shares its host, and a noisy
-    neighbor can inflate a single measurement ~10× (measured); the min
-    of two back-to-back runs reflects the plan, not the neighbor.
+    """Best of BENCH_REPS runs (default 3) — the sandbox shares its
+    host, and a noisy neighbor can inflate a single measurement ~10×
+    (measured; whole noisy PHASES inflate back-to-back pairs 3-7×);
+    the min of repeated runs reflects the plan, not the neighbor.
 
     Evaluation is forced over EVERY output column via a JVM-side
     xxhash64 + bit_xor fold: a bare count() lets Catalyst prune the
@@ -123,7 +127,7 @@ def time_query(fn, spark, sf_dir: str) -> tuple:
 
     best = None
     n = 0
-    for _ in range(2):
+    for _ in range(BENCH_REPS):
         t0 = time.monotonic()
         df = fn(spark, sf_dir)
         row = df.agg(
@@ -173,10 +177,10 @@ def main() -> None:
     # to cluster parallelism before the parse UDF — a small-file source
     # arrives as ONE scan partition, which would serialize the whole
     # parse behind a single Python worker (measured: 3-6× throughput
-    # loss at sf0.1). Best-of-2 like every other timing here.
+    # loss at sf0.1). Best-of-BENCH_REPS like every other timing here.
     npart = spark.sparkContext.defaultParallelism
     extract_sec = None
-    for _ in range(2):
+    for _ in range(BENCH_REPS):
         t0 = time.monotonic()
         (extract_spans(corpus, num_partitions=npart)
          .select("n_spans").groupBy().sum().collect())
@@ -195,7 +199,7 @@ def main() -> None:
         "queries": results,
         "sf": SF_DIR,
         "extra": {
-            "method": "per-query best-of-2 (shared-host noise guard)",
+            "method": f"per-query best-of-{BENCH_REPS} (shared-host noise guard)",
             "cpus": int(CPUS),
             "extract_docs": n_docs,
             "extract_sec": round(extract_sec, 3),
