@@ -897,6 +897,24 @@ def q_dedup_components(spark, sf_dir):
     return dedup_components(pairs)
 
 
+def q_dedup_canonical(spark, sf_dir):
+    """Quality-aware canonical selection: near-dup clusters (SimHash →
+    connected components) each keep their LONGEST member instead of
+    the lowest id — the +1000000 clones carry extra trailing words, so
+    every clone pair's canonical must be the clone
+    (operators/dedup.py:canonical_representatives)."""
+    from docling_spark.operators.dedup import (canonical_representatives,
+                                               dedup_components,
+                                               simhash_pairs)
+    from docling_spark.operators.textstats import tokens_col
+    corpus = _clone_corpus_near(_docs(spark, sf_dir))
+    pairs = simhash_pairs(corpus, n=3, bits=32, bands=4, max_hamming=3)
+    comp = dedup_components(pairs)
+    scores = corpus.select("doc_id",
+                           F.size(tokens_col()).alias("n_tokens"))
+    return canonical_representatives(comp, scores, score_col="n_tokens")
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Exact n-gram Jaccard on explicitly given pairs (no LSH filter) —
     the verify primitive exposed as its own operator."""
@@ -1702,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": q_lm_quality,
         "split_docs": q_split_docs,
         "events_sliding": q_events_sliding,
+        "dedup_canonical": q_dedup_canonical,
         "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
@@ -2862,6 +2881,33 @@ reach(src, node) AS (
   SELECT r.src, e.t FROM reach r JOIN e ON r.node = e.s)
 SELECT node AS doc_id, MIN(src) AS component
 FROM reach GROUP BY node
+"""
+
+    oracles["dedup_canonical"] = \
+        "WITH RECURSIVE " + simhash_pair_ctes + f""",
+p2 AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
+e AS (SELECT doc_a AS s, doc_b AS t FROM p2
+      UNION SELECT doc_b, doc_a FROM p2),
+nodes AS (SELECT DISTINCT s AS node FROM e),
+reach(src, node) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.src, e.t FROM reach r JOIN e ON r.node = e.s),
+comp AS (SELECT node AS doc_id, MIN(src) AS component
+         FROM reach GROUP BY node),
+tok AS (SELECT doc_id, len(string_split({NORM_SQL}, ' ')) AS n_tokens
+        FROM corpus),
+j AS (SELECT comp.component, comp.doc_id, tok.n_tokens
+      FROM comp JOIN tok USING (doc_id)),
+r AS (SELECT component, doc_id, n_tokens,
+        ROW_NUMBER() OVER (PARTITION BY component
+                           ORDER BY n_tokens DESC, doc_id ASC) AS rn,
+        COUNT(*) OVER (PARTITION BY component) AS nm,
+        MAX(n_tokens) OVER (PARTITION BY component) AS bt
+      FROM j)
+SELECT component, doc_id AS canonical_id,
+       CAST(nm AS INT) AS n_members, CAST(bt AS INT) AS best_n_tokens
+FROM r WHERE rn = 1
 """
 
     knn_core = """

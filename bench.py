@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "source_reputation",
     "dedup_boilerplate_lines",
     "dedup_components",
+    "dedup_canonical",
     "embedding_dedup",
     "knn_cosine_bruteforce",
     "knn_cosine_int8",

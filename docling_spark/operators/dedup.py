@@ -392,3 +392,28 @@ def simhash_pairs(docs: DataFrame, *, n: int = 3, bits: int = 32,
     return (cand.withColumn("hamming", ham.cast("int"))
             .filter(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))
+
+
+def canonical_representatives(components: DataFrame, scores: DataFrame,
+                              *, score_col: str,
+                              id_col: str = "doc_id") -> DataFrame:
+    """Quality-aware representative per duplicate cluster — the
+    refinement of lowest-id-wins: given the component labels
+    (:func:`dedup_components`) and a per-doc quality score (token
+    count, LM score, …), keep the HIGHEST-scoring member of each
+    cluster (ties break to the lowest id). The production rule behind
+    "keep the longest/cleanest copy" instead of an arbitrary one.
+
+    Returns (component, canonical_id, n_members, best_<score_col>).
+
+    Scale shape: one equijoin on id + ONE ``max_by`` aggregation keyed
+    on component — algebraic (map-side partial), no per-component
+    window, no sort. The ordering struct (score, -id) is unique per
+    row, so the argmax is deterministic."""
+    j = components.join(scores.select(id_col, score_col), id_col)
+    ordering = F.struct(F.col(score_col).alias("s"),
+                        (-F.col(id_col)).alias("nid"))
+    return (j.groupBy("component")
+            .agg(F.max_by(F.col(id_col), ordering).alias("canonical_id"),
+                 F.count("*").cast("int").alias("n_members"),
+                 F.max(score_col).alias(f"best_{score_col}")))

@@ -470,3 +470,21 @@ def test_split_docs_stable_and_partitioned(spark):
     assert all(out2[k] == v for k, v in out.items())
     with pytest.raises(ValueError):
         split_docs(docs, weights_e4={"train": 9999})
+
+
+def test_canonical_representatives_prefers_quality(spark):
+    from docling_spark.operators.dedup import canonical_representatives
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)],
+        "doc_id long, component long")
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (7, 5), (8, 5)],
+        "doc_id long, n_tokens int")
+    out = {r["component"]: r for r in canonical_representatives(
+        comp, scores, score_col="n_tokens").collect()}
+    # component 1: doc 2 and 3 tie at 50 -> lowest id wins
+    assert out[1]["canonical_id"] == 2
+    assert out[1]["n_members"] == 3
+    assert out[1]["best_n_tokens"] == 50
+    assert out[7]["canonical_id"] == 7
