@@ -755,6 +755,16 @@ def q_split_docs(spark, sf_dir):
     return split_docs(docs)
 
 
+def q_cap_per_source(spark, sf_dir):
+    """Per-domain cap (≤20 docs per source, RefinedWeb-style): uniform
+    md5 draw ranks each domain's docs, salted two-phase top-k keeps
+    the 20 lowest — no single-partition-per-domain window
+    (operators/packing.py:cap_per_group)."""
+    from docling_spark.operators.packing import cap_per_group
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(docs, group_col="source", n=20)
+
+
 def q_doc_language_id(spark, sf_dir):
     return with_language_id(_docs(spark, sf_dir))
 
@@ -1721,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_docs": q_split_docs,
         "events_sliding": q_events_sliding,
         "dedup_canonical": q_dedup_canonical,
+        "cap_per_source": q_cap_per_source,
         "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
@@ -3142,6 +3153,18 @@ SELECT doc_id,
             WHEN ch IS NULL THEN 'deleted'
             WHEN ch <> ph THEN 'changed' END AS reason
 FROM j WHERE ph IS NULL OR ch IS NULL OR ch <> ph
+"""
+
+    oracles["cap_per_source"] = """
+WITH u AS (SELECT doc_id, source,
+    CAST(('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8))
+         ::BIGINT % 1000000000 AS BIGINT) AS u
+  FROM documents),
+r AS (SELECT doc_id, source,
+        ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY u ASC, doc_id ASC) AS rn
+      FROM u)
+SELECT doc_id, source FROM r WHERE rn <= 20
 """
 
     oracles["split_docs"] = """

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "sample_weighted",
     "split_docs",
+    "cap_per_source",
     "token_histogram",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -109,3 +109,24 @@ def split_docs(docs: DataFrame, *, weights_e4: dict[str, int] = None,
         cond = u < edge
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return docs.withColumn("split", expr)
+
+
+def cap_per_group(docs: DataFrame, *, group_col: str, n: int,
+                  salt: str = "cap:") -> DataFrame:
+    """Deterministic per-group cap — "at most N docs per domain", the
+    RefinedWeb-style anti-monoculture rule. Ranks each group's docs by
+    an md5-uniform draw on (salt, doc_id) (so the kept subset is a
+    uniform sample, stable across runs and unaffected by other
+    groups) and keeps the N lowest.
+
+    Ranking uses the salted two-phase distributed top-k
+    (retrieval.distributed_topk, ascending) — a mega-domain's rows
+    never concentrate in one task the way a plain
+    ``Window.partitionBy(domain)`` would."""
+    from .retrieval import distributed_topk
+
+    u = _hash_u(F.col("doc_id"), 1_000_000_000, salt=salt)
+    ranked = distributed_topk(
+        docs.withColumn("_u", u), key=group_col, order="_u",
+        tie="doc_id", k=n, ascending=True)
+    return ranked.drop("_u", "rank")

@@ -488,3 +488,20 @@ def test_canonical_representatives_prefers_quality(spark):
     assert out[1]["n_members"] == 3
     assert out[1]["best_n_tokens"] == 50
     assert out[7]["canonical_id"] == 7
+
+
+def test_cap_per_group_exact_and_stable(spark):
+    from docling_spark.operators.packing import cap_per_group
+
+    docs = spark.createDataFrame(
+        [(i, "big.org" if i < 95 else "small.org") for i in range(100)],
+        "doc_id long, source string")
+    out = cap_per_group(docs, group_col="source", n=10)
+    by_src = {}
+    for r in out.collect():
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_src["big.org"]) == 10     # capped
+    assert len(by_src["small.org"]) == 5    # under the cap: all kept
+    # stable: same subset on re-run
+    again = {r["doc_id"] for r in out.collect() if r["source"] == "big.org"}
+    assert again == by_src["big.org"]
