@@ -1265,6 +1265,18 @@ def q_lm_quality(spark, sf_dir):
     return lm_score(docs, ref, max_mean_nll_e6=3_430_000)
 
 
+def q_events_quantiles_sketch(spark, sf_dir):
+    """Histogram-sketch quantiles (1024 equi-width bins): the
+    few-huge-groups scale path — per-group shuffle volume is bounded
+    by the sketch (≤bins rows), not the group size; estimates are
+    bin upper edges, deterministic and engine-replayable
+    (operators/sketch.py:quantiles_sketch)."""
+    from docling_spark.operators.sketch import quantiles_sketch
+    ev = _read(spark, sf_dir, "events").select("event_type", "value")
+    return quantiles_sketch(ev, group_col="event_type",
+                            value_col="value")
+
+
 def q_events_rollup(spark, sf_dir):
     """Hypertable-style continuous-aggregate rollup: one pass produces
     the hour-level, day-level, and grand-total aggregates via
@@ -1732,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "dedup_canonical": q_dedup_canonical,
         "cap_per_source": q_cap_per_source,
+        "events_quantiles_sketch": q_events_quantiles_sketch,
         "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
@@ -3233,6 +3246,36 @@ SELECT tot.doc_id, COALESCE(reb.text, '') AS text,
        CAST(COALESCE(n_kept, 0) AS INT) AS n_kept,
        CAST(n - COALESCE(n_kept, 0) AS INT) AS n_removed
 FROM tot LEFT JOIN reb USING (doc_id)
+"""
+
+    oracles["events_quantiles_sketch"] = """
+WITH s AS (SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+           FROM events GROUP BY event_type),
+b AS (SELECT e.event_type,
+        CASE WHEN (s.hi - s.lo) / 1024.0 = 0 THEN 0
+             ELSE CAST(LEAST(floor((e.value - s.lo)
+                                   / ((s.hi - s.lo) / 1024.0)),
+                             1023) AS INT) END AS bin,
+        s.lo, s.hi
+      FROM events e JOIN s USING (event_type)),
+h AS (SELECT event_type, bin, lo, hi, COUNT(*) AS cnt
+      FROM b GROUP BY event_type, bin, lo, hi),
+c AS (SELECT event_type, bin, lo, hi, cnt,
+        SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+        SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM h),
+p AS (SELECT unnest([0.5, 0.9, 0.99]) AS p),
+k AS (SELECT c.event_type, p.p, c.bin, c.lo, c.hi,
+             CASE WHEN (c.hi - c.lo) / 1024.0 = 0 THEN c.lo
+                  ELSE c.lo + (c.bin + 1) * ((c.hi - c.lo) / 1024.0)
+             END AS est
+      FROM c, p
+      WHERE c.cum >= ceil(p.p * c.n)
+        AND c.cum - c.cnt < ceil(p.p * c.n))
+SELECT event_type, CAST(floor(p * 100) AS INT) AS p_pct,
+       CAST(floor(est * 100) AS BIGINT) AS est_e2
+FROM k
 """
 
     oracles["events_kmv_distinct"] = """

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "events_rollup",
     "events_kmv_distinct",
     "events_quantiles",
+    "events_quantiles_sketch",
     "events_pivot",
     "top_terms",
     "span_diff",

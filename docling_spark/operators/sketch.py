@@ -93,3 +93,61 @@ def quantiles_exact(df: DataFrame, *, group_col: str, value_col: str,
         group_col,
         F.floor(F.col("_p") * 100).cast("int").alias("p_pct"),
         F.col(value_col).alias("value"))
+
+
+def quantiles_sketch(df: DataFrame, *, group_col: str, value_col: str,
+                     ps=(0.5, 0.9, 0.99), bins: int = 1024) -> DataFrame:
+    """Histogram-sketch quantiles — the FEW-HUGE-GROUPS path the exact
+    order-statistics operator (:func:`quantiles_exact`) documents as
+    its scale limit: instead of totally ordering each group (a
+    per-group shuffle of every row), build a fixed equi-width
+    histogram per group and read quantiles off the cumulative counts.
+
+    * pass 1: per-group (min, max) — algebraic agg, broadcast back
+      (group cardinality is small by premise);
+    * pass 2: per-(group, bin) counts — map-side combinable, at most
+      ``bins`` rows per group survive the shuffle regardless of group
+      size;
+    * pick: one window over ≤``bins`` rows per group (bounded by the
+      sketch, not the data) finds the first bin whose cumulative count
+      crosses ceil(p·n); the estimate is that bin's UPPER edge
+      (lo + (bin+1)·width) — deterministic, mergeable, and
+      SQL-replayable bit-for-bit (identical IEEE double ops on both
+      engines), unlike t-digest whose centroids depend on merge order.
+
+    Error is bounded by one bin width (range/bins) in VALUE space (not
+    rank space — skewed distributions want log-spaced bins; compose by
+    pre-transforming ``value_col``)."""
+    stats = (df.groupBy(group_col)
+             .agg(F.min(value_col).alias("_lo"),
+                  F.max(value_col).alias("_hi")))
+    b = df.join(F.broadcast(stats), group_col)
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+    bin_c = (F.when(width == 0, F.lit(0))
+             .otherwise(F.least(
+                 F.floor((F.col(value_col) - F.col("_lo")) / width),
+                 F.lit(bins - 1)))).cast("int")
+    hist = (b.select(group_col, bin_c.alias("_bin"),
+                     F.col("_lo"), F.col("_hi"))
+            .groupBy(group_col, "_bin", "_lo", "_hi")
+            .agg(F.count("*").alias("_cnt")))
+
+    wcum = (Window.partitionBy(group_col).orderBy("_bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy(group_col)
+    cum = (hist
+           .withColumn("_cum", F.sum("_cnt").over(wcum))
+           .withColumn("_n", F.sum("_cnt").over(wall)))
+
+    qs = F.array(*[F.lit(float(p)) for p in ps])
+    width2 = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+    est = (F.when(width2 == 0, F.col("_lo"))
+           .otherwise(F.col("_lo") + (F.col("_bin") + 1) * width2))
+    picked = (cum.withColumn("_p", F.explode(qs))
+              .withColumn("_t", F.ceil(F.col("_p") * F.col("_n")))
+              .filter((F.col("_cum") >= F.col("_t"))
+                      & (F.col("_cum") - F.col("_cnt") < F.col("_t"))))
+    return picked.select(
+        group_col,
+        F.floor(F.col("_p") * 100).cast("int").alias("p_pct"),
+        F.floor(est * 100).cast("long").alias("est_e2"))

@@ -505,3 +505,25 @@ def test_cap_per_group_exact_and_stable(spark):
     # stable: same subset on re-run
     again = {r["doc_id"] for r in out.collect() if r["source"] == "big.org"}
     assert again == by_src["big.org"]
+
+
+def test_quantiles_sketch_accuracy_vs_exact(spark):
+    """Sketch estimates are within one bin width of the exact
+    order-statistics quantiles, and a constant group degenerates to
+    the constant."""
+    from docling_spark.operators.sketch import (quantiles_exact,
+                                                quantiles_sketch)
+
+    rows = [("a", float(v), i) for i, v in enumerate(range(1000))]
+    rows += [("c", 7.0, 9999), ("c", 7.0, 9998)]
+    df = spark.createDataFrame(rows, "grp string, v double, id long")
+    exact = {(r["grp"], r["p_pct"]): r["value"] for r in
+             quantiles_exact(df, group_col="grp", value_col="v",
+                             tie="id").collect()}
+    sk = {(r["grp"], r["p_pct"]): r["est_e2"] / 100.0 for r in
+          quantiles_sketch(df, group_col="grp", value_col="v",
+                           bins=256).collect()}
+    width = 999.0 / 256
+    for p in (50, 90, 99):
+        assert abs(sk[("a", p)] - exact[("a", p)]) <= width + 0.01
+        assert sk[("c", p)] == 7.0
