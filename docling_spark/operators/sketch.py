@@ -77,8 +77,9 @@ def quantiles_exact(df: DataFrame, *, group_col: str, value_col: str,
     emit all requested quantiles in a single pass. Exact quantiles
     need a per-group total order — this is the exact path; at 100 TB
     group cardinality is the parallelism, and for quantiles over few
-    huge groups switch to `approx_percentile` (t-digest) as the
-    documented approximate knob."""
+    huge groups use :func:`quantiles_sketch` below (bounded shuffle,
+    deterministic) or Spark's `approx_percentile` (t-digest,
+    merge-order-dependent)."""
     w = (Window.partitionBy(group_col)
          .orderBy(F.col(value_col).asc(), F.col(tie).asc()))
     ranked = df.select(
