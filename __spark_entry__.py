@@ -1277,6 +1277,17 @@ def q_events_quantiles_sketch(spark, sf_dir):
                             value_col="value")
 
 
+def q_lm_quality_bigram(spark, sf_dir):
+    """Bigram LM quality gate (one step toward CCNet's KenLM 5-gram):
+    transitions scored under p(cur|prev) with two-level backoff, every
+    tier integer-quantized, gated at 3.6 nats
+    (operators/lmscore.py:lm_score_bigram)."""
+    from docling_spark.operators.lmscore import lm_score_bigram
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 10 == 0)
+    return lm_score_bigram(docs, ref, max_mean_nll_e6=3_600_000)
+
+
 def q_events_rollup(spark, sf_dir):
     """Hypertable-style continuous-aggregate rollup: one pass produces
     the hour-level, day-level, and grand-total aggregates via
@@ -1745,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": q_dedup_canonical,
         "cap_per_source": q_cap_per_source,
         "events_quantiles_sketch": q_events_quantiles_sketch,
+        "lm_quality_bigram": q_lm_quality_bigram,
         "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
@@ -3211,6 +3223,42 @@ a AS (SELECT doc_id, count(*) AS n, sum(lp) AS slp FROM j
 SELECT doc_id, CAST(n AS INT) AS n_tokens,
        CAST(floor(-1.0 * slp / n) AS BIGINT) AS mean_nll_e6,
        CAST(floor(-1.0 * slp / n) <= 3430000 AS INT) AS keep
+FROM a
+"""
+
+    oracles["lm_quality_bigram"] = f"""
+WITH d AS (SELECT doc_id, string_split({NORM_SQL}, ' ') AS t
+           FROM documents),
+rb AS (SELECT t[i] || ' ' || t[i+1] AS bigram
+       FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS i
+             FROM d WHERE doc_id % 10 = 0 AND len(t) >= 2)),
+c2 AS (SELECT bigram, count(*) AS c2 FROM rb GROUP BY bigram),
+c1 AS (SELECT string_split(bigram, ' ')[1] AS prev, SUM(c2) AS c1
+       FROM c2 GROUP BY prev),
+s AS (SELECT count(*) AS v FROM c1),
+bt AS (SELECT c2.bigram,
+         CAST(floor(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * (s.v + 1)))
+                    * 1000000) AS BIGINT) AS lp2
+       FROM c2 JOIN c1 ON string_split(c2.bigram, ' ')[1] = c1.prev, s),
+pt AS (SELECT prev,
+         CAST(floor(ln(0.5 / (c1 + 0.5 * (s.v + 1))) * 1000000)
+              AS BIGINT) AS lp1
+       FROM c1, s),
+fl AS (SELECT CAST(floor(ln(1.0 / (v + 1)) * 1000000) AS BIGINT)
+         AS lp0 FROM s),
+w AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram, t[i] AS prev
+      FROM (SELECT doc_id, t,
+              unnest(generate_series(1, len(t)-1)) AS i
+            FROM d WHERE len(t) >= 2)),
+j AS (SELECT w.doc_id,
+        COALESCE(bt.lp2, pt.lp1, (SELECT lp0 FROM fl)) AS lp
+      FROM w LEFT JOIN bt USING (bigram)
+             LEFT JOIN pt ON w.prev = pt.prev),
+a AS (SELECT doc_id, count(*) AS n, sum(lp) AS slp FROM j
+      GROUP BY doc_id)
+SELECT doc_id, CAST(n AS INT) AS n_trans,
+       CAST(floor(-1.0 * slp / n) AS BIGINT) AS mean_nll_e6,
+       CAST(floor(-1.0 * slp / n) <= 3600000 AS INT) AS keep
 FROM a
 """
 

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "decontaminate_docs",
     "lm_quality",
+    "lm_quality_bigram",
     "pack_sequences",
     "sample_weighted",
     "split_docs",

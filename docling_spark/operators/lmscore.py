@@ -93,3 +93,91 @@ def lm_score(docs: DataFrame, ref: DataFrame, *,
             "keep", (F.col("mean_nll_e6") <= max_mean_nll_e6)
             .cast("int"))
     return out
+
+
+def bigram_lm_tables(ref: DataFrame, *, alpha: float = LM_ALPHA):
+    """Train the bigram reference model. Returns (bigram_table,
+    prefix_table, floor_lp):
+
+    * ``bigram_table`` (bigram, lp_e6): floor(ln p(cur|prev)·1e6) for
+      every observed bigram, p = (c2+α)/(c1+α·(V+1));
+    * ``prefix_table`` (token, lp_e6): the unseen-continuation
+      log-prob for each observed prefix, α/(c1+α·(V+1));
+    * ``floor_lp``: 1-row DataFrame with the wholly-unseen-prefix
+      log-prob ln(1/(V+1)).
+
+    c1 is derived FROM the bigram counts (occurrences as prefix), and
+    V is the distinct-prefix count — both reproducible identically in
+    SQL, which is what makes the quantized table engine-exact."""
+    t = tokens_col()
+    n = F.size(t)
+    bg = F.zip_with(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b))
+    bigrams = (ref.select(F.explode(bg).alias("bigram"))
+               .groupBy("bigram").agg(F.count("*").alias("c2")))
+    prefix = (bigrams
+              .withColumn("prev", F.split("bigram", " ")[0])
+              .groupBy("prev").agg(F.sum("c2").alias("c1")))
+    stats = prefix.agg(F.count("*").alias("v"))
+    denom = F.col("c1") + alpha * (F.col("v") + 1)
+    joined = (bigrams
+              .withColumn("prev", F.split("bigram", " ")[0])
+              .join(prefix, "prev")
+              .crossJoin(F.broadcast(stats)))
+    bigram_table = joined.select(
+        "bigram",
+        F.floor(F.log((F.col("c2") + alpha) / denom) * LM_SCALE)
+        .cast("long").alias("lp_e6"))
+    prefix_table = (prefix.crossJoin(F.broadcast(stats))
+                    .select(F.col("prev").alias("token"),
+                            F.floor(F.log(alpha / denom) * LM_SCALE)
+                            .cast("long").alias("lp_e6")))
+    floor_lp = stats.select(
+        F.floor(F.log(1.0 / (F.col("v") + 1)) * LM_SCALE)
+        .cast("long").alias("lp_e6"))
+    return bigram_table, prefix_table, floor_lp
+
+
+def lm_score_bigram(docs: DataFrame, ref: DataFrame, *,
+                    alpha: float = LM_ALPHA,
+                    max_mean_nll_e6: int = None,
+                    broadcast_vocab: bool = True) -> DataFrame:
+    """Bigram version of :func:`lm_score` — scores each document's
+    TRANSITIONS (positions 2..n) under p(cur|prev) with add-α
+    smoothing, two-level backoff (observed bigram → observed prefix →
+    wholly unseen), all three tiers integer-quantized so the document
+    sum stays order-independent. Returns (doc_id, n_trans,
+    mean_nll_e6[, keep]).
+
+    The bigram table is vocabulary², so the ``broadcast_vocab`` knob
+    matters sooner than in the unigram model — disable for large
+    reference slices and let the joins shuffle on key."""
+    bt, pt, fl = bigram_lm_tables(ref, alpha=alpha)
+    if broadcast_vocab:
+        bt, pt = F.broadcast(bt), F.broadcast(pt)
+    t = tokens_col()
+    n = F.size(t)
+    bg = F.zip_with(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b))
+    trans = docs.select("doc_id", F.explode(bg).alias("bigram"))
+    scored = (trans
+              .join(bt.withColumnRenamed("lp_e6", "_lp2"), "bigram",
+                    "left")
+              .withColumn("token", F.split("bigram", " ")[0])
+              .join(pt.withColumnRenamed("lp_e6", "_lp1"), "token",
+                    "left")
+              .crossJoin(F.broadcast(
+                  fl.withColumnRenamed("lp_e6", "_lp0")))
+              .select("doc_id",
+                      F.coalesce("_lp2", "_lp1", "_lp0").alias("lp")))
+    agg = (scored.groupBy("doc_id")
+           .agg(F.count("*").alias("_n"), F.sum("lp").alias("_slp")))
+    out = agg.select(
+        "doc_id", F.col("_n").cast("int").alias("n_trans"),
+        F.floor(-1.0 * F.col("_slp") / F.col("_n"))
+        .cast("long").alias("mean_nll_e6"))
+    if max_mean_nll_e6 is not None:
+        out = out.withColumn(
+            "keep", (F.col("mean_nll_e6") <= max_mean_nll_e6)
+            .cast("int"))
+    return out

@@ -527,3 +527,25 @@ def test_quantiles_sketch_accuracy_vs_exact(spark):
     for p in (50, 90, 99):
         assert abs(sk[("a", p)] - exact[("a", p)]) <= width + 0.01
         assert sk[("c", p)] == 7.0
+
+
+def test_lm_score_bigram_backoff_tiers(spark):
+    """Observed bigrams score strictly better than either backoff
+    tier. (The two backoff tiers do NOT order against each other in
+    general: a frequent prefix concentrates mass on its observed
+    continuations, pushing its unseen-continuation probability
+    α/(c1+α(V+1)) below the wholly-unseen uniform 1/(V+1).)"""
+    from docling_spark.operators.lmscore import lm_score_bigram
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(4)],
+        "doc_id long, text string")
+    docs = spark.createDataFrame([
+        (1, "the cat sat"),     # all observed transitions
+        (2, "the zzz cat"),     # seen prefixes, unseen continuations
+        (3, "qqq www eee"),     # wholly unseen prefixes
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lm_score_bigram(docs, ref).collect()}
+    assert out[1]["mean_nll_e6"] < out[2]["mean_nll_e6"]
+    assert out[1]["mean_nll_e6"] < out[3]["mean_nll_e6"]
+    assert out[1]["n_trans"] == 2
