@@ -1459,14 +1459,11 @@ def q_events_sliding(spark, sf_dir):
     expands window instances map-side (a projection, not a join), then
     ONE shuffle aggregates; the streaming twin is the same expression
     on readStream with a watermark."""
-    ev = _read(spark, sf_dir, "events")
-    w = F.window(F.col("ts").cast("timestamp"), "1 hour", "15 minutes")
-    return (ev.groupBy(w.alias("w"), "event_type")
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.floor(F.sum("value") * 100).cast("long")
-                 .alias("sum_value_e2"))
-            .select(F.col("w.start").alias("window_start"),
-                    "event_type", "n_events", "sum_value_e2"))
+    from docling_spark.streaming.stream import windowed_event_counts
+    ev = (_read(spark, sf_dir, "events")
+          .select(F.col("ts").cast("timestamp").alias("ts"),
+                  "event_type", "value"))
+    return windowed_event_counts(ev, slide="15 minutes")
 
 
 def q_events_json_props(spark, sf_dir):

@@ -41,13 +41,18 @@ def extract_stream(corpus: DataFrame) -> DataFrame:
 
 def windowed_event_counts(events: DataFrame,
                           window: str = "1 hour",
-                          watermark: str = "2 hours") -> DataFrame:
-    """Tumbling-window event rollup; on a streaming input the watermark
-    bounds state for late data, on a batch input it is a no-op."""
+                          watermark: str = "2 hours",
+                          slide: str = None) -> DataFrame:
+    """Tumbling (or, with ``slide``, SLIDING/hopping) window event
+    rollup; on a streaming input the watermark bounds state for late
+    data, on a batch input it is a no-op. Sliding state is
+    window/slide× larger per key — size the watermark accordingly."""
     if events.isStreaming:
         events = events.withWatermark("ts", watermark)
+    w = (F.window("ts", window, slide) if slide
+         else F.window("ts", window))
     return (events
-            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .groupBy(w.alias("w"), "event_type")
             .agg(F.count("*").alias("n_events"),
                  F.floor(F.sum("value") * 100).cast("long")
                   .alias("sum_value_e2"))

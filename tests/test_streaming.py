@@ -192,3 +192,37 @@ def test_cdc_stream_new_changed_silent(spark, tmp_path):
     reasons = sorted((r["doc_id"], r["reason"]) for r in rows)
     assert reasons == [(1, "new"), (2, "changed"), (2, "new"),
                        (3, "new"), (4, "new"), (5, "new"), (6, "new")]
+
+
+def test_sliding_window_streaming_vs_batch(spark, tmp_path):
+    """The sliding-window rollup (1h window / 15min slide) is the SAME
+    expression batch and streaming: a drained watermarked stream must
+    reproduce the batch result, with each event in 4 windows."""
+    import datetime
+
+    rows = [(i, datetime.datetime(2024, 1, 1, hour, minute), "view",
+             2.0)
+            for i, (hour, minute) in enumerate(
+                [(0, 5), (0, 40), (1, 10), (3, 59)])]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, "
+              "value double")
+    src = str(tmp_path / "sliding")
+    df.write.parquet(src)
+
+    batch = {(r["window_start"], r["event_type"]):
+             (r["n_events"], r["sum_value_e2"])
+             for r in windowed_event_counts(
+                 df, slide="15 minutes").collect()}
+    # every event lands in exactly 4 overlapping windows
+    assert sum(n for n, _ in batch.values()) == 4 * len(rows)
+
+    stream_df = spark.readStream.schema(df.schema).parquet(src)
+    q = (windowed_event_counts(stream_df, slide="15 minutes")
+         .writeStream.format("memory").queryName("slide_test")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["window_start"], r["event_type"]):
+           (r["n_events"], r["sum_value_e2"])
+           for r in spark.sql("SELECT * FROM slide_test").collect()}
+    assert got == batch
