@@ -408,11 +408,15 @@ def canonical_representatives(components: DataFrame, scores: DataFrame,
 
     Scale shape: one equijoin on id + ONE ``max_by`` aggregation keyed
     on component — algebraic (map-side partial), no per-component
-    window, no sort. The ordering struct (score, -id) is unique per
-    row, so the argmax is deterministic."""
+    window, no sort. The (score, lowest-id) ordering is packed into a
+    single long (score·2³³ − id) so the aggregate stays on the
+    HashAggregate path — a struct ordering key forces the
+    SortAggregate fallback (caught by tools/plan_report.py). Requires
+    score < 2³⁰ and id < 2³³; unique per row, so the argmax is
+    deterministic."""
     j = components.join(scores.select(id_col, score_col), id_col)
-    ordering = F.struct(F.col(score_col).alias("s"),
-                        (-F.col(id_col)).alias("nid"))
+    ordering = (F.shiftleft(F.col(score_col).cast("long"), 33)
+                - F.col(id_col))
     return (j.groupBy("component")
             .agg(F.max_by(F.col(id_col), ordering).alias("canonical_id"),
                  F.count("*").cast("int").alias("n_members"),
