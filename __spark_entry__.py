@@ -1495,6 +1495,29 @@ def _media_table(spark, sf_dir):
         F.unhex(hexstr).alias("bytes"))
 
 
+def q_media_asset_dedup(spark, sf_dir):
+    """Asset-level media dedup over an interleaved corpus: every 2nd
+    doc carries a media span whose ref collapses mod 37, so popular
+    assets repeat across docs — the asset table must count refs/docs
+    and pick the first carrier
+    (operators/multimodal.py:media_asset_table)."""
+    from docling_spark.operators.multimodal import media_asset_table
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    spans = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.array(
+            F.struct(F.lit("picture").alias("kind"),
+                     F.lit("").alias("text"),
+                     F.concat(F.lit("m://asset/"),
+                              (F.col("doc_id") % 37).cast("string"))
+                     .alias("media_ref"),
+                     F.lit(0).cast("int").alias("offset"))))
+        .otherwise(F.array().cast(
+            "array<struct<kind:string,text:string,media_ref:string,"
+            "offset:int>>")).alias("spans"))
+    return media_asset_table(spans)
+
+
 def q_media_decode_meta(spark, sf_dir):
     """Binary media plumbing: opaque bytes column → Arrow-batched
     header parse (width/height/mime) + content hash."""
@@ -1754,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source": q_cap_per_source,
         "events_quantiles_sketch": q_events_quantiles_sketch,
         "lm_quality_bigram": q_lm_quality_bigram,
+        "media_asset_dedup": q_media_asset_dedup,
         "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
@@ -3321,6 +3345,17 @@ k AS (SELECT c.event_type, p.p, c.bin, c.lo, c.hi,
 SELECT event_type, CAST(floor(p * 100) AS INT) AS p_pct,
        CAST(floor(est * 100) AS BIGINT) AS est_e2
 FROM k
+"""
+
+    oracles["media_asset_dedup"] = """
+WITH m AS (SELECT doc_id,
+                  'm://asset/' || CAST(doc_id % 37 AS VARCHAR)
+                    AS media_ref
+           FROM documents WHERE doc_id % 2 = 0)
+SELECT media_ref, COUNT(*) AS n_refs,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       MIN(doc_id) AS first_doc_id
+FROM m GROUP BY media_ref
 """
 
     oracles["events_kmv_distinct"] = """

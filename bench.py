@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "events_windowed",
     "events_sliding",
     "media_decode_meta",
+    "media_asset_dedup",
     "tpch_q1_pricing",
 ]
 

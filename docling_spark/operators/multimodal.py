@@ -257,3 +257,20 @@ def with_audio_meta(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
 def with_image_features(df: DataFrame,
                         bytes_col: str = "bytes") -> DataFrame:
     return df.withColumn("features", image_features_udf(F.col(bytes_col)))
+
+
+def media_asset_table(spans_df: DataFrame) -> DataFrame:
+    """Asset-level dedup over interleaved documents: explode media
+    spans and collapse by ``media_ref`` → (media_ref, n_refs, n_docs,
+    first_doc_id). The 100 TB point: popular assets (logos, shared
+    figures, re-hosted images) appear in thousands of documents — the
+    decode / feature-extract / embedding UDFs should run ONCE per
+    asset against this table and broadcast-join results back to span
+    level, not run per occurrence. One explode (narrow) + one groupBy
+    on media_ref; count_distinct is the standard two-phase expand."""
+    m = (spans_df.select("doc_id", F.explode("spans").alias("s"))
+         .filter(F.col("s.media_ref") != ""))
+    return (m.groupBy(F.col("s.media_ref").alias("media_ref"))
+            .agg(F.count("*").cast("long").alias("n_refs"),
+                 F.count_distinct("doc_id").alias("n_docs"),
+                 F.min("doc_id").alias("first_doc_id")))
