@@ -1277,6 +1277,30 @@ def q_events_quantiles_sketch(spark, sf_dir):
                             value_col="value")
 
 
+def q_bpe_merge_candidates(spark, sf_dir):
+    """Distributed BPE-style merge-candidate mining — the first step
+    of tokenizer training at corpus scale: count every adjacent token
+    pair (one zip_with projection + a map-side-combinable groupBy)
+    and take the global top-32 by frequency via the salted two-phase
+    top-k (a plain orderBy().limit() would range-shuffle the whole
+    pair-count table)."""
+    from docling_spark.operators.retrieval import distributed_topk
+    from docling_spark.operators.textstats import tokens_col
+
+    docs = _read(spark, sf_dir, "documents").select("text")
+    t = tokens_col()
+    n = F.size(t)
+    bg = F.zip_with(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b))
+    counts = (docs.select(F.explode(bg).alias("pair"))
+              .groupBy("pair").agg(F.count("*").alias("n"))
+              .withColumn("_g", F.lit(1)))
+    top = distributed_topk(counts, key="_g", order="n", tie="pair",
+                           k=32)
+    return top.select("pair", F.col("n").cast("long").alias("n"),
+                      F.col("rank").cast("int").alias("rank"))
+
+
 def q_lm_quality_bigram(spark, sf_dir):
     """Bigram LM quality gate (one step toward CCNet's KenLM 5-gram):
     transitions scored under p(cur|prev) with two-level backoff, every
@@ -1778,6 +1802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles_sketch": q_events_quantiles_sketch,
         "lm_quality_bigram": q_lm_quality_bigram,
         "media_asset_dedup": q_media_asset_dedup,
+        "bpe_merge_candidates": q_bpe_merge_candidates,
         "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
@@ -3245,6 +3270,19 @@ SELECT doc_id, CAST(n AS INT) AS n_tokens,
        CAST(floor(-1.0 * slp / n) AS BIGINT) AS mean_nll_e6,
        CAST(floor(-1.0 * slp / n) <= 3430000 AS INT) AS keep
 FROM a
+"""
+
+    oracles["bpe_merge_candidates"] = f"""
+WITH d AS (SELECT string_split({NORM_SQL}, ' ') AS t FROM documents),
+w AS (SELECT t[i] || ' ' || t[i+1] AS pair
+      FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS i
+            FROM d WHERE len(t) >= 2)),
+c AS (SELECT pair, COUNT(*) AS n FROM w GROUP BY pair),
+r AS (SELECT pair, n,
+        ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS rank
+      FROM c)
+SELECT pair, CAST(n AS BIGINT) AS n, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 32
 """
 
     oracles["lm_quality_bigram"] = f"""

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "split_docs",
     "cap_per_source",
     "token_histogram",
+    "bpe_merge_candidates",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
