@@ -1,7 +1,13 @@
 """Local replica of the driver's correctness gate: run every
 ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at
 sf0.01, compare row count, column names, and an order-insensitive
-value hash. Usage: python tools/check_oracles.py [sf_dir] [only_query]"""
+value hash.
+
+Usage: python tools/check_oracles.py [sf_dir] [only_query]
+Queries run ORACLE_JOBS at a time (default 4) — Spark's scheduler
+interleaves concurrent actions from multiple driver threads, and each
+thread gets its own DuckDB cursor; set ORACLE_JOBS=1 for the
+sequential behavior."""
 
 from __future__ import annotations
 
@@ -62,29 +68,26 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    failures = 0
-    for name, fn in qs.items():
-        if only and name != only:
-            continue
+
+    def check_one(name, fn):
+        lines = []
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
-            print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
-            failures += 1
-            continue
+            return 1, [f"FAIL {name}: spark error "
+                       f"{type(e).__name__}: {e}"]
         if name not in oracles:
-            print(f"rows-only {name}: {len(srows)} rows (no oracle)")
-            continue
+            return 0, [f"rows-only {name}: {len(srows)} rows (no oracle)"]
         try:
-            cur = con.execute(oracles[name])
+            cur = con.cursor()
+            cur.execute(oracles[name])
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
         except Exception as e:
-            print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
-            failures += 1
-            continue
+            return 1, [f"FAIL {name}: duckdb error "
+                       f"{type(e).__name__}: {e}"]
         problems = []
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
@@ -108,12 +111,25 @@ def main():
                         problems.append(f" oracle: {b[:200]}")
                         break
         if problems:
-            failures += 1
-            print(f"FAIL {name}: " + "; ".join(problems[:1]))
-            for p in problems[1:]:
-                print("   " + p)
-        else:
-            print(f"OK   {name}: {len(srows)} rows")
+            lines.append(f"FAIL {name}: " + "; ".join(problems[:1]))
+            lines.extend("   " + p for p in problems[1:])
+            return 1, lines
+        return 0, [f"OK   {name}: {len(srows)} rows"]
+
+    todo = [(n, f) for n, f in qs.items() if not only or n == only]
+    jobs = int(os.environ.get("ORACLE_JOBS", "4"))
+    failures = 0
+    if jobs <= 1:
+        for n, f in todo:
+            bad, lines = check_one(n, f)
+            failures += bad
+            print("\n".join(lines))
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=jobs) as ex:
+            for bad, lines in ex.map(lambda t: check_one(*t), todo):
+                failures += bad
+                print("\n".join(lines))
     spark.stop()
     sys.exit(1 if failures else 0)
 
