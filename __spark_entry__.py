@@ -1312,6 +1312,18 @@ def q_lm_quality_bigram(spark, sf_dir):
     return lm_score_bigram(docs, ref, max_mean_nll_e6=3_600_000)
 
 
+def q_events_gap_fill(spark, sf_dir):
+    """Gap-filled hourly series with LOCF + trailing-24h moving mean
+    (the TimescaleDB time_bucket_gapfill/locf family): the raw table
+    reduces to the (type, hour) grid first, so every window runs over
+    slot counts, not event counts; all window math is integer
+    (operators/timeseries.py)."""
+    from docling_spark.operators.timeseries import gap_filled_series
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts",
+                                               "value")
+    return gap_filled_series(ev, key_col="event_type")
+
+
 def q_events_rollup(spark, sf_dir):
     """Hypertable-style continuous-aggregate rollup: one pass produces
     the hour-level, day-level, and grand-total aggregates via
@@ -1803,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality_bigram": q_lm_quality_bigram,
         "media_asset_dedup": q_media_asset_dedup,
         "bpe_merge_candidates": q_bpe_merge_candidates,
+        "events_gap_fill": q_events_gap_fill,
         "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
@@ -3353,6 +3366,33 @@ SELECT tot.doc_id, COALESCE(reb.text, '') AS text,
        CAST(COALESCE(n_kept, 0) AS INT) AS n_kept,
        CAST(n - COALESCE(n_kept, 0) AS INT) AS n_removed
 FROM tot LEFT JOIN reb USING (doc_id)
+"""
+
+    oracles["events_gap_fill"] = """
+WITH a AS (SELECT event_type,
+             CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000)
+                  * 3600 AS BIGINT) AS slot_epoch,
+             COUNT(*) AS n, CAST(floor(SUM(value) * 100) AS BIGINT) AS s
+           FROM events GROUP BY 1, 2),
+b AS (SELECT MIN(slot_epoch) AS lo, MAX(slot_epoch) AS hi FROM a),
+k AS (SELECT DISTINCT event_type FROM a),
+g AS (SELECT k.event_type, CAST(u.slot AS BIGINT) AS slot_epoch
+      FROM k, b, unnest(generate_series(b.lo, b.hi, 3600)) AS u(slot)),
+j AS (SELECT g.event_type, g.slot_epoch, a.n, a.s
+      FROM g LEFT JOIN a USING (event_type, slot_epoch)),
+w AS (SELECT event_type, slot_epoch,
+        COALESCE(n, 0) AS n_events, s AS sum_value_e2,
+        last_value(s IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY slot_epoch
+          ROWS UNBOUNDED PRECEDING) AS locf_value_e2,
+        CAST(floor(SUM(COALESCE(s, 0)) OVER (
+          PARTITION BY event_type ORDER BY slot_epoch
+          ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) / 24.0)
+          AS BIGINT) AS ma_value_e2
+      FROM j)
+SELECT event_type, slot_epoch, CAST(n_events AS BIGINT) AS n_events,
+       sum_value_e2, locf_value_e2, ma_value_e2
+FROM w
 """
 
     oracles["events_quantiles_sketch"] = """

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "events_asof_join",
     "events_range_join",
     "events_rollup",
+    "events_gap_fill",
     "events_kmv_distinct",
     "events_quantiles",
     "events_quantiles_sketch",

@@ -1,0 +1,71 @@
+"""Time-series completion operators: gap fill, last-observation-
+carried-forward, trailing moving aggregates — the TimescaleDB
+`time_bucket_gapfill`/`locf`/moving-window family, batch-declarative.
+
+Scale shape: the raw event table is reduced FIRST by one
+map-side-combinable groupBy to (key, slot) granularity; every later
+step (grid synthesis, LOCF window, trailing frame) runs on the
+aggregated grid, whose size is keys × slots — bounded by the sketch of
+the data, not the data. The per-key windows therefore order at most
+`n_slots` rows regardless of event volume. Slots are integer epoch
+seconds end-to-end (no timestamp-zone round-trips — a cross-engine
+trap; render to timestamps at the edge if needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gap_filled_series(events: DataFrame, *, key_col: str,
+                      ts_col: str = "ts", value_col: str = "value",
+                      step_s: int = 3600,
+                      trailing_slots: int = 24) -> DataFrame:
+    """(key, ts, value) events → a DENSE per-key slot grid:
+
+    * ``slot_epoch`` — step-aligned epoch seconds, every slot between
+      the corpus-wide min and max present for every key (gap fill);
+    * ``n_events`` — events in the slot (0 for gaps);
+    * ``sum_value_e2`` — slot value sum ×100 (NULL for gaps);
+    * ``locf_value_e2`` — last non-empty slot's sum carried forward
+      (NULL until a key's first observation);
+    * ``ma_value_e2`` — trailing mean over ``trailing_slots`` slots
+      (gaps count as 0), floored — integer arithmetic over the
+      already-quantized slot sums, so the window math is
+      order-independent and engine-exact.
+    """
+    us_per_slot = step_s * 1_000_000
+    slot = (F.floor(F.unix_micros(F.col(ts_col).cast("timestamp"))
+                    / F.lit(us_per_slot)) * step_s).cast("long")
+    agg = (events
+           .select(F.col(key_col).alias("key"), slot.alias("slot_epoch"),
+                   F.col(value_col).alias("v"))
+           .groupBy("key", "slot_epoch")
+           .agg(F.count("*").alias("n_events"),
+                F.floor(F.sum("v") * 100).cast("long")
+                .alias("sum_value_e2")))
+
+    bounds = agg.agg(F.min("slot_epoch").alias("lo"),
+                     F.max("slot_epoch").alias("hi"))
+    keys = agg.select("key").distinct()
+    grid = (keys.crossJoin(F.broadcast(bounds))
+            .select("key",
+                    F.explode(F.sequence(
+                        F.col("lo"), F.col("hi"),
+                        F.lit(step_s).cast("long"))).alias("slot_epoch")))
+
+    j = grid.join(agg, ["key", "slot_epoch"], "left")
+    w = Window.partitionBy("key").orderBy("slot_epoch")
+    locf = F.last("sum_value_e2", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    trail = w.rowsBetween(-(trailing_slots - 1), Window.currentRow)
+    ma = F.floor(
+        F.sum(F.coalesce("sum_value_e2", F.lit(0))).over(trail)
+        / F.lit(trailing_slots)).cast("long")
+    return (j.select(
+        F.col("key").alias(key_col), "slot_epoch",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        "sum_value_e2",
+        locf.alias("locf_value_e2"),
+        ma.alias("ma_value_e2")))

@@ -549,3 +549,30 @@ def test_lm_score_bigram_backoff_tiers(spark):
     assert out[1]["mean_nll_e6"] < out[2]["mean_nll_e6"]
     assert out[1]["mean_nll_e6"] < out[3]["mean_nll_e6"]
     assert out[1]["n_trans"] == 2
+
+
+def test_gap_filled_series_semantics(spark):
+    import datetime
+    from docling_spark.operators.timeseries import gap_filled_series
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("a", base, 10.0),
+        ("a", base + datetime.timedelta(hours=3), 20.0),
+        ("b", base + datetime.timedelta(hours=1), 5.0),
+    ]
+    ev = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = {(r["k"], r["slot_epoch"]): r for r in
+           gap_filled_series(ev, key_col="k", trailing_slots=2).collect()}
+    slots = sorted(s for (k, s) in out if k == "a")
+    assert len(slots) == 4           # dense grid over global span
+    s0, s1, s2, s3 = slots
+    assert out[("a", s1)]["n_events"] == 0          # gap slot exists
+    assert out[("a", s1)]["sum_value_e2"] is None
+    assert out[("a", s1)]["locf_value_e2"] == 1000  # carried forward
+    assert out[("a", s3)]["locf_value_e2"] == 2000
+    # trailing-2 mean with gap-as-zero: slot3 = (0 + 2000)/2
+    assert out[("a", s3)]["ma_value_e2"] == 1000
+    # key b: slot before its first event has NULL locf
+    assert out[("b", s0)]["locf_value_e2"] is None
+    assert out[("b", s1)]["locf_value_e2"] == 500
