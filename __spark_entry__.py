@@ -765,6 +765,22 @@ def q_cap_per_source(spark, sf_dir):
     return cap_per_group(docs, group_col="source", n=20)
 
 
+def q_corpus_grep(spark, sf_dir):
+    """Distributed grep with positions: regexp_extract_all over the
+    normalized text + posexplode — (doc_id, match_idx, match) for
+    every s…an… word (scan/span/spark-ish). Pure Catalyst (the Java and
+    RE2 engines agree on this class-based pattern), narrow (no
+    shuffle): the 100 TB 'find every occurrence' primitive."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    matches = F.expr(
+        r"regexp_extract_all(lower(trim(regexp_replace(text,"
+        r" '\\s+', ' '))), 's[a-z]*an[a-z]*', 0)")
+    return (docs.select("doc_id", F.posexplode(matches)
+                        .alias("match_idx", "match"))
+            .select("doc_id", F.col("match_idx").cast("int")
+                    .alias("match_idx"), "match"))
+
+
 def q_doc_language_id(spark, sf_dir):
     return with_language_id(_docs(spark, sf_dir))
 
@@ -1816,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_asset_dedup": q_media_asset_dedup,
         "bpe_merge_candidates": q_bpe_merge_candidates,
         "events_gap_fill": q_events_gap_fill,
+        "corpus_grep": q_corpus_grep,
         "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
@@ -3237,6 +3254,17 @@ SELECT doc_id,
             WHEN ch IS NULL THEN 'deleted'
             WHEN ch <> ph THEN 'changed' END AS reason
 FROM j WHERE ph IS NULL OR ch IS NULL OR ch <> ph
+"""
+
+    oracles["corpus_grep"] = f"""
+WITH n AS (SELECT doc_id, {NORM_SQL} AS nt FROM documents),
+m AS (SELECT doc_id,
+             regexp_extract_all(nt, 's[a-z]*an[a-z]*', 0) AS ms
+      FROM n)
+SELECT doc_id, CAST(i - 1 AS INT) AS match_idx, ms[i] AS match
+FROM (SELECT doc_id, ms,
+        unnest(generate_series(1, len(ms))) AS i
+      FROM m)
 """
 
     oracles["cap_per_source"] = """

@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "format_sniff",
     "format_sniff_exact",
     "doc_token_stats",
+    "corpus_grep",
     "doc_quality",
     "doc_language_id",
     "doc_winnow_fingerprints",
