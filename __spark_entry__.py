@@ -1395,6 +1395,38 @@ def q_events_sessionize(spark, sf_dir):
                  F.count("*").alias("n_events")))
 
 
+def q_events_funnel(spark, sf_dir):
+    """Session-level funnel analysis on top of the sessionizer: per
+    (user, session), did a view happen, did a purchase happen, and did
+    the first view precede the first purchase (conversion). One
+    window pass for session ids + ONE groupBy with conditional-min
+    aggregates — the standard product-analytics funnel, no joins."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lag_us = F.unix_micros(F.lag(F.col("ts").cast("timestamp")).over(w))
+    is_new = (F.when(lag_us.isNull() | ((us - lag_us) > 1_800_000_000),
+                     1).otherwise(0))
+    sess = ev.select(
+        "user_id", "event_type", us.alias("us"),
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sess"))
+    agg = (sess.groupBy("user_id", "sess")
+           .agg(F.count("*").alias("n_events"),
+                F.min(F.when(F.col("event_type") == "view",
+                             F.col("us"))).alias("_v"),
+                F.min(F.when(F.col("event_type") == "purchase",
+                             F.col("us"))).alias("_p")))
+    return agg.select(
+        "user_id", F.col("sess").cast("long").alias("sess"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("_v").isNotNull().cast("int").alias("has_view"),
+        F.col("_p").isNotNull().cast("int").alias("has_purchase"),
+        (F.col("_v").isNotNull() & F.col("_p").isNotNull()
+         & (F.col("_v") <= F.col("_p"))).cast("int").alias("converted"))
+
+
 def q_format_sniff(spark, sf_dir):
     """Format routing probe (SURVEY §2.1 _guess_format): mixed-format
     payloads → detected format + sha256 identity, pure Catalyst."""
@@ -1833,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_candidates": q_bpe_merge_candidates,
         "events_gap_fill": q_events_gap_fill,
         "corpus_grep": q_corpus_grep,
+        "events_funnel": q_events_funnel,
         "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
@@ -3655,6 +3688,31 @@ ranked AS (SELECT query_id, nbr_id,
 SELECT query_id, nbr_id, CAST(rn AS INT) AS rnk,
        CAST(floor(score * 10000) AS BIGINT) AS score_e4
 FROM ranked WHERE rn <= 5
+"""
+
+    oracles["events_funnel"] = """
+WITH o AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, event_type, us,
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o),
+a AS (SELECT user_id, sess, COUNT(*) AS n_events,
+        MIN(CASE WHEN event_type = 'view' THEN us END) AS v,
+        MIN(CASE WHEN event_type = 'purchase' THEN us END) AS p
+      FROM s GROUP BY user_id, sess)
+SELECT user_id, CAST(sess AS BIGINT) AS sess,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(v IS NOT NULL AS INT) AS has_view,
+       CAST(p IS NOT NULL AS INT) AS has_purchase,
+       CAST(v IS NOT NULL AND p IS NOT NULL AND v <= p AS INT)
+         AS converted
+FROM a
 """
 
     oracles["events_sessionize"] = """

@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "span_diff",
     "changed_docs",
     "events_sessionize",
+    "events_funnel",
     "events_windowed",
     "events_sliding",
     "media_decode_meta",
