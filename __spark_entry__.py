@@ -1427,6 +1427,28 @@ def q_events_funnel(spark, sf_dir):
          & (F.col("_v") <= F.col("_p"))).cast("int").alias("converted"))
 
 
+def q_events_retention(spark, sf_dir):
+    """Cohort retention matrix: users cohorted by first-event day,
+    counted per (cohort_day, day_offset) of later activity — two
+    map-side-combinable aggregations plus one co-partitioned equijoin
+    on user_id (the cohort table is user-cardinality; at 100 TB both
+    sides bucket by user hash). The classic product-analytics
+    retention triangle."""
+    ev = (_read(spark, sf_dir, "events")
+          .select("user_id",
+                  F.date_trunc("day", F.col("ts").cast("timestamp"))
+                  .cast("date").alias("day")))
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = ev.distinct()
+    j = active.join(cohort, "user_id")
+    return (j.groupBy("cohort_day",
+                      F.datediff("day", "cohort_day").alias("day_offset"))
+            .agg(F.count_distinct("user_id").alias("n_users"))
+            .select("cohort_day",
+                    F.col("day_offset").cast("int").alias("day_offset"),
+                    F.col("n_users").cast("long").alias("n_users")))
+
+
 def q_format_sniff(spark, sf_dir):
     """Format routing probe (SURVEY §2.1 _guess_format): mixed-format
     payloads → detected format + sha256 identity, pure Catalyst."""
@@ -1866,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gap_fill": q_events_gap_fill,
         "corpus_grep": q_corpus_grep,
         "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
@@ -3688,6 +3711,20 @@ ranked AS (SELECT query_id, nbr_id,
 SELECT query_id, nbr_id, CAST(rn AS INT) AS rnk,
        CAST(floor(score * 10000) AS BIGINT) AS score_e4
 FROM ranked WHERE rn <= 5
+"""
+
+    oracles["events_retention"] = """
+WITH e AS (SELECT user_id,
+                  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                    AS day
+           FROM events),
+c AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, day FROM e)
+SELECT c.cohort_day,
+       CAST(date_diff('day', c.cohort_day, a.day) AS INT) AS day_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM a JOIN c USING (user_id)
+GROUP BY c.cohort_day, day_offset
 """
 
     oracles["events_funnel"] = """

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "changed_docs",
     "events_sessionize",
     "events_funnel",
+    "events_retention",
     "events_windowed",
     "events_sliding",
     "media_decode_meta",
