@@ -1340,6 +1340,19 @@ def q_events_gap_fill(spark, sf_dir):
     return gap_filled_series(ev, key_col="event_type")
 
 
+def q_events_anomaly(spark, sf_dir):
+    """Trailing-baseline anomaly flags over the gap-filled grid: a
+    slot is anomalous when it exceeds 2× the mean of the preceding 24
+    slots — the comparison is an integer cross-multiplication, so the
+    flags replay exactly (operators/timeseries.py:flag_anomalies)."""
+    from docling_spark.operators.timeseries import (flag_anomalies,
+                                                    gap_filled_series)
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts",
+                                               "value")
+    grid = gap_filled_series(ev, key_col="event_type")
+    return flag_anomalies(grid, key_col="event_type")
+
+
 def q_events_rollup(spark, sf_dir):
     """Hypertable-style continuous-aggregate rollup: one pass produces
     the hour-level, day-level, and grand-total aggregates via
@@ -1889,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_grep": q_corpus_grep,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "events_anomaly": q_events_anomaly,
         "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
@@ -3452,8 +3466,7 @@ SELECT tot.doc_id, COALESCE(reb.text, '') AS text,
 FROM tot LEFT JOIN reb USING (doc_id)
 """
 
-    oracles["events_gap_fill"] = """
-WITH a AS (SELECT event_type,
+    gapfill_cte = """a AS (SELECT event_type,
              CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000)
                   * 3600 AS BIGINT) AS slot_epoch,
              COUNT(*) AS n, CAST(floor(SUM(value) * 100) AS BIGINT) AS s
@@ -3463,7 +3476,10 @@ k AS (SELECT DISTINCT event_type FROM a),
 g AS (SELECT k.event_type, CAST(u.slot AS BIGINT) AS slot_epoch
       FROM k, b, unnest(generate_series(b.lo, b.hi, 3600)) AS u(slot)),
 j AS (SELECT g.event_type, g.slot_epoch, a.n, a.s
-      FROM g LEFT JOIN a USING (event_type, slot_epoch)),
+      FROM g LEFT JOIN a USING (event_type, slot_epoch))"""
+
+    oracles["events_gap_fill"] = f"""
+WITH {gapfill_cte},
 w AS (SELECT event_type, slot_epoch,
         COALESCE(n, 0) AS n_events, s AS sum_value_e2,
         last_value(s IGNORE NULLS) OVER (
@@ -3477,6 +3493,20 @@ w AS (SELECT event_type, slot_epoch,
 SELECT event_type, slot_epoch, CAST(n_events AS BIGINT) AS n_events,
        sum_value_e2, locf_value_e2, ma_value_e2
 FROM w
+"""
+
+    oracles["events_anomaly"] = f"""
+WITH {gapfill_cte}
+SELECT event_type, slot_epoch, s AS sum_value_e2,
+  CAST(floor(SUM(COALESCE(s, 0)) OVER wp
+             / GREATEST(COUNT(*) OVER wp, 1)) AS BIGINT)
+    AS baseline_e2,
+  CAST(COUNT(*) OVER wp > 0
+       AND COALESCE(s, 0) * 100 * (COUNT(*) OVER wp)
+           > 200 * SUM(COALESCE(s, 0)) OVER wp AS INT) AS anomaly
+FROM j
+WINDOW wp AS (PARTITION BY event_type ORDER BY slot_epoch
+              ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
 """
 
     oracles["events_quantiles_sketch"] = """

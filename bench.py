@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "events_range_join",
     "events_rollup",
     "events_gap_fill",
+    "events_anomaly",
     "events_kmv_distinct",
     "events_quantiles",
     "events_quantiles_sketch",

@@ -69,3 +69,32 @@ def gap_filled_series(events: DataFrame, *, key_col: str,
         "sum_value_e2",
         locf.alias("locf_value_e2"),
         ma.alias("ma_value_e2")))
+
+
+def flag_anomalies(grid: DataFrame, *, key_col: str,
+                   trailing_slots: int = 24,
+                   factor_e2: int = 200) -> DataFrame:
+    """Threshold anomaly detection over a :func:`gap_filled_series`
+    grid: flag a slot when its value exceeds ``factor_e2``/100 × the
+    trailing mean of the PRECEDING ``trailing_slots`` slots (current
+    slot excluded — a spike must not dampen its own baseline; gaps
+    count as 0). All comparisons are integer cross-multiplications of
+    the already-quantized slot sums, so the flags replay exactly in
+    any engine. Slots with no preceding history are never flagged.
+
+    Returns (key, slot_epoch, sum_value_e2, baseline_e2, anomaly).
+    """
+    w = (Window.partitionBy(key_col).orderBy("slot_epoch")
+         .rowsBetween(-trailing_slots, -1))
+    s = F.coalesce("sum_value_e2", F.lit(0))
+    trail_sum = F.sum(s).over(w)
+    trail_n = F.count(F.lit(1)).over(w)
+    baseline = F.floor(trail_sum / F.greatest(trail_n, F.lit(1))) \
+        .cast("long")
+    # s > (factor/100)·(trail_sum/trail_n)  ⇔  100·n·s > factor·sum
+    anomaly = ((trail_n > 0)
+               & (s * 100 * trail_n > F.lit(factor_e2) * trail_sum))
+    return grid.select(
+        key_col, "slot_epoch", "sum_value_e2",
+        baseline.alias("baseline_e2"),
+        anomaly.cast("int").alias("anomaly"))

@@ -576,3 +576,27 @@ def test_gap_filled_series_semantics(spark):
     # key b: slot before its first event has NULL locf
     assert out[("b", s0)]["locf_value_e2"] is None
     assert out[("b", s1)]["locf_value_e2"] == 500
+
+
+def test_flag_anomalies_spike_detection(spark):
+    import datetime
+    from docling_spark.operators.timeseries import (flag_anomalies,
+                                                    gap_filled_series)
+
+    base = datetime.datetime(2024, 1, 1)
+    # steady 10.0/hour for 10 hours, then a 100.0 spike
+    rows = [("a", base + datetime.timedelta(hours=h), 10.0)
+            for h in range(10)]
+    rows.append(("a", base + datetime.timedelta(hours=10), 100.0))
+    ev = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    grid = gap_filled_series(ev, key_col="k")
+    out = {r["slot_epoch"]: r for r in
+           flag_anomalies(grid, key_col="k").collect()}
+    slots = sorted(out)
+    # first slot has no history: never flagged
+    assert out[slots[0]]["anomaly"] == 0
+    # steady slots: not anomalous
+    assert all(out[s]["anomaly"] == 0 for s in slots[1:10])
+    # the spike (100 > 2x baseline of 10) is flagged
+    assert out[slots[10]]["anomaly"] == 1
+    assert out[slots[10]]["baseline_e2"] == 1000
