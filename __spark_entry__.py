@@ -1353,6 +1353,23 @@ def q_events_anomaly(spark, sf_dir):
     return flag_anomalies(grid, key_col="event_type")
 
 
+def q_events_interpolate(spark, sf_dir):
+    """Linear interpolation across grid gaps (TimescaleDB
+    interpolate()): empty slots blend the neighboring observed slots
+    by an integer rational, NULL outside the observed range. To make
+    gaps exist at sf0.01, only every 3rd slot's events survive the
+    deterministic slot filter (operators/timeseries.py)."""
+    from docling_spark.operators.timeseries import (gap_filled_series,
+                                                    interpolate_series)
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts",
+                                               "value")
+    slot = F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                   / F.lit(3_600_000_000))
+    sparse = ev.filter(slot % 3 == 0)
+    grid = gap_filled_series(sparse, key_col="event_type")
+    return interpolate_series(grid, key_col="event_type")
+
+
 def q_events_rollup(spark, sf_dir):
     """Hypertable-style continuous-aggregate rollup: one pass produces
     the hour-level, day-level, and grand-total aggregates via
@@ -1903,6 +1920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "events_anomaly": q_events_anomaly,
+        "events_interpolate": q_events_interpolate,
         "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
@@ -3507,6 +3525,41 @@ SELECT event_type, slot_epoch, s AS sum_value_e2,
 FROM j
 WINDOW wp AS (PARTITION BY event_type ORDER BY slot_epoch
               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+"""
+
+    oracles["events_interpolate"] = """
+WITH a AS (SELECT event_type,
+      CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000) * 3600
+           AS BIGINT) AS slot_epoch,
+      CAST(floor(SUM(value) * 100) AS BIGINT) AS s
+    FROM events
+    WHERE CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000)
+               AS BIGINT) % 3 = 0
+    GROUP BY 1, 2),
+b AS (SELECT MIN(slot_epoch) AS lo, MAX(slot_epoch) AS hi FROM a),
+k AS (SELECT DISTINCT event_type FROM a),
+g AS (SELECT k.event_type, CAST(u.slot AS BIGINT) AS slot_epoch
+      FROM k, b, unnest(generate_series(b.lo, b.hi, 3600)) AS u(slot)),
+j AS (SELECT g.event_type, g.slot_epoch, a.s
+      FROM g LEFT JOIN a USING (event_type, slot_epoch)),
+w AS (SELECT event_type, slot_epoch, s,
+        last_value(s IGNORE NULLS) OVER wp AS pv,
+        last_value(CASE WHEN s IS NOT NULL THEN slot_epoch END
+                   IGNORE NULLS) OVER wp AS pt,
+        first_value(s IGNORE NULLS) OVER wn AS nv,
+        first_value(CASE WHEN s IS NOT NULL THEN slot_epoch END
+                    IGNORE NULLS) OVER wn AS nt
+      FROM j
+      WINDOW wp AS (PARTITION BY event_type ORDER BY slot_epoch
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY event_type ORDER BY slot_epoch
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT event_type, slot_epoch, s AS sum_value_e2,
+  CASE WHEN s IS NOT NULL THEN s
+       WHEN pv IS NOT NULL AND nv IS NOT NULL
+       THEN CAST(floor(pv + (nv - pv) * (slot_epoch - pt) / (nt - pt))
+                 AS BIGINT) END AS interp_value_e2
+FROM w
 """
 
     oracles["events_quantiles_sketch"] = """

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "events_rollup",
     "events_gap_fill",
     "events_anomaly",
+    "events_interpolate",
     "events_kmv_distinct",
     "events_quantiles",
     "events_quantiles_sketch",

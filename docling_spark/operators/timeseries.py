@@ -98,3 +98,34 @@ def flag_anomalies(grid: DataFrame, *, key_col: str,
         key_col, "slot_epoch", "sum_value_e2",
         baseline.alias("baseline_e2"),
         anomaly.cast("int").alias("anomaly"))
+
+
+def interpolate_series(grid: DataFrame, *, key_col: str) -> DataFrame:
+    """Linear interpolation across gaps in a :func:`gap_filled_series`
+    grid — the TimescaleDB ``interpolate()`` companion to LOCF: an
+    empty slot between two observed slots takes the linear blend of
+    their values; slots before the first / after the last observation
+    stay NULL. The blend is computed as an integer rational
+    floor(prev + (next − prev)·(t − tp)/(tn − tp)) over the quantized
+    slot sums, so it replays exactly in any engine.
+
+    Two windows per key (previous/next observed slot), both over the
+    aggregated grid — slot counts, not event counts.
+    """
+    w = Window.partitionBy(key_col).orderBy("slot_epoch")
+    prev_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    next_w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_slot = F.when(F.col("sum_value_e2").isNotNull(),
+                      F.col("slot_epoch"))
+    pv = F.last("sum_value_e2", ignorenulls=True).over(prev_w)
+    pt = F.last(obs_slot, ignorenulls=True).over(prev_w)
+    nv = F.first("sum_value_e2", ignorenulls=True).over(next_w)
+    nt = F.first(obs_slot, ignorenulls=True).over(next_w)
+    interp = (F.when(F.col("sum_value_e2").isNotNull(),
+                     F.col("sum_value_e2"))
+              .when(pv.isNotNull() & nv.isNotNull(),
+                    F.floor(pv + (nv - pv)
+                            * (F.col("slot_epoch") - pt) / (nt - pt))
+                    .cast("long")))
+    return grid.select(key_col, "slot_epoch", "sum_value_e2",
+                       interp.alias("interp_value_e2"))

@@ -600,3 +600,20 @@ def test_flag_anomalies_spike_detection(spark):
     # the spike (100 > 2x baseline of 10) is flagged
     assert out[slots[10]]["anomaly"] == 1
     assert out[slots[10]]["baseline_e2"] == 1000
+
+
+def test_interpolate_series_linear_blend(spark):
+    import datetime
+    from docling_spark.operators.timeseries import (gap_filled_series,
+                                                    interpolate_series)
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [("a", base, 10.0),
+            ("a", base + datetime.timedelta(hours=3), 40.0)]
+    ev = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    grid = gap_filled_series(ev, key_col="k")
+    out = {r["slot_epoch"]: r["interp_value_e2"] for r in
+           interpolate_series(grid, key_col="k").collect()}
+    s = sorted(out)
+    # 1000 .. 4000 over 3 slots: linear 1000, 2000, 3000, 4000
+    assert [out[x] for x in s] == [1000, 2000, 3000, 4000]
