@@ -765,6 +765,25 @@ def q_cap_per_source(spark, sf_dir):
     return cap_per_group(docs, group_col="source", n=20)
 
 
+def q_c4_line_filter(spark, sf_dir):
+    """C4-style line filtering on a templated multi-line corpus: each
+    doc gets a punctuated sentence, an unpunctuated fragment, a 2-word
+    nav stub, and a punctuated question — the filter must keep exactly
+    the first and last (operators/curate.py:c4_line_filter)."""
+    from docling_spark.operators.curate import c4_line_filter
+    from docling_spark.operators.textstats import tokens_col
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    t = docs.select("doc_id", F.slice(tokens_col(), 1, 14).alias("w"))
+    nl = F.lit("\n")
+    text = F.concat(
+        F.concat_ws(" ", F.slice("w", 1, 5)), F.lit("."), nl,
+        F.concat_ws(" ", F.slice("w", 6, 3)), nl,
+        F.lit("click here"), nl,
+        F.concat_ws(" ", F.slice("w", 9, 6)), F.lit("?"))
+    return c4_line_filter(t.select("doc_id", text.alias("text")))
+
+
 def q_corpus_grep(spark, sf_dir):
     """Distributed grep with positions: regexp_extract_all over the
     normalized text + posexplode — (doc_id, match_idx, match) for
@@ -1921,6 +1940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "events_anomaly": q_events_anomaly,
         "events_interpolate": q_events_interpolate,
+        "c4_line_filter": q_c4_line_filter,
         "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
@@ -3342,6 +3362,28 @@ SELECT doc_id,
             WHEN ch IS NULL THEN 'deleted'
             WHEN ch <> ph THEN 'changed' END AS reason
 FROM j WHERE ph IS NULL OR ch IS NULL OR ch <> ph
+"""
+
+    oracles["c4_line_filter"] = f"""
+WITH t AS (SELECT doc_id,
+                  list_slice(string_split({NORM_SQL}, ' '), 1, 14) AS w
+           FROM documents),
+c AS (SELECT doc_id,
+        array_to_string(w[1:5], ' ') || '.' || chr(10) ||
+        array_to_string(w[6:8], ' ') || chr(10) ||
+        'click here' || chr(10) ||
+        array_to_string(w[9:14], ' ') || '?' AS text
+      FROM t),
+l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM c),
+k AS (SELECT doc_id, lines,
+        list_filter(lines, ln ->
+          len(string_split(trim(ln), ' ')) >= 3
+          AND regexp_matches(trim(ln), '[.!?"]$')) AS kept
+      FROM l)
+SELECT doc_id, array_to_string(kept, chr(10)) AS text,
+       CAST(len(kept) AS INT) AS n_kept,
+       CAST(len(lines) - len(kept) AS INT) AS n_dropped
+FROM k
 """
 
     oracles["corpus_grep"] = f"""

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "curate_corpus",
     "source_reputation",
     "dedup_boilerplate_lines",
+    "c4_line_filter",
     "dedup_components",
     "dedup_canonical",
     "embedding_dedup",

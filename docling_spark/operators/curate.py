@@ -194,3 +194,27 @@ def dedup_boilerplate_lines(docs: DataFrame, *, min_df: int = 2,
                 F.sum(kept_flag.cast("int")).cast("int").alias("n_kept"),
                 F.sum((~kept_flag).cast("int")).cast("int")
                  .alias("n_dropped")))
+
+
+def c4_line_filter(docs: DataFrame, *, min_words: int = 3) -> DataFrame:
+    """C4-style intra-document line filtering (Raffel et al. 2020,
+    §2.2): keep only lines that end in terminal punctuation
+    (``. ! ? "``) and have at least ``min_words`` words — the pass
+    that strips nav menus, button labels, and list fragments WITHIN a
+    page (complementing dedup_boilerplate_lines, which removes lines
+    repeated ACROSS pages).
+
+    Returns (doc_id, text, n_kept, n_dropped) with survivors re-joined
+    in order. Pure Catalyst array functions — a zero-shuffle
+    projection; the line predicate is a Java↔RE2-portable character
+    class so the oracle replays it exactly."""
+    lines = F.split(F.col("text"), "\n")
+    keep = lambda ln: (
+        (F.size(F.split(F.trim(ln), " ")) >= min_words)
+        & F.trim(ln).rlike('[.!?"]$'))
+    kept = F.filter(lines, keep)
+    return docs.select(
+        "doc_id",
+        F.array_join(kept, "\n").alias("text"),
+        F.size(kept).cast("int").alias("n_kept"),
+        (F.size(lines) - F.size(kept)).cast("int").alias("n_dropped"))

@@ -617,3 +617,19 @@ def test_interpolate_series_linear_blend(spark):
     s = sorted(out)
     # 1000 .. 4000 over 3 slots: linear 1000, 2000, 3000, 4000
     assert [out[x] for x in s] == [1000, 2000, 3000, 4000]
+
+
+def test_c4_line_filter_keeps_punctuated_prose(spark):
+    from docling_spark.operators.curate import c4_line_filter
+
+    text = ("The quick brown fox jumps.\n"
+            "no punctuation fragment\n"
+            "click here\n"
+            "Was that really enough words?\n"
+            'He said "stop".')
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = c4_line_filter(docs).collect()[0]
+    assert r["text"] == ("The quick brown fox jumps.\n"
+                         "Was that really enough words?\n"
+                         'He said "stop".')
+    assert r["n_kept"] == 3 and r["n_dropped"] == 2
