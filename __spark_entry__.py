@@ -765,6 +765,24 @@ def q_cap_per_source(spark, sf_dir):
     return cap_per_group(docs, group_col="source", n=20)
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality rule suite (Rae et al. 2021 Table A1 subset):
+    every threshold an integer cross-comparison. Stop-word tails are
+    templated on (doc_id %% 3) so the stop-word rule actually varies
+    on this corpus (whose organic vocabulary contains only 'the')
+    (operators/textstats.py:gopher_rules)."""
+    from docling_spark.operators.textstats import gopher_rules
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 3
+    corpus = docs.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.when(m == 0, F.lit(" of and that have"))
+                 .when(m == 2, F.lit(" to be"))
+                 .otherwise(F.lit(""))).alias("text"))
+    return gopher_rules(corpus)
+
+
 def q_c4_line_filter(spark, sf_dir):
     """C4-style line filtering on a templated multi-line corpus: each
     doc gets a punctuated sentence, an unpunctuated fragment, a 2-word
@@ -1941,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": q_events_anomaly,
         "events_interpolate": q_events_interpolate,
         "c4_line_filter": q_c4_line_filter,
+        "gopher_rules": q_gopher_rules,
         "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
@@ -3362,6 +3381,45 @@ SELECT doc_id,
             WHEN ch IS NULL THEN 'deleted'
             WHEN ch <> ph THEN 'changed' END AS reason
 FROM j WHERE ph IS NULL OR ch IS NULL OR ch <> ph
+"""
+
+    oracles["gopher_rules"] = f"""
+WITH c AS (SELECT doc_id,
+             text || CASE WHEN doc_id % 3 = 0 THEN ' of and that have'
+                          WHEN doc_id % 3 = 2 THEN ' to be'
+                          ELSE '' END AS text
+           FROM documents),
+s AS (SELECT doc_id, {NORM_SQL} AS nt,
+             string_split({NORM_SQL}, ' ') AS toks,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        x -> trim(x)),
+                         x -> x <> '') AS lines
+      FROM c),
+m AS (SELECT doc_id,
+        len(toks) AS n,
+        length(replace(nt, ' ', '')) AS tc,
+        len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+          AS n_alpha,
+        GREATEST(len(lines), 1) AS n_lines,
+        len(list_filter(lines, ln -> ln LIKE '- %' OR ln LIKE '* %'))
+          AS n_bullet,
+        len(list_filter(lines, ln -> ln LIKE '%...')) AS n_ellip,
+        len(list_intersect(list_distinct(toks),
+            ['the','be','to','of','and','that','have','with']))
+          AS n_stops
+      FROM s)
+SELECT doc_id, CAST(n AS INT) AS n_words,
+  CAST(n >= 50 AND n <= 100000 AS INT) AS r_words,
+  CAST(tc >= 3 * n AND tc <= 10 * n AS INT) AS r_meanlen,
+  CAST(5 * n_alpha >= 4 * n AS INT) AS r_alpha,
+  CAST(10 * n_bullet <= 9 * n_lines AS INT) AS r_bullets,
+  CAST(10 * n_ellip <= 3 * n_lines AS INT) AS r_ellipsis,
+  CAST(n_stops >= 2 AS INT) AS r_stops,
+  CAST(n >= 50 AND n <= 100000 AND tc >= 3 * n AND tc <= 10 * n
+       AND 5 * n_alpha >= 4 * n AND 10 * n_bullet <= 9 * n_lines
+       AND 10 * n_ellip <= 3 * n_lines AND n_stops >= 2 AS INT)
+    AS keep
+FROM m
 """
 
     oracles["c4_line_filter"] = f"""

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "doc_token_stats",
     "corpus_grep",
     "doc_quality",
+    "gopher_rules",
     "doc_language_id",
     "doc_winnow_fingerprints",
     "doc_repetition",

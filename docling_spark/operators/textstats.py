@@ -305,3 +305,57 @@ def with_fingerprint(docs: DataFrame) -> DataFrame:
     utils/utils.py:19-37 — md5 here because the dedup layers reuse it)."""
     return docs.select(
         "doc_id", F.md5(norm_text()).alias("fingerprint"))
+
+
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(docs: DataFrame, *, min_words: int = 50,
+                 max_words: int = 100_000) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, Table A1 — the
+    rule-based filter suite MassiveText popularized), deterministic
+    subset, every threshold an INTEGER cross-comparison so the gate
+    replays exactly in any engine:
+
+    * ``r_words``    — min_words ≤ word count ≤ max_words;
+    * ``r_meanlen``  — 3 ≤ mean word length ≤ 10
+      (as 3·n ≤ total_chars ≤ 10·n);
+    * ``r_alpha``    — ≥80% of words contain an alphabetic character
+      (as 5·n_alpha ≥ 4·n);
+    * ``r_bullets``  — ≤90% of lines start with a bullet;
+    * ``r_ellipsis`` — ≤30% of lines end with an ellipsis;
+    * ``r_stops``    — ≥2 distinct Gopher stop words present;
+    * ``keep``       — all of the above.
+
+    One staged projection (tokenize/split once), zero shuffles."""
+    staged = _staged(docs, with_lines=True)
+    toks = F.col("_toks")
+    lines = F.col("_lines")
+    n = F.size(toks)
+    total_chars = F.length(F.regexp_replace(F.col("_nt"), " ", ""))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    n_bullet = F.size(F.filter(
+        lines, lambda ln: ln.startswith("- ") | ln.startswith("* ")))
+    n_ellip = F.size(F.filter(lines, lambda ln: ln.endswith("...")))
+    n_stops = F.size(F.array_intersect(
+        F.array_distinct(toks),
+        F.array(*[F.lit(s) for s in GOPHER_STOPS])))
+
+    r_words = (n >= min_words) & (n <= max_words)
+    r_meanlen = (total_chars >= 3 * n) & (total_chars <= 10 * n)
+    r_alpha = 5 * n_alpha >= 4 * n
+    r_bullets = 10 * n_bullet <= 9 * n_lines
+    r_ellipsis = 10 * n_ellip <= 3 * n_lines
+    r_stops = n_stops >= 2
+    keep = (r_words & r_meanlen & r_alpha & r_bullets & r_ellipsis
+            & r_stops)
+    return staged.select(
+        "doc_id", n.cast("int").alias("n_words"),
+        r_words.cast("int").alias("r_words"),
+        r_meanlen.cast("int").alias("r_meanlen"),
+        r_alpha.cast("int").alias("r_alpha"),
+        r_bullets.cast("int").alias("r_bullets"),
+        r_ellipsis.cast("int").alias("r_ellipsis"),
+        r_stops.cast("int").alias("r_stops"),
+        keep.cast("int").alias("keep"))

@@ -633,3 +633,22 @@ def test_c4_line_filter_keeps_punctuated_prose(spark):
                          "Was that really enough words?\n"
                          'He said "stop".')
     assert r["n_kept"] == 3 and r["n_dropped"] == 2
+
+
+def test_gopher_rules_individual_gates(spark):
+    from docling_spark.operators.textstats import gopher_rules
+
+    prose = ("the quick brown fox and the lazy dog have fun with "
+             "that ball " * 5).strip()                 # 60 words, stops
+    docs = spark.createDataFrame([
+        (1, prose),
+        (2, "short doc with the stops and that"),       # < 50 words
+        (3, " ".join(["zzzzzzzzzzzzzzzz"] * 60)),       # mean len > 10
+        (4, " ".join(["12"] * 30 + ["the", "and"] + ["ok"] * 28)),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+    assert out[1]["keep"] == 1
+    assert out[2]["r_words"] == 0 and out[2]["keep"] == 0
+    assert out[3]["r_meanlen"] == 0 and out[3]["r_stops"] == 0
+    # doc 4: 30/60 words non-alphabetic -> alpha rule fails
+    assert out[4]["r_alpha"] == 0 and out[4]["r_words"] == 1
