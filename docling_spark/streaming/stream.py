@@ -245,3 +245,60 @@ def cdc_stream(docs: DataFrame, *, seq_col: str = "seq") -> DataFrame:
                 stateStructType=_CDC_STATE_DDL,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+_ANOM_OUT_DDL = ("key string, slot_epoch bigint, sum_value_e2 bigint, "
+                 "baseline_e2 bigint, anomaly int")
+_ANOM_STATE_DDL = "hist array<bigint>"
+
+
+def anomaly_stream(slots: DataFrame, *, trailing_slots: int = 24,
+                   factor_e2: int = 200) -> DataFrame:
+    """Streaming twin of operators/timeseries.flag_anomalies:
+    continuous trailing-baseline spike detection over a PRE-AGGREGATED
+    slot stream (key, slot_epoch, sum_value_e2) — state per key is the
+    last ``trailing_slots`` slot sums (an array of longs, bounded).
+    Slots are processed in slot order within each micro-batch, and the
+    same integer cross-multiplication as the batch operator decides
+    the flag, so a drained backlog reproduces the batch flags exactly
+    (parity-tested). Slots must arrive in order across batches (the
+    upstream watermarked window aggregation emits them that way)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = slots.select(F.col("key").cast("string").alias("key"),
+                         F.col("slot_epoch").cast("long"),
+                         F.col("sum_value_e2").cast("long"))
+
+    def fold(key, pdfs, state: GroupState):
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            return
+        df = pd.concat(frames).sort_values("slot_epoch")
+        hist = list(state.get[0]) if state.exists else []
+        out = {"key": [], "slot_epoch": [], "sum_value_e2": [],
+               "baseline_e2": [], "anomaly": []}
+        for slot, s in zip(df["slot_epoch"], df["sum_value_e2"]):
+            s = int(s)
+            window = hist[-trailing_slots:]
+            n = len(window)
+            tsum = sum(window)
+            baseline = tsum // n if n else None
+            anomaly = int(n > 0 and s * 100 * n > factor_e2 * tsum)
+            out["key"].append(key[0])
+            out["slot_epoch"].append(int(slot))
+            out["sum_value_e2"].append(s)
+            out["baseline_e2"].append(baseline)
+            out["anomaly"].append(anomaly)
+            hist.append(s)
+            hist = hist[-trailing_slots:]
+        state.update((hist,))
+        yield pd.DataFrame(out)
+
+    return (keyed.groupBy("key")
+            .applyInPandasWithState(
+                fold,
+                outputStructType=_ANOM_OUT_DDL,
+                stateStructType=_ANOM_STATE_DDL,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -226,3 +226,37 @@ def test_sliding_window_streaming_vs_batch(spark, tmp_path):
            (r["n_events"], r["sum_value_e2"])
            for r in spark.sql("SELECT * FROM slide_test").collect()}
     assert got == batch
+
+
+def test_anomaly_stream_matches_batch_flags(spark, tmp_path):
+    """Continuous anomaly detection: a drained two-batch slot stream
+    must reproduce the batch flag_anomalies output exactly, with the
+    trailing baseline carried across the micro-batch boundary."""
+    from docling_spark.operators.timeseries import flag_anomalies
+    from docling_spark.streaming.stream import anomaly_stream
+
+    slots = [("a", 1000 + 3600 * i, 1000) for i in range(6)]
+    slots.append(("a", 1000 + 3600 * 6, 9000))     # spike, batch 2
+    slots.append(("a", 1000 + 3600 * 7, 1000))
+    src = str(tmp_path / "slots")
+    ddl = "key string, slot_epoch long, sum_value_e2 long"
+    spark.createDataFrame(slots[:5], ddl).coalesce(1).write.parquet(src)
+    spark.createDataFrame(slots[5:], ddl).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    batch_grid = spark.createDataFrame(slots, ddl)
+    batch = {r["slot_epoch"]: (r["baseline_e2"], r["anomaly"]) for r in
+             flag_anomalies(batch_grid, key_col="key",
+                            trailing_slots=4).collect()}
+
+    stream = (spark.readStream.schema(ddl)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (anomaly_stream(stream, trailing_slots=4)
+         .writeStream.format("memory").queryName("anom_out")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["slot_epoch"]: (r["baseline_e2"], r["anomaly"]) for r in
+           spark.sql("select * from anom_out").collect()}
+    assert got == batch
+    # and the spike was actually flagged
+    assert got[1000 + 3600 * 6][1] == 1
