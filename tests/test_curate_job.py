@@ -17,16 +17,20 @@ def test_curate_job_end_to_end_and_resume(spark, tmp_path, capsys):
             "--output", out_root,
             "--partitions", "4",
             "--lang", "en",
+            "--source-gate",
             "--lm-gate-nll-e6", "4000000",
+            "--strip-boilerplate",
             "--strip-substrings", "8",
             "--split",
             "--pack", "64"]
     assert main(argv, _spark=spark) == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["status"] == "committed"
+    assert "source_reputation" in summary["side_outputs"]
     st = summary["stages"]
     assert st["input"] == 500
-    assert 0 < st["after_curate"] <= st["after_lm_gate"] <= st["input"]
+    assert (0 < st["after_curate"] <= st["after_lm_gate"]
+            <= st["after_source_gate"] <= st["input"])
     assert st["output"] == st["after_curate"]
     assert "packing" in summary["side_outputs"]
 
