@@ -344,6 +344,35 @@ def q_extract_pdf_paged(spark, sf_dir):
                                        "text")
 
 
+def q_extract_pdf_page_limit(spark, sf_dir):
+    """DocumentLimits.max_num_pages on the paged path (reference
+    datamodel/document.py:159): docs whose doc_id % 4 == 0 get a third
+    synthetic page, the gate is max_num_pages=2, so exactly those docs
+    emit a FAILURE row with a limits error and zero spans — computed
+    as a pure-Catalyst size() predicate, their pages never reach the
+    page UDF."""
+    from docling_spark.operators.extract import extract_spans_paged
+    from docling_spark.sources.corpus import corpus_pdf_pages
+    corpus = corpus_pdf_pages(spark, sf_dir)
+    third = F.transform(
+        F.slice(F.col("spans"), 1, 1),
+        lambda s: F.struct(
+            s["kind"].alias("kind"), s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            F.lit(2).cast("int").alias("offset")))
+    corpus = corpus.select(
+        "doc_id",
+        F.when(F.col("doc_id").cast("long") % 4 == 0,
+               F.concat(F.col("spans"), third))
+        .otherwise(F.col("spans")).alias("spans"))
+    out = extract_spans_paged(corpus, num_partitions=_par(spark),
+                              max_num_pages=2)
+    return out.select(
+        "doc_id", "status", "n_spans",
+        F.coalesce(F.get("errors", 0)["module"],
+                   F.lit("")).alias("err_module"))
+
+
 def q_extract_image_docs(spark, sf_dir):
     """Image auto-wrap route (reference pdf_backend.py:55-65: images
     become 1-page PDF docs): pure-image documents flow through
@@ -1888,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pptx_spans": q_extract_pptx_spans,
         "extract_status_counts": q_extract_status_counts,
         "extract_pdf_paged": q_extract_pdf_paged,
+        "extract_pdf_page_limit": q_extract_pdf_page_limit,
         "extract_mixed_routed": q_extract_mixed_routed,
         "pdf_page_cells": q_pdf_page_cells,
         "extract_image_docs": q_extract_image_docs,
@@ -2451,6 +2481,23 @@ UNION ALL
 SELECT doc_id, CAST(CASE WHEN h > 1 THEN 2 ELSE 1 END AS INT), 'text',
        array_to_string(toks[h+1:len(toks)], ' ')
 FROM p WHERE len(toks) > h
+"""
+
+    oracles["extract_pdf_page_limit"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+p AS (SELECT doc_id, CAST(ceil(len(toks) / 2.0) AS INT) AS h,
+             len(toks) AS n
+      FROM t)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CASE WHEN doc_id % 4 = 0 THEN 'failure' ELSE 'success' END
+           AS status,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 0
+            ELSE 1 + CASE WHEN h > 1 THEN 1 ELSE 0 END
+                   + CASE WHEN n > h THEN 1 ELSE 0 END END AS INT)
+           AS n_spans,
+       CASE WHEN doc_id % 4 = 0 THEN 'limits' ELSE '' END AS err_module
+FROM p
 """
 
     oracles["extract_mixed_routed"] = """

@@ -215,7 +215,8 @@ def minhash_dedup(docs: DataFrame, *, n: int = 3, num_hashes: int = 16,
 
 
 def dedup_components(pairs: DataFrame, *,
-                     max_iterations: int = 20) -> DataFrame:
+                     max_iterations: int = 20,
+                     checkpoint_interval: int = 4) -> DataFrame:
     """Connected components over a near-duplicate pair list:
     (doc_a, doc_b) edges → (doc_id, component) with component = the
     minimum doc_id in each duplicate cluster. This is the clique
@@ -232,7 +233,12 @@ def dedup_components(pairs: DataFrame, *,
     same per-round plan shape, O(log^2 n) rounds.
 
     Labels persist per round and the previous round unpersists, so
-    lineage stays one round deep (no exponential recompute)."""
+    EXECUTION stays one round deep (no exponential recompute); every
+    ``checkpoint_interval`` rounds the labels additionally
+    ``localCheckpoint`` so the LOGICAL plan is truncated too —
+    without it the analyzer/optimizer walk an O(rounds) join tower
+    each round and the serialized task binaries grow with it, which
+    on a deep-diameter graph dominates the actual shuffle work."""
     # materialize the symmetric edge list ONCE: every propagation round
     # joins against it, and without the persist each round would re-run
     # the whole upstream candidate-generation pipeline. Symmetrize with
@@ -250,7 +256,7 @@ def dedup_components(pairs: DataFrame, *,
               .withColumn("component", F.col("doc_id"))
               .persist())
     labels.count()
-    for _ in range(max_iterations):
+    for rnd in range(max_iterations):
         # one round = one join + one min-agg + one left join; the
         # convergence signal rides the same action that materializes
         # the new labels (no separate changed-count pass)
@@ -265,8 +271,13 @@ def dedup_components(pairs: DataFrame, *,
                            F.coalesce(F.col("nbr_min"), F.col("component")))
                    .alias("component"),
                    (F.coalesce(F.col("nbr_min"), F.col("component"))
-                    < F.col("component")).cast("int").alias("chg"))
-               .persist())
+                    < F.col("component")).cast("int").alias("chg")))
+        if checkpoint_interval and (rnd + 1) % checkpoint_interval == 0:
+            # truncate lineage: the checkpointed frame's plan is a
+            # flat ExistingRDD scan, not a rnd-deep join tower
+            new = new.localCheckpoint(eager=True)
+        else:
+            new = new.persist()
         changed = new.agg(F.sum("chg")).collect()[0][0] or 0
         labels.unpersist()
         labels = new.select("doc_id", "component")

@@ -298,6 +298,7 @@ def extract_spans_paged(
     *,
     num_partitions: Optional[int] = None,
     page_range: Optional[tuple] = None,
+    max_num_pages: Optional[int] = None,
 ) -> DataFrame:
     """(doc_id, spans[kind=pdf_page]) → full output shape (doc_id,
     spans, status, errors, n_spans, wall_us) via page-level parallelism.
@@ -306,7 +307,37 @@ def extract_spans_paged(
     page_assemble_model.py:83-155) survive into the doc-level span
     sequence. Page furniture (headers/footers) is suppressed from the
     body span sequence, mirroring the reference's furniture layer
-    (readingorder_model.py:332-334)."""
+    (readingorder_model.py:332-334).
+
+    ``max_num_pages`` is the reference's third pre-parse limit
+    (DocumentLimits.max_num_pages, datamodel/settings.py:22-25,
+    enforced at datamodel/document.py:159 — page_count over the limit
+    marks the document invalid, which converts to FAILURE status): a
+    pure-Catalyst page count on the span array, so over-limit
+    documents emit a FAILURE row with a limits error and none of
+    their pages is ever deserialized into the page UDF."""
+    limit_fail = None
+    if max_num_pages is not None:
+        n_pages = F.size(F.filter(
+            F.col("spans"), lambda s: s["kind"] == "pdf_page"))
+        over = n_pages > max_num_pages
+        limit_fail = df.filter(over).select(
+            "doc_id",
+            F.array().cast(
+                "array<struct<kind:string,text:string,"
+                "media_ref:string,offset:int>>").alias("spans"),
+            F.lit(STATUS_FAILURE).alias("status"),
+            F.array(F.struct(
+                F.lit("extract").alias("component"),
+                F.lit("limits").alias("module"),
+                F.concat(
+                    F.lit("max_num_pages: page count "),
+                    n_pages.cast("string"),
+                    F.lit(f" > {max_num_pages}")).alias("message"),
+            )).alias("errors"),
+            F.lit(0).cast("int").alias("n_spans"),
+            F.lit(0).cast("long").alias("wall_us"))
+        df = df.filter(~over)
     pages = _page_rows(df, page_range, num_partitions)
     parsed = pages.mapInPandas(_page_batches, schema=PAGE_OUT_DDL)
     assembled = (parsed.groupBy("doc_id").agg(
@@ -338,7 +369,7 @@ def extract_spans_paged(
             F.lit("pdf_page").alias("module"),
             F.concat(F.lit("page "), p["page_offset"].cast("string"),
                      F.lit(": "), p["error"]).alias("message")))
-    return assembled.select(
+    out = assembled.select(
         "doc_id", final_spans.alias("spans"),
         F.when(all_err, F.lit(STATUS_FAILURE))
          .when(n_err > 0, F.lit(STATUS_PARTIAL))
@@ -346,6 +377,9 @@ def extract_spans_paged(
         errors.alias("errors"),
         F.size(final_spans).alias("n_spans"),
         F.col("wall_us").cast("long").alias("wall_us"))
+    if limit_fail is not None:
+        out = out.unionByName(limit_fail)
+    return out
 
 
 def page_dump(

@@ -278,3 +278,49 @@ def test_paged_status_contract(spark):
     assert rows["all_good"]["errors"] == []
     for r in rows.values():
         assert r["wall_us"] > 0
+
+
+def test_max_num_pages_gate(spark):
+    """DocumentLimits.max_num_pages parity (reference
+    datamodel/document.py:159, settings.py:22-25): a document whose
+    page count exceeds the limit emits ONE FAILURE row with a limits
+    error and spans == [] — and its pages are excluded from the page
+    UDF by a pure-Catalyst predicate, so a payload that would crash
+    the parser never runs."""
+    from docling_spark.operators.extract import extract_spans_paged
+    from docling_spark.schema import INPUT_SCHEMA
+
+    good = json.dumps({
+        "page_no": 0, "width": 612.0, "height": 792.0,
+        "cells": [{"index": 0, "text": "ok words", "l": 50, "t": 100,
+                   "r": 400, "b": 110}]})
+    # over-limit doc carries a poison page: if the gate ever leaked it
+    # into the UDF the doc would come back PARTIAL, not FAILURE-by-limits
+    poison = "{not json"
+    df = spark.createDataFrame(
+        [("small", [("pdf_page", good, "", 0)]),
+         ("big", [("pdf_page", good, "", 0), ("pdf_page", good, "", 1),
+                  ("pdf_page", poison, "", 2)])],
+        schema=INPUT_SCHEMA)
+    rows = {r["doc_id"]: r
+            for r in extract_spans_paged(df, max_num_pages=2).collect()}
+
+    assert rows["small"]["status"] == "success"
+    assert [s["text"] for s in rows["small"]["spans"]] == ["ok words"]
+
+    big = rows["big"]
+    assert big["status"] == "failure"
+    assert big["spans"] == []
+    assert big["n_spans"] == 0
+    assert len(big["errors"]) == 1
+    assert big["errors"][0]["module"] == "limits"
+    assert "max_num_pages" in big["errors"][0]["message"]
+    assert "3 > 2" in big["errors"][0]["message"]
+
+    # the gate predicate is Catalyst-side: the failure branch contains
+    # no Python stage at all
+    out = extract_spans_paged(df, max_num_pages=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan
+    failed = {r["doc_id"]: r for r in out.collect()}
+    assert all(r["status"] == "failure" for r in failed.values())

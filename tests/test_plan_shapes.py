@@ -344,6 +344,46 @@ def test_semdedup_is_grouped_matmul_not_pair_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FlatMapGroupsInPandas" in plan
     assert "ArrowEvalPython" in plan  # the k-means assign
-    # no join after the cluster assignment's: the scoring stage itself
-    # is join-free (one hash join total, embedding ⋈ assignment)
-    assert plan.count("HashJoin") <= 2
+    # r3: the fit_assign frame carries the embedding, so there is no
+    # vec_id glue join at all — semdedup is scan → assign → grouped
+    # matmul, fully join-free
+    assert "Join" not in plan
+
+
+def test_kmeans_iter_loop_caches_source(spark):
+    """The Lloyd loop persists the projected input before the first
+    UPDATE action, so every subsequent iteration (and the final assign
+    pass) reads the cache, not the source — the plan of the returned
+    frame scans InMemoryTableScan, proving iterations don't re-run
+    upstream lineage (one corpus scan total, not one per iteration)."""
+    from docling_spark.operators.clustering import kmeans_fit_assign
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding")
+    out = kmeans_fit_assign(emb, k=4, iters=3)
+    plan = _plan(out)
+    # the scan node is InMemoryTableScan (the FileScan that also
+    # prints belongs to the InMemoryRelation's cached-plan definition,
+    # not a second live read)
+    assert "InMemoryTableScan" in plan
+    assert out.columns == ["vec_id", "embedding", "cluster"]
+
+
+def test_dedup_components_truncates_lineage(spark):
+    """Label propagation localCheckpoints every checkpoint_interval
+    rounds: on a long-chain graph (diameter ≫ interval) the returned
+    labels' plan is a flat scan of the checkpointed RDD — NOT an
+    O(rounds) join tower — so analysis time and task binaries stay
+    bounded however deep the graph is."""
+    from docling_spark.operators.dedup import dedup_components
+    # path graph 0-1-2-...-11: diameter 11, needs ~11 rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_a long, doc_b long")
+    labels = dedup_components(pairs, checkpoint_interval=2)
+    got = {r["doc_id"]: r["component"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(12)}  # one component, min id 0
+    plan = _plan(labels)
+    # converged round count (11) ≫ interval (2): the last checkpoint is
+    # at most 2 rounds back, so the plan holds ≤2 rounds of joins, not 11
+    assert plan.count("Join") <= 4
+    assert "ExistingRDD" in plan
