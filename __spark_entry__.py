@@ -344,6 +344,37 @@ def q_extract_pdf_paged(spark, sf_dir):
                                        "text")
 
 
+def q_pdf_real_cells(spark, sf_dir):
+    """verify_cells on the REAL corpus (reference tests/verify_utils.py:
+    59-88): the 9 groundtruth ``*.pages.json`` cell dumps ride through
+    the Spark paged path (explode → mapInPandas ingest) and must come
+    back with the exact per-page cell count, cell text, and cell bbox
+    of the stored pages — the oracle unnests the same files directly,
+    so a hash match IS the reference's cells-level regression gate.
+    merge=False because these fixtures are docling-parse-backend pages
+    (line-level cells, no sub-word fragments to merge). sf_dir is
+    unused: the corpus is the fixed real-fixture set."""
+    from docling_spark.operators.extract import page_cells
+    from docling_spark.sources.realpdf import corpus_real_pdf_pages
+    corpus = corpus_real_pdf_pages(spark)
+    return page_cells(corpus, num_partitions=_par(spark), merge=False)
+
+
+def q_pdf_real_assembled(spark, sf_dir):
+    """Page assembly on the REAL corpus: stored layout predictions +
+    backend cells from the 9 groundtruth ``*.pages.json`` dumps run
+    the full postprocessing pipeline (layout_post.py — confidence
+    gates, cell assignment, overlap resolution, ordering) and the
+    assembler's text rule (page_assemble_model.py:78-155); the oracle
+    unnests each fixture's OWN ``assembled.elements`` groundtruth, so
+    a hash match is span-sequence equality (label, text, order) per
+    page against docling's real conversion output."""
+    from docling_spark.operators.extract import page_elements
+    from docling_spark.sources.realpdf import corpus_real_pdf_pages
+    corpus = corpus_real_pdf_pages(spark)
+    return page_elements(corpus, num_partitions=_par(spark))
+
+
 def q_extract_pdf_page_limit(spark, sf_dir):
     """DocumentLimits.max_num_pages on the paged path (reference
     datamodel/document.py:159): docs whose doc_id % 4 == 0 get a third
@@ -1902,6 +1933,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "extract_pdf_page_limit": q_extract_pdf_page_limit,
+        "pdf_real_cells": q_pdf_real_cells,
+        "pdf_real_assembled": q_pdf_real_assembled,
+        "knn_cosine_int8": q_knn_cosine_int8,
+        "knn_cosine_pq": q_knn_cosine_pq,
+        "bm25_topk": q_bm25_topk,
+        "kmeans_clusters": q_kmeans_clusters,
+        "doc_embed_hash": q_doc_embed_hash,
+        "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
+        "events_rollup": q_events_rollup,
+        "events_kmv_distinct": q_events_kmv_distinct,
+        "events_quantiles": q_events_quantiles,
+        "events_pivot": q_events_pivot,
+        "top_terms": q_top_terms,
+        "span_diff": q_span_diff,
+        "changed_docs": q_changed_docs,
+        "dedup_substrings": q_dedup_substrings,
+        "semdedup": q_semdedup,
+        "lm_quality": q_lm_quality,
+        "split_docs": q_split_docs,
+        "events_sliding": q_events_sliding,
+        "dedup_canonical": q_dedup_canonical,
+        "cap_per_source": q_cap_per_source,
+        "events_quantiles_sketch": q_events_quantiles_sketch,
+        "lm_quality_bigram": q_lm_quality_bigram,
+        "media_asset_dedup": q_media_asset_dedup,
+        "bpe_merge_candidates": q_bpe_merge_candidates,
+        "events_gap_fill": q_events_gap_fill,
+        "corpus_grep": q_corpus_grep,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "events_anomaly": q_events_anomaly,
+        "events_interpolate": q_events_interpolate,
+        "c4_line_filter": q_c4_line_filter,
+        "gopher_rules": q_gopher_rules,
+        "knn_classify": q_knn_classify,
+        "format_sniff_exact": q_format_sniff_exact,
+        "media_audio_meta": q_media_audio_meta,
         "extract_html_spans": q_extract_html_spans,
         "extract_media_manifest": q_extract_media_manifest,
         "extract_uspto_spans": q_extract_uspto_spans,
@@ -1917,7 +1987,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pptx_spans": q_extract_pptx_spans,
         "extract_status_counts": q_extract_status_counts,
         "extract_pdf_paged": q_extract_pdf_paged,
-        "extract_pdf_page_limit": q_extract_pdf_page_limit,
         "extract_mixed_routed": q_extract_mixed_routed,
         "pdf_page_cells": q_pdf_page_cells,
         "extract_image_docs": q_extract_image_docs,
@@ -1955,51 +2024,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "knn_cosine_bruteforce": q_knn_cosine_bruteforce,
-        "knn_cosine_int8": q_knn_cosine_int8,
         "knn_cosine_lsh": q_knn_cosine_lsh,
         "knn_cosine_ivf": q_knn_cosine_ivf,
-        "knn_cosine_pq": q_knn_cosine_pq,
-        "bm25_topk": q_bm25_topk,
-        "kmeans_clusters": q_kmeans_clusters,
-        "doc_embed_hash": q_doc_embed_hash,
-        "events_asof_join": q_events_asof_join,
-        "events_range_join": q_events_range_join,
-        "events_rollup": q_events_rollup,
-        "events_kmv_distinct": q_events_kmv_distinct,
-        "events_quantiles": q_events_quantiles,
-        "events_pivot": q_events_pivot,
-        "top_terms": q_top_terms,
-        "span_diff": q_span_diff,
-        "changed_docs": q_changed_docs,
-        "dedup_substrings": q_dedup_substrings,
-        "semdedup": q_semdedup,
-        "lm_quality": q_lm_quality,
-        "split_docs": q_split_docs,
-        "events_sliding": q_events_sliding,
-        "dedup_canonical": q_dedup_canonical,
-        "cap_per_source": q_cap_per_source,
-        "events_quantiles_sketch": q_events_quantiles_sketch,
-        "lm_quality_bigram": q_lm_quality_bigram,
-        "media_asset_dedup": q_media_asset_dedup,
-        "bpe_merge_candidates": q_bpe_merge_candidates,
-        "events_gap_fill": q_events_gap_fill,
-        "corpus_grep": q_corpus_grep,
-        "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
-        "events_anomaly": q_events_anomaly,
-        "events_interpolate": q_events_interpolate,
-        "c4_line_filter": q_c4_line_filter,
-        "gopher_rules": q_gopher_rules,
-        "knn_classify": q_knn_classify,
         "events_sessionize": q_events_sessionize,
         "format_sniff": q_format_sniff,
-        "format_sniff_exact": q_format_sniff_exact,
         "embedding_dedup": q_embedding_dedup,
         "events_windowed": q_events_windowed,
         "events_json_props": q_events_json_props,
         "media_decode_meta": q_media_decode_meta,
         "media_frame_plan": q_media_frame_plan,
-        "media_audio_meta": q_media_audio_meta,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
@@ -2481,6 +2514,41 @@ UNION ALL
 SELECT doc_id, CAST(CASE WHEN h > 1 THEN 2 ELSE 1 END AS INT), 'text',
        array_to_string(toks[h+1:len(toks)], ' ')
 FROM p WHERE len(toks) > h
+"""
+
+    _real_pages_src = """
+  SELECT regexp_extract(filename, '([^/]+)\\.pages\\.json$', 1) AS doc_id,
+         j.page_no AS page_no, j.cells AS cells,
+         j.assembled.elements AS els
+  FROM read_json(
+      '/root/reference/tests/data/groundtruth/docling_v2/*.pages.json',
+      format='array', maximum_object_size=104857600,
+      filename=true, union_by_name=true) AS j
+"""
+
+    oracles["pdf_real_cells"] = f"""
+WITH pages AS ({_real_pages_src}),
+ex AS (SELECT doc_id, page_no, unnest(cells) AS c FROM pages)
+SELECT doc_id, CAST(page_no AS INT) AS page_no,
+       CAST(c."index" AS INT) AS cell_index, c.text AS text,
+       LEAST(c.rect.r_x0, c.rect.r_x1, c.rect.r_x2, c.rect.r_x3) AS l,
+       LEAST(c.rect.r_y0, c.rect.r_y1, c.rect.r_y2, c.rect.r_y3) AS t,
+       GREATEST(c.rect.r_x0, c.rect.r_x1, c.rect.r_x2, c.rect.r_x3) AS r,
+       GREATEST(c.rect.r_y0, c.rect.r_y1, c.rect.r_y2, c.rect.r_y3) AS b
+FROM ex
+"""
+
+    oracles["pdf_real_assembled"] = f"""
+WITH pages AS ({_real_pages_src}),
+ex AS (SELECT doc_id, page_no,
+              unnest(list_transform(els, (e, i) ->
+                  {{'i': i, 'lbl': e.label,
+                    'txt': COALESCE(e.text, '')}})) AS u
+       FROM pages)
+SELECT doc_id, CAST(page_no AS INT) AS page_no,
+       CAST(u.i - 1 AS INT) AS elem_index,
+       u.lbl AS label, u.txt AS text
+FROM ex
 """
 
     oracles["extract_pdf_page_limit"] = """

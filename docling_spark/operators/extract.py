@@ -415,14 +415,87 @@ PAGE_CELLS_DDL = ("doc_id string, page_no int, cell_index int, "
                   "text string, l double, t double, r double, b double")
 
 
-def _page_cells_batches(batches: Iterator[pd.DataFrame]) \
+def _make_page_cells_batches(merge: bool):
+    def _page_cells_batches(batches: Iterator[pd.DataFrame]) \
+            -> Iterator[pd.DataFrame]:
+        import json
+
+        from ..parsers.pdf_page import Cell, merge_horizontal_cells
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "page_no", "cell_index",
+                                   "text", "l", "t", "r", "b")}
+            for doc_id, off, payload in zip(
+                    pdf["doc_id"], pdf["page_offset"], pdf["payload"]):
+                try:
+                    page = json.loads(payload or "{}")
+                    cells = [Cell(int(c.get("index", i)), c.get("text", ""),
+                                  float(c["l"]), float(c["t"]),
+                                  float(c["r"]), float(c["b"]))
+                             for i, c in enumerate(page.get("cells", []))]
+                except Exception:
+                    cells = []
+                cells.sort(key=lambda c: c.index)
+                if merge:
+                    cells = merge_horizontal_cells(cells)
+                for c in cells:
+                    out["doc_id"].append(doc_id)
+                    out["page_no"].append(off)
+                    out["cell_index"].append(c.index)
+                    out["text"].append(c.text)
+                    out["l"].append(c.l)
+                    out["t"].append(c.t)
+                    out["r"].append(c.r)
+                    out["b"].append(c.b)
+            yield pd.DataFrame(out)
+    return _page_cells_batches
+
+
+def page_cells(
+    df: DataFrame,
+    *,
+    num_partitions: Optional[int] = None,
+    page_range: Optional[tuple] = None,
+    merge: bool = True,
+) -> DataFrame:
+    """Per-page text cells — the surface the reference's cells-level
+    regression gate compares (``verify_cells``,
+    tests/verify_utils.py:59-88: per-page cell count, cell text, and
+    cell bbox in cell order, against the ``*.pages.json`` goldens).
+    With ``merge=True`` (default) cells pass the exact-port pypdfium
+    sub-word merge (pypdfium2_backend.py:110-198 → parsers/pdf_page.py)
+    first — the pypdfium-backend shape. ``merge=False`` emits the
+    ingested cells verbatim — the docling-parse-backend shape, whose
+    cells are already line-level; this is the mode the verify_cells
+    parity test drives the real ``*.pages.json`` corpus through.
+    Output: (doc_id, page_no, cell_index, text, l, t, r, b),
+    page-parallel end-to-end — no doc-level shuffle."""
+    pages = _page_rows(df, page_range, num_partitions)
+    return pages.mapInPandas(_make_page_cells_batches(merge),
+                             schema=PAGE_CELLS_DDL)
+
+
+PAGE_ELEMENTS_DDL = ("doc_id string, page_no int, elem_index int, "
+                     "label string, text string")
+
+# labels the reference assembles WITHOUT text: tables
+# (TABLE_LABELS = table + document_index get a structure-only Table
+# element), figures (FIGURE_LABEL → FigureElement, text='') and
+# containers (CONTAINER_LABELS = form + key_value_region →
+# ContainerElement) — models/layout_model.py:43-46 +
+# page_assemble_model.py:105-155
+_NO_TEXT_LABELS = {"picture", "table", "document_index", "form",
+                   "key_value_region"}
+
+
+def _page_elements_batches(batches: Iterator[pd.DataFrame]) \
         -> Iterator[pd.DataFrame]:
     import json
 
-    from ..parsers.pdf_page import Cell, merge_horizontal_cells
+    from ..parsers.layout_post import LayoutCluster, postprocess_layout
+    from ..parsers.pdf_page import Cell, sanitize_text
     for pdf in batches:
-        out = {k: [] for k in ("doc_id", "page_no", "cell_index",
-                               "text", "l", "t", "r", "b")}
+        out = {k: [] for k in ("doc_id", "page_no", "elem_index",
+                               "label", "text")}
         for doc_id, off, payload in zip(
                 pdf["doc_id"], pdf["page_offset"], pdf["payload"]):
             try:
@@ -431,37 +504,55 @@ def _page_cells_batches(batches: Iterator[pd.DataFrame]) \
                               float(c["l"]), float(c["t"]),
                               float(c["r"]), float(c["b"]))
                          for i, c in enumerate(page.get("cells", []))]
+                preds = [LayoutCluster(
+                    id=int(cl.get("id", i)),
+                    label=str(cl.get("label", "text")),
+                    bbox=(float(cl["l"]), float(cl["t"]),
+                          float(cl["r"]), float(cl["b"])),
+                    confidence=float(cl.get("confidence", 1.0)))
+                    for i, cl in enumerate(page.get("clusters") or [])]
+                size = (float(page.get("width", 612.0)),
+                        float(page.get("height", 792.0)))
+                ordered = postprocess_layout(cells, preds, size)
             except Exception:
-                cells = []
-            cells.sort(key=lambda c: c.index)
-            for c in merge_horizontal_cells(cells):
+                ordered = []
+            for i, cluster in enumerate(ordered):
+                if cluster.label in _NO_TEXT_LABELS:
+                    text = ""
+                else:
+                    lines = [c.text.replace("\x02", "-").strip()
+                             for c in cluster.cells if c.text.strip()]
+                    text = sanitize_text(lines) if lines else ""
                 out["doc_id"].append(doc_id)
                 out["page_no"].append(off)
-                out["cell_index"].append(c.index)
-                out["text"].append(c.text)
-                out["l"].append(c.l)
-                out["t"].append(c.t)
-                out["r"].append(c.r)
-                out["b"].append(c.b)
+                out["elem_index"].append(i)
+                out["label"].append(cluster.label)
+                out["text"].append(text)
         yield pd.DataFrame(out)
 
 
-def page_cells(
+def page_elements(
     df: DataFrame,
     *,
     num_partitions: Optional[int] = None,
     page_range: Optional[tuple] = None,
 ) -> DataFrame:
-    """Raw per-page text cells AFTER fragment merge — the surface the
-    reference's cells-level regression gate compares (``verify_cells``,
-    tests/verify_utils.py:59-88: per-page cell count, cell text, and
-    cell bbox in cell order, against the ``*.pages.json`` goldens).
-    The merge is the exact-port pypdfium sub-word merge
-    (pypdfium2_backend.py:110-198 → parsers/pdf_page.py). Output:
-    (doc_id, page_no, cell_index, text, l, t, r, b), page-parallel
-    end-to-end — no doc-level shuffle."""
+    """Per-page assembled elements — the reference's page-assembly
+    surface (`page.assembled.elements`, page_assemble_model.py:78-155):
+    the stored layout predictions run through the full postprocessor
+    (layout_postprocessor.py parity, parsers/layout_post.py) on the
+    backend cells, then each surviving cluster becomes one element in
+    cluster order — text labels carry the sanitize-joined cell text
+    (page_assemble_model.py:34-64), tables/figures/containers carry
+    text='' exactly like the reference's Table/Figure/Container
+    elements. Verified for span-sequence equality against the
+    `assembled.elements` groundtruth of every real ``*.pages.json``
+    fixture (tests/test_real_pdf.py + the pdf_real_assembled oracle).
+    Output: (doc_id, page_no, elem_index, label, text); page-parallel,
+    zero shuffles."""
     pages = _page_rows(df, page_range, num_partitions)
-    return pages.mapInPandas(_page_cells_batches, schema=PAGE_CELLS_DDL)
+    return pages.mapInPandas(_page_elements_batches,
+                             schema=PAGE_ELEMENTS_DDL)
 
 
 # ---------------------------------------------------------------------------
