@@ -714,6 +714,49 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(out, max_tokens=16)
 
 
+def q_chunk_documents_hier(spark, sf_dir):
+    """Hierarchical + tokenizer-aware chunking (docling-core
+    HybridChunker parity contract, operators/hierchunk.py): heading
+    trail from leveled section headers, list-item merge, caption
+    binding via the hints sidecar (incl. a caption that PRECEDES its
+    table), token-window split of the long body text, and greedy peer
+    merge — all replayed statically in the oracle because the span
+    template is fixed; the dynamic part (window split) depends on each
+    document's real token count."""
+    from docling_spark.operators.hierchunk import chunk_documents_hier
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+
+    def span(kind, text, off):
+        return F.struct(
+            F.lit(kind).alias("kind"), text.alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"))
+
+    spans = F.array(
+        span("title", F.concat(F.lit("Doc "), d), 0),
+        span("section_header", F.lit("Background"), 1),
+        span("text", F.col("text"), 2),
+        span("section_header", F.lit("Points"), 3),
+        span("list_item", F.concat(F.lit("point one for "), d), 4),
+        span("list_item", F.concat(F.lit("point two for "), d), 5),
+        span("list_item", F.concat(F.lit("point three for "), d), 6),
+        span("caption", F.concat(F.lit("Table caption "), d), 7),
+        span("table", F.lit("2x2 a b c d"), 8),
+        span("section_header", F.lit("Wrap"), 9),
+        span("text", F.lit("the end"), 10),
+        span("text", F.concat(F.lit("of doc "), d), 11),
+    )
+    # hints: heading levels (title 0, Background 1, Points 2, Wrap 1)
+    # and the caption's owner-table offset (8); -1 elsewhere
+    hints = F.array(*[F.lit(x).cast("int")
+                      for x in (0, 1, -1, 2, -1, -1, -1, 8, -1, 1,
+                                -1, -1)])
+    src = docs.select(d.alias("doc_id"), spans.alias("spans"),
+                      hints.alias("hints"))
+    return chunk_documents_hier(src, max_tokens=16, hints_col="hints")
+
+
 def q_doc_token_stats(spark, sf_dir):
     return with_token_stats(_docs(spark, sf_dir))
 
@@ -1933,6 +1976,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "chunk_documents_hier": q_chunk_documents_hier,
         "extract_pdf_page_limit": q_extract_pdf_page_limit,
         "pdf_real_cells": q_pdf_real_cells,
         "pdf_real_assembled": q_pdf_real_assembled,
@@ -2491,6 +2535,73 @@ SELECT doc_id,
        CAST(SUM(n_tok) AS BIGINT) AS n_tokens
 FROM win
 GROUP BY doc_id, CAST(floor(cum_before / 16) AS INT)
+"""
+
+    # Replays the fixed span template of q_chunk_documents_hier: the
+    # heading trails / list pack / caption binding / peer merge are
+    # static consequences of the template (derived in the docstring
+    # there), so only the body-text window split is data-dependent —
+    # docs with <= 13 tokens stay whole (raw text, raw whitespace),
+    # longer ones split into 13-token windows (budget 16 - ctx 3).
+    oracles["chunk_documents_hier"] = """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+         regexp_extract_all(text, '\\S+') AS toks
+  FROM documents),
+sized AS (
+  SELECT doc_id, text, toks, len(toks) AS n FROM base),
+pieces AS (
+  SELECT doc_id, text, toks, n,
+         unnest(range(CASE WHEN n + 3 <= 16 THEN 1
+                           ELSE CAST(ceil(n / 13.0) AS INT) END)) AS k
+  FROM sized WHERE n > 0),
+piece_rows AS (
+  SELECT doc_id, 0 AS grp, CAST(k AS INT) AS k,
+         ['Doc ' || doc_id, 'Background'] AS headings,
+         CAST([] AS VARCHAR[]) AS captions,
+         CASE WHEN n + 3 <= 16 THEN text
+              ELSE array_to_string(
+                     list_slice(toks, k * 13 + 1,
+                                LEAST((k + 1) * 13, n)), ' ')
+         END AS text,
+         [CAST(2 AS INT)] AS doc_items,
+         CAST(3 + CASE WHEN n + 3 <= 16 THEN n
+                       ELSE LEAST((k + 1) * 13, n) - k * 13
+                  END AS INT) AS n_tokens
+  FROM pieces),
+fixed AS (
+  SELECT doc_id, 1 AS grp, 0 AS k,
+         ['Doc ' || doc_id, 'Background', 'Points'] AS headings,
+         CAST([] AS VARCHAR[]) AS captions,
+         'point one for ' || doc_id || chr(10) ||
+         'point two for ' || doc_id || chr(10) ||
+         'point three for ' || doc_id AS text,
+         [CAST(4 AS INT), CAST(5 AS INT), CAST(6 AS INT)] AS doc_items,
+         CAST(16 AS INT) AS n_tokens
+  FROM base
+  UNION ALL
+  SELECT doc_id, 2, 0,
+         ['Doc ' || doc_id, 'Background', 'Points'],
+         ['Table caption ' || doc_id],
+         '2x2 a b c d',
+         [CAST(8 AS INT)],
+         CAST(12 AS INT)
+  FROM base
+  UNION ALL
+  SELECT doc_id, 3, 0,
+         ['Doc ' || doc_id, 'Wrap'],
+         CAST([] AS VARCHAR[]),
+         'the end' || chr(10) || 'of doc ' || doc_id,
+         [CAST(10 AS INT), CAST(11 AS INT)],
+         CAST(8 AS INT)
+  FROM base),
+allrows AS (
+  SELECT * FROM piece_rows UNION ALL SELECT * FROM fixed)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY grp, k)
+            - 1 AS INT) AS chunk_id,
+       headings, captions, text, doc_items, n_tokens
+FROM allrows
 """
 
     # page 0 runs the model-driven layout path (title cluster over line

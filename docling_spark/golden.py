@@ -167,6 +167,60 @@ def doctags_view_spans(gt: dict) -> List[dict]:
     return spans
 
 
+def golden_hints(gt: dict) -> List[int]:
+    """Structure hints aligned with :func:`golden_spans` order, the
+    sidecar the hierarchical chunker consumes
+    (operators/hierchunk.py): heading level for title/section_header
+    spans (``SectionHeaderItem.level``, title = 0), owner-table span
+    offset for caption spans bound via ``TableItem.captions`` refs,
+    −1 elsewhere."""
+    ref_to_off: dict = {}
+    order: List[tuple] = []
+
+    def visit(ref: str) -> None:
+        item = _resolve(gt, ref)
+        if item is None:
+            return
+        is_group = ref.startswith("#/groups") or ref in ("#/body",
+                                                          "#/furniture")
+        in_body = item.get("content_layer", "body") == "body"
+        if not is_group and in_body and (
+                ref.startswith("#/texts") or ref.startswith("#/pictures")
+                or ref.startswith("#/tables")):
+            ref_to_off[ref] = len(order)
+            order.append((ref, item))
+        for child in item.get("children", []):
+            child_ref = (child.get("$ref") or child.get("cref")) \
+                if isinstance(child, dict) else None
+            if child_ref:
+                visit(child_ref)
+
+    visit("#/body")
+    cap_owner: dict = {}
+    for ref, item in order:
+        if ref.startswith("#/tables"):
+            for cr in item.get("captions") or []:
+                r = (cr.get("$ref") or cr.get("cref")) \
+                    if isinstance(cr, dict) else None
+                if r in ref_to_off:
+                    cap_owner[r] = ref_to_off[ref]
+    hints: List[int] = []
+    for ref, item in order:
+        if ref.startswith("#/texts"):
+            lbl = item.get("label", "text")
+            if lbl == "title":
+                hints.append(0)
+            elif lbl == "section_header":
+                hints.append(int(item.get("level", 1)))
+            elif lbl == "caption" and ref in cap_owner:
+                hints.append(cap_owner[ref])
+            else:
+                hints.append(-1)
+        else:
+            hints.append(-1)
+    return hints
+
+
 def load_golden(name: str, media_refs: Optional[List[str]] = None) -> List[dict]:
     """Load golden spans for a fixture, e.g. name='example_01.html'."""
     path = GROUNDTRUTH_DIR / f"{name}.json"

@@ -13,6 +13,10 @@ Chunk rule (deterministic, replayable in ANSI SQL): a span with
 cumulative-token-count-before C belongs to chunk floor(C / max_tokens).
 Furniture-ish kinds (picture) contribute no tokens but travel with
 their chunk.
+
+For the full docling-core HybridChunker parity contract — leveled
+heading trails, list-item merge, caption binding, split-then-merge
+sizing — see operators/hierchunk.py (chunk_documents_hier).
 """
 
 from __future__ import annotations
