@@ -404,6 +404,32 @@ def q_extract_pdf_page_limit(spark, sf_dir):
                    F.lit("")).alias("err_module"))
 
 
+def q_pdf_native_roundtrip(spark, sf_dir):
+    """From-scratch native PDF parse, end-to-end through REAL bytes
+    (SURVEY §2.3; the reference routes this to the docling-parse
+    native lib, backend/docling_parse_v4_backend.py — here the file
+    format itself is parsed in-repo, parsers/pdfio.py): every document
+    becomes a genuine two-page PDF binary (classic xref, FlateDecode
+    content streams, WinAnsi Helvetica — sources/pdfsynth.py), then
+    pdfio parses the bytes back into line cells. The oracle recomputes
+    the expected text purely in SQL (same ascii normalization + page
+    split), so a hash match proves byte-level round-trip fidelity of
+    lexer → xref → page tree → font decode → interpreter → cells.
+    Two zero-shuffle Arrow stages; quote codes 0x27/0x60 map to
+    typographic quotes exactly like docling-parse (both sides apply
+    it). Real-corpus fidelity (the reference's own 9 PDFs) is pinned
+    separately in tests/test_pdfio.py word/char parity floors."""
+    from docling_spark.operators.pdfnative import (parse_pdf_native,
+                                                   synth_pdf_docs)
+    docs = _docs(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.regexp_replace(
+        F.substring("text", 1, 500), "[^ -~]", " "), " +", " "))
+    blobs = synth_pdf_docs(
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                    norm.alias("text")))
+    return parse_pdf_native(blobs)
+
+
 def q_extract_image_docs(spark, sf_dir):
     """Image auto-wrap route (reference pdf_backend.py:55-65: images
     become 1-page PDF docs): pure-image documents flow through
@@ -1976,6 +2002,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "pdf_native_roundtrip": q_pdf_native_roundtrip,
         "chunk_documents_hier": q_chunk_documents_hier,
         "extract_pdf_page_limit": q_extract_pdf_page_limit,
         "pdf_real_cells": q_pdf_real_cells,
@@ -2625,6 +2652,26 @@ UNION ALL
 SELECT doc_id, CAST(CASE WHEN h > 1 THEN 2 ELSE 1 END AS INT), 'text',
        array_to_string(toks[h+1:len(toks)], ' ')
 FROM p WHERE len(toks) > h
+"""
+
+    oracles["pdf_native_roundtrip"] = """
+WITH norm AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         trim(regexp_replace(regexp_replace(
+             substr(text, 1, 500), '[^ -~]', ' ', 'g'),
+             ' +', ' ', 'g')) AS t
+  FROM documents
+), pages AS (
+  SELECT doc_id, trim(substr(t, 1, 250)) AS p1,
+         trim(substr(t, 251)) AS p2
+  FROM norm
+)
+SELECT doc_id, 2 AS n_pages,
+       (CASE WHEN length(p1) > 0 THEN 1 ELSE 0 END
+        + CASE WHEN length(p2) > 0 THEN 1 ELSE 0 END) AS n_cells,
+       replace(replace(trim(concat(p1, ' ', p2)),
+               chr(39), chr(8217)), chr(96), chr(8216)) AS text
+FROM pages
 """
 
     _real_pages_src = """

@@ -1,0 +1,73 @@
+"""Native PDF parsing as a Spark stage: raw PDF bytes → text cells via
+the from-scratch reader (parsers/pdfio.py), Arrow-batched.
+
+Fills SURVEY §2.3 "native PDF parse" (the reference routes PDFs to the
+docling-parse native library via backend/docling_parse_v4_backend.py;
+this engine parses the file format itself — see pdfio.py — so raw
+bytes → runs → line cells → the existing paged pipeline is a complete
+in-repo path with no native dependency).
+
+Scale shape: both stages are zero-shuffle mapInPandas over whatever
+partitioning the corpus already has; at 100 TB the only knobs that
+matter are input split size and maxRecordsPerBatch (PDF blobs are
+KB..MB — keep batches small enough that a batch of blobs fits the
+Arrow buffer).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+PDF_TEXT_DDL = ("doc_id string, n_pages int, n_cells int, text string")
+
+
+def synth_pdf_docs(df: DataFrame, split_at: int = 250) -> DataFrame:
+    """(doc_id, text) → (doc_id, pdf:binary): deterministic two-page
+    PDF per doc (text split at ``split_at`` chars), real xref +
+    FlateDecode streams. Pure Arrow stage, no shuffle."""
+    from docling_spark.sources.pdfsynth import synth_pdf
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = [
+                synth_pdf([t[:split_at], t[split_at:]])
+                for t in pdf["text"].astype(str)
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "pdf": pd.Series(blobs, dtype=object)})
+
+    return df.mapInPandas(batches, schema="doc_id string, pdf binary")
+
+
+def parse_pdf_native(df: DataFrame) -> DataFrame:
+    """(doc_id, pdf:binary) → (doc_id, n_pages, n_cells, text): parse
+    the raw bytes with pdfio, assemble line cells per page, join all
+    cell texts with single spaces (reading order: page, then y, x).
+    Pure Arrow stage, no shuffle; per-doc errors yield n_pages = -1
+    rather than failing the batch."""
+    from docling_spark.parsers.pdfio import extract_pdf_cells
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "n_pages": [], "n_cells": [],
+                    "text": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["pdf"]):
+                try:
+                    pages = extract_pdf_cells(bytes(blob))
+                    texts = [c["text"].strip() for p in pages
+                             for c in p["cells"] if c["text"].strip()]
+                    rows["doc_id"].append(doc_id)
+                    rows["n_pages"].append(len(pages))
+                    rows["n_cells"].append(len(texts))
+                    rows["text"].append(" ".join(texts))
+                except Exception:
+                    rows["doc_id"].append(doc_id)
+                    rows["n_pages"].append(-1)
+                    rows["n_cells"].append(0)
+                    rows["text"].append("")
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, schema=PDF_TEXT_DDL)

@@ -1,0 +1,1339 @@
+"""Native PDF text extraction, from scratch — file structure, objects,
+fonts, and content-stream interpretation per the public PDF 1.7 spec
+(ISO 32000-1), stdlib-only (zlib for FlateDecode).
+
+This fills the engine's §2.3 "native PDF parse" slot
+(/root/reference/docling/backend/docling_parse_v4_backend.py routes to
+the docling-parse native library; that library is absent here, and this
+is NOT a port of it — it is an independent implementation of the format
+spec). Output is positioned text RUNS per page; the existing
+fragment-merge (parsers/pdf_page.py, the reference's merge semantics)
+builds line cells from them, so raw bytes → runs → cells → layout →
+assembly is a complete in-repo path.
+
+Supported (everything the reference's own 9 test PDFs need):
+* classic xref tables and xref STREAMS (/W triples + PNG predictors),
+  /Prev chains, object streams (/ObjStm), FlateDecode;
+* page tree with inherited /Resources /MediaBox, multiple /Contents;
+* simple fonts (Type1/TrueType/Type3): ToUnicode CMaps (bfchar +
+  bfrange incl. array form), /Encoding WinAnsi/MacRoman/Standard with
+  /Differences (glyph names via an embedded AGL subset), /Widths;
+* composite Type0/CID fonts: Identity-H code spaces, /W + /DW widths,
+  ToUnicode; CID fonts WITHOUT ToUnicode yield U+FFFD glyphs (the
+  text is unrecoverable without embedded-font cmap tables — callers
+  see replacement chars, never silently wrong text);
+* text operators BT/ET Tf Tc Tw Tz TL Ts Tr Td TD Tm T* Tj TJ ' ",
+  graphics q/Q/cm, and form XObjects (Do) with matrix composition;
+* TJ kerning: a shift wider than SPACE_EM em units is rendered as a
+  word space (TeX engines encode inter-word gaps as kerns, e.g.
+  ``[(Lorem)-350(ipsum)]TJ``).
+
+Not modeled (documented): rendering, images, clipping, shading, Type3
+glyph procedures (their text is still positioned via /Widths),
+encrypted files, LZW/ASCII filters (none of the corpus uses them).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+SPACE_EM = 0.18   # TJ kern → word-space threshold, in em units
+SPLIT_EM = 1.5    # intra-string gap (Tc/Tw) → run-break threshold
+
+# docling-parse expands Unicode ligature codepoints in its cell text
+# (none of the 9 groundtruth dumps contains U+FB00..FB06)
+_LIGATURES = {"ﬀ": "ff", "ﬁ": "fi", "ﬂ": "fl",
+              "ﬃ": "ffi", "ﬄ": "ffl", "ﬅ": "ft",
+              "ﬆ": "st"}
+
+
+def _expand_ligatures(s: str) -> str:
+    if any(ch in s for ch in _LIGATURES):
+        for k, v in _LIGATURES.items():
+            s = s.replace(k, v)
+    return s
+
+
+# ---------------------------------------------------------------------------
+# object model
+
+
+class Ref:
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int) -> None:
+        self.num = num
+        self.gen = gen
+
+    def __repr__(self) -> str:
+        return f"{self.num}R{self.gen}"
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, Ref) and (self.num, self.gen) == \
+            (other.num, other.gen)
+
+    def __hash__(self) -> int:
+        return hash((self.num, self.gen))
+
+
+class Name(str):
+    """PDF name object (distinct from strings)."""
+
+
+class Stream:
+    __slots__ = ("dict", "raw")
+
+    def __init__(self, d: dict, raw: bytes) -> None:
+        self.dict = d
+        self.raw = raw
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class Lexer:
+    """Tokenizer over the raw byte buffer; also used for content
+    streams (which share the object syntax minus indirect refs)."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+
+    def skip_ws(self) -> None:
+        d, n = self.data, len(self.data)
+        p = self.pos
+        while p < n:
+            c = d[p:p + 1]
+            if c in _WS:
+                p += 1
+            elif c == b"%":          # comment to EOL
+                while p < n and d[p:p + 1] not in b"\r\n":
+                    p += 1
+            else:
+                break
+        self.pos = p
+
+    def peek_byte(self) -> bytes:
+        return self.data[self.pos:self.pos + 1]
+
+    def read_token(self) -> Optional[bytes]:
+        """Next regular token (operator / keyword / number)."""
+        self.skip_ws()
+        d, n = self.data, len(self.data)
+        p = self.pos
+        if p >= n:
+            return None
+        start = p
+        while p < n and d[p:p + 1] not in _WS and d[p:p + 1] not in _DELIM:
+            p += 1
+        if p == start:  # delimiter char itself
+            p += 1
+        self.pos = p
+        return d[start:p]
+
+    # -- object readers ---------------------------------------------------
+
+    def read_object(self) -> Any:
+        self.skip_ws()
+        c = self.peek_byte()
+        if c == b"/":
+            return self.read_name()
+        if c == b"(":
+            return self.read_literal_string()
+        if c == b"<":
+            if self.data[self.pos:self.pos + 2] == b"<<":
+                return self.read_dict_or_stream()
+            return self.read_hex_string()
+        if c == b"[":
+            self.pos += 1
+            arr = []
+            while True:
+                self.skip_ws()
+                if self.peek_byte() == b"]":
+                    self.pos += 1
+                    return arr
+                if self.pos >= len(self.data):
+                    return arr
+                arr.append(self.read_object())
+        if c == b"]" or c == b">":
+            self.pos += 1
+            return None
+        tok = self.read_token()
+        if tok is None:
+            return None
+        if tok == b"true":
+            return True
+        if tok == b"false":
+            return False
+        if tok == b"null":
+            return None
+        # number, possibly an indirect reference "n g R"
+        try:
+            if b"." in tok:
+                return float(tok)
+            num = int(tok)
+        except ValueError:
+            return Name(tok.decode("latin-1"))
+        save = self.pos
+        self.skip_ws()
+        m = re.match(rb"(\d+)\s+R", self.data[self.pos:self.pos + 24])
+        if m is not None:
+            gen_end = self.pos + m.end()
+            self.pos = gen_end
+            return Ref(num, int(m.group(1)))
+        self.pos = save
+        return num
+
+    def read_name(self) -> Name:
+        assert self.peek_byte() == b"/"
+        self.pos += 1
+        d, n = self.data, len(self.data)
+        p = self.pos
+        out = bytearray()
+        while p < n:
+            c = d[p:p + 1]
+            if c in _WS or c in _DELIM:
+                break
+            if c == b"#" and p + 2 < n:
+                try:
+                    out.append(int(d[p + 1:p + 3], 16))
+                    p += 3
+                    continue
+                except ValueError:
+                    pass
+            out += c
+            p += 1
+        self.pos = p
+        return Name(out.decode("latin-1"))
+
+    def read_literal_string(self) -> bytes:
+        assert self.peek_byte() == b"("
+        self.pos += 1
+        d, n = self.data, len(self.data)
+        p = self.pos
+        depth = 1
+        out = bytearray()
+        while p < n:
+            c = d[p]
+            if c == 0x5C:  # backslash
+                p += 1
+                if p >= n:
+                    break
+                e = d[p]
+                if e in b"nrtbf":
+                    out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8,
+                                0x66: 12}[e])
+                    p += 1
+                elif e in b"()\\":
+                    out.append(e)
+                    p += 1
+                elif 0x30 <= e <= 0x37:  # octal, 1-3 digits
+                    oct_s = bytearray([e])
+                    p += 1
+                    while p < n and len(oct_s) < 3 and 0x30 <= d[p] <= 0x37:
+                        oct_s.append(d[p])
+                        p += 1
+                    out.append(int(oct_s, 8) & 0xFF)
+                elif e in b"\r\n":   # line continuation
+                    p += 1
+                    if e == 0x0D and p < n and d[p] == 0x0A:
+                        p += 1
+                else:
+                    out.append(e)
+                    p += 1
+                continue
+            if c == 0x28:
+                depth += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    p += 1
+                    break
+            out.append(c)
+            p += 1
+        self.pos = p
+        return bytes(out)
+
+    def read_hex_string(self) -> bytes:
+        assert self.peek_byte() == b"<"
+        self.pos += 1
+        end = self.data.find(b">", self.pos)
+        if end < 0:
+            end = len(self.data)
+        hexs = re.sub(rb"[^0-9A-Fa-f]", b"", self.data[self.pos:end])
+        self.pos = end + 1
+        if len(hexs) % 2:
+            hexs += b"0"
+        return bytes.fromhex(hexs.decode("ascii"))
+
+    def read_dict_or_stream(self) -> Any:
+        assert self.data[self.pos:self.pos + 2] == b"<<"
+        self.pos += 2
+        d: Dict[str, Any] = {}
+        while True:
+            self.skip_ws()
+            if self.data[self.pos:self.pos + 2] == b">>":
+                self.pos += 2
+                break
+            if self.pos >= len(self.data):
+                break
+            key = self.read_object()
+            if not isinstance(key, Name):
+                continue
+            d[str(key)] = self.read_object()
+        # stream?
+        save = self.pos
+        self.skip_ws()
+        if self.data[self.pos:self.pos + 6] == b"stream":
+            self.pos += 6
+            if self.data[self.pos:self.pos + 2] == b"\r\n":
+                self.pos += 2
+            elif self.data[self.pos:self.pos + 1] == b"\n":
+                self.pos += 1
+            length = d.get("Length")
+            if isinstance(length, int):
+                raw = self.data[self.pos:self.pos + length]
+                endpos = self.pos + length
+                tail = self.data.find(b"endstream", endpos)
+            else:  # Length is an unresolved ref: scan
+                tail = self.data.find(b"endstream", self.pos)
+                raw = self.data[self.pos:tail if tail >= 0 else None]
+                raw = raw.rstrip(b"\r\n")
+                endpos = None
+            if tail >= 0:
+                self.pos = tail + len(b"endstream")
+            return Stream(d, raw)
+        self.pos = save
+        return d
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int = 1,
+                   bpc: int = 8) -> bytes:
+    """Reverse PNG row predictors (used by xref streams)."""
+    bpp = max(1, (colors * bpc) // 8)
+    row_len = columns * bpp
+    out = bytearray()
+    prev = bytearray(row_len)
+    i = 0
+    while i < len(data):
+        ft = data[i]
+        i += 1
+        row = bytearray(data[i:i + row_len])
+        i += row_len
+        if ft == 1:    # Sub
+            for j in range(bpp, row_len):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(row_len):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(row_len):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(row_len):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                row[j] = (row[j] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def decode_stream(doc: "PdfDocument", st: Stream) -> bytes:
+    data = st.raw
+    filt = doc.resolve(st.dict.get("Filter"))
+    parms = doc.resolve(st.dict.get("DecodeParms")) or \
+        doc.resolve(st.dict.get("DP"))
+    filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+    parms_list = parms if isinstance(parms, list) else [parms]
+    for i, f in enumerate(filters):
+        f = str(doc.resolve(f) or "")
+        p = doc.resolve(parms_list[i]) if i < len(parms_list) else None
+        if f == "FlateDecode":
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                try:  # tolerate trailing garbage
+                    data = zlib.decompressobj().decompress(data)
+                except zlib.error:
+                    return b""
+            if isinstance(p, dict):
+                pred = doc.resolve(p.get("Predictor", 1)) or 1
+                if pred >= 10:
+                    data = _png_unpredict(
+                        data,
+                        int(doc.resolve(p.get("Columns", 1)) or 1),
+                        int(doc.resolve(p.get("Colors", 1)) or 1),
+                        int(doc.resolve(p.get("BitsPerComponent", 8)) or 8))
+        elif f in ("DCTDecode", "JPXDecode", "CCITTFaxDecode"):
+            return data  # image payloads pass through untouched
+        elif f == "ASCIIHexDecode":
+            hx = re.sub(rb"[^0-9A-Fa-f]", b"", data.split(b">")[0])
+            if len(hx) % 2:
+                hx += b"0"
+            data = bytes.fromhex(hx.decode("ascii"))
+        elif f == "ASCII85Decode":
+            import base64
+            body = data.split(b"~>")[0].replace(b"\n", b"") \
+                .replace(b"\r", b"").replace(b" ", b"")
+            try:
+                data = base64.a85decode(body)
+            except ValueError:
+                return b""
+    return data
+
+
+# ---------------------------------------------------------------------------
+# file structure
+
+
+class PdfDocument:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.xref: Dict[int, Tuple[int, int, int]] = {}
+        # num -> (type, field2, field3): type 1 = offset, type 2 =
+        # (objstm num, index)
+        self.trailer: Dict[str, Any] = {}
+        self._cache: Dict[int, Any] = {}
+        self._objstm_cache: Dict[int, Dict[int, Any]] = {}
+        self._parse_xref_chain()
+        if not self.xref or "Root" not in self.trailer:
+            self._brute_scan()
+
+    # -- xref ---------------------------------------------------------------
+
+    def _parse_xref_chain(self) -> None:
+        tail = self.data[-2048:]
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", tail):
+            pass
+        if m is None:
+            return
+        offset = int(m.group(1))
+        seen = set()
+        while offset and offset not in seen and offset < len(self.data):
+            seen.add(offset)
+            offset = self._parse_xref_section(offset) or 0
+
+    def _parse_xref_section(self, offset: int) -> Optional[int]:
+        lex = Lexer(self.data, offset)
+        lex.skip_ws()
+        if self.data[lex.pos:lex.pos + 4] == b"xref":
+            lex.pos += 4
+            # classic table
+            while True:
+                lex.skip_ws()
+                if self.data[lex.pos:lex.pos + 7] == b"trailer":
+                    lex.pos += 7
+                    tr = lex.read_object()
+                    if isinstance(tr, dict):
+                        for k, v in tr.items():
+                            self.trailer.setdefault(k, v)
+                        prev = tr.get("Prev")
+                        # hybrid files: /XRefStm points at an xref stream
+                        xstm = tr.get("XRefStm")
+                        if isinstance(xstm, int):
+                            self._parse_xref_section(xstm)
+                        return prev if isinstance(prev, int) else None
+                    return None
+                m = re.match(rb"(\d+)\s+(\d+)",
+                             self.data[lex.pos:lex.pos + 48])
+                if m is None:
+                    return None
+                first, count = int(m.group(1)), int(m.group(2))
+                lex.pos += m.end()
+                lex.skip_ws()
+                for i in range(count):
+                    ent = self.data[lex.pos:lex.pos + 20]
+                    em = re.match(rb"(\d{10})\s(\d{5})\s([nf])", ent)
+                    if em is None:
+                        lex.pos += 20
+                        continue
+                    lex.pos += em.end()
+                    lex.skip_ws()
+                    if em.group(3) == b"n":
+                        self.xref.setdefault(
+                            first + i, (1, int(em.group(1)),
+                                        int(em.group(2))))
+        else:
+            # xref stream object
+            m = re.match(rb"(\d+)\s+(\d+)\s+obj",
+                         self.data[lex.pos:lex.pos + 48])
+            if m is None:
+                return None
+            lex.pos += m.end()
+            st = lex.read_object()
+            if not isinstance(st, Stream):
+                return None
+            for k, v in st.dict.items():
+                self.trailer.setdefault(k, v)
+            data = decode_stream(self, st)
+            w = [int(self.resolve(x)) for x in
+                 self.resolve(st.dict.get("W", [1, 1, 1]))]
+            size = int(self.resolve(st.dict.get("Size", 0)) or 0)
+            index = self.resolve(st.dict.get("Index", [0, size])) or \
+                [0, size]
+            rec = sum(w)
+            pos = 0
+            for s in range(0, len(index), 2):
+                first, count = int(index[s]), int(index[s + 1])
+                for i in range(count):
+                    if pos + rec > len(data):
+                        break
+                    fields = []
+                    for width in w:
+                        if width == 0:
+                            fields.append(1 if len(fields) == 0 else 0)
+                        else:
+                            fields.append(int.from_bytes(
+                                data[pos:pos + width], "big"))
+                            pos += width
+                    t, f2, f3 = fields[0], fields[1], fields[2]
+                    if t in (1, 2):
+                        self.xref.setdefault(first + i, (t, f2, f3))
+            prev = st.dict.get("Prev")
+            return prev if isinstance(prev, int) else None
+        return None
+
+    def _brute_scan(self) -> None:
+        """Recovery path: index every `N G obj` in the file."""
+        for m in re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", self.data):
+            self.xref[int(m.group(1))] = (1, m.start(), int(m.group(2)))
+        if "Root" not in self.trailer:
+            m = re.search(rb"/Root\s+(\d+)\s+(\d+)\s+R", self.data)
+            if m:
+                self.trailer["Root"] = Ref(int(m.group(1)),
+                                           int(m.group(2)))
+
+    # -- objects -------------------------------------------------------------
+
+    def get_object(self, num: int) -> Any:
+        if num in self._cache:
+            return self._cache[num]
+        ent = self.xref.get(num)
+        obj = None
+        if ent is not None:
+            t, f2, f3 = ent
+            if t == 1:
+                lex = Lexer(self.data, f2)
+                lex.skip_ws()
+                m = re.match(rb"(\d+)\s+(\d+)\s+obj",
+                             self.data[lex.pos:lex.pos + 48])
+                if m is not None:
+                    lex.pos += m.end()
+                    obj = lex.read_object()
+            elif t == 2:
+                obj = self._from_objstm(f2, f3, num)
+        self._cache[num] = obj
+        return obj
+
+    def _from_objstm(self, stm_num: int, idx: int, want: int) -> Any:
+        objs = self._objstm_cache.get(stm_num)
+        if objs is None:
+            objs = {}
+            st = self.get_object(stm_num)
+            if isinstance(st, Stream):
+                data = decode_stream(self, st)
+                n = int(self.resolve(st.dict.get("N", 0)) or 0)
+                first = int(self.resolve(st.dict.get("First", 0)) or 0)
+                hdr = Lexer(data, 0)
+                pairs = []
+                for _ in range(n):
+                    a = hdr.read_object()
+                    b = hdr.read_object()
+                    if not (isinstance(a, int) and isinstance(b, int)):
+                        break
+                    pairs.append((a, b))
+                for onum, off in pairs:
+                    ol = Lexer(data, first + off)
+                    objs[onum] = ol.read_object()
+            self._objstm_cache[stm_num] = objs
+        return objs.get(want)
+
+    def resolve(self, obj: Any, depth: int = 0) -> Any:
+        while isinstance(obj, Ref) and depth < 32:
+            obj = self.get_object(obj.num)
+            depth += 1
+        return obj
+
+    # -- page tree -----------------------------------------------------------
+
+    def pages(self) -> List[dict]:
+        """Flattened page dicts with inherited attributes resolved."""
+        root = self.resolve(self.trailer.get("Root")) or {}
+        pages_ref = root.get("Pages") if isinstance(root, dict) else None
+        out: List[dict] = []
+        seen = set()
+
+        def walk(node_ref, inherited):
+            node = self.resolve(node_ref)
+            if not isinstance(node, dict):
+                return
+            key = id(node)
+            if key in seen or len(out) > 8192:
+                return
+            seen.add(key)
+            inh = dict(inherited)
+            for k in ("Resources", "MediaBox", "CropBox", "Rotate"):
+                if k in node:
+                    inh[k] = node[k]
+            if str(node.get("Type", "")) == "Pages" or "Kids" in node:
+                for kid in self.resolve(node.get("Kids")) or []:
+                    walk(kid, inh)
+            else:
+                pg = dict(node)
+                for k, v in inh.items():
+                    pg.setdefault(k, v)
+                out.append(pg)
+
+        if pages_ref is not None:
+            walk(pages_ref, {})
+        if not out:
+            # recovery: any dict with /Type /Page found by brute scan
+            for num in sorted(self.xref):
+                o = self.get_object(num)
+                if isinstance(o, dict) and str(o.get("Type", "")) == "Page":
+                    out.append(o)
+        return out
+
+    def page_content(self, page: dict) -> bytes:
+        contents = self.resolve(page.get("Contents"))
+        streams = contents if isinstance(contents, list) else [contents]
+        parts = []
+        for s in streams:
+            s = self.resolve(s)
+            if isinstance(s, Stream):
+                parts.append(decode_stream(self, s))
+        return b"\n".join(parts)
+
+# ---------------------------------------------------------------------------
+# fonts
+
+# Adobe Glyph List subset: every name the corpus' /Differences arrays
+# and Type1 standard encodings actually use (letters/digits resolve
+# programmatically; this table covers the rest).
+_AGL = {
+    "space": 0x20, "exclam": 0x21, "quotedbl": 0x22, "numbersign": 0x23,
+    "dollar": 0x24, "percent": 0x25, "ampersand": 0x26,
+    "quotesingle": 0x27, "quoteright": 0x2019, "quoteleft": 0x2018,
+    "parenleft": 0x28, "parenright": 0x29, "asterisk": 0x2A,
+    "plus": 0x2B, "comma": 0x2C, "hyphen": 0x2D, "period": 0x2E,
+    "slash": 0x2F, "colon": 0x3A, "semicolon": 0x3B, "less": 0x3C,
+    "equal": 0x3D, "greater": 0x3E, "question": 0x3F, "at": 0x40,
+    "bracketleft": 0x5B, "backslash": 0x5C, "bracketright": 0x5D,
+    "asciicircum": 0x5E, "underscore": 0x5F, "grave": 0x60,
+    "braceleft": 0x7B, "bar": 0x7C, "braceright": 0x7D,
+    "asciitilde": 0x7E, "quotedblleft": 0x201C, "quotedblright": 0x201D,
+    "quotedblbase": 0x201E, "quotesinglbase": 0x201A,
+    "endash": 0x2013, "emdash": 0x2014, "bullet": 0x2022,
+    "dagger": 0x2020, "daggerdbl": 0x2021, "ellipsis": 0x2026,
+    "fi": 0xFB01, "fl": 0xFB02, "ff": 0xFB00, "ffi": 0xFB03,
+    "ffl": 0xFB04, "germandbls": 0xDF, "ae": 0xE6, "AE": 0xC6,
+    "oe": 0x153, "OE": 0x152, "oslash": 0xF8, "Oslash": 0xD8,
+    "aring": 0xE5, "Aring": 0xC5, "ccedilla": 0xE7, "Ccedilla": 0xC7,
+    "adieresis": 0xE4, "odieresis": 0xF6, "udieresis": 0xFC,
+    "Adieresis": 0xC4, "Odieresis": 0xD6, "Udieresis": 0xDC,
+    "eacute": 0xE9, "egrave": 0xE8, "ecircumflex": 0xEA,
+    "agrave": 0xE0, "aacute": 0xE1, "acircumflex": 0xE2,
+    "iacute": 0xED, "igrave": 0xEC, "oacute": 0xF3, "ograve": 0xF2,
+    "uacute": 0xFA, "ugrave": 0xF9, "ntilde": 0xF1, "atilde": 0xE3,
+    "otilde": 0xF5, "yacute": 0xFD, "ydieresis": 0xFF,
+    "cent": 0xA2, "sterling": 0xA3, "yen": 0xA5, "florin": 0x192,
+    "section": 0xA7, "currency": 0xA4, "copyright": 0xA9,
+    "registered": 0xAE, "trademark": 0x2122, "degree": 0xB0,
+    "plusminus": 0xB1, "multiply": 0xD7, "divide": 0xF7,
+    "onehalf": 0xBD, "onequarter": 0xBC, "threequarters": 0xBE,
+    "exclamdown": 0xA1, "questiondown": 0xBF, "guillemotleft": 0xAB,
+    "guillemotright": 0xBB, "guilsinglleft": 0x2039,
+    "guilsinglright": 0x203A, "minus": 0x2212, "periodcentered": 0xB7,
+    "dotlessi": 0x131, "circumflex": 0x2C6, "tilde": 0x2DC,
+    "macron": 0xAF, "breve": 0x2D8, "dotaccent": 0x2D9,
+    "dieresis": 0xA8, "ring": 0x2DA, "cedilla": 0xB8,
+    "hungarumlaut": 0x2DD, "ogonek": 0x2DB, "caron": 0x2C7,
+    "Lslash": 0x141, "lslash": 0x142, "Zcaron": 0x17D,
+    "zcaron": 0x17E, "Scaron": 0x160, "scaron": 0x161,
+    "Ydieresis": 0x178, "Thorn": 0xDE, "thorn": 0xFE, "Eth": 0xD0,
+    "eth": 0xF0, "mu": 0xB5, "brokenbar": 0xA6, "logicalnot": 0xAC,
+    "ordfeminine": 0xAA, "ordmasculine": 0xBA, "paragraph": 0xB6,
+    "middot": 0xB7, "fraction": 0x2044, "sterlingsign": 0xA3,
+    "nbspace": 0xA0, "softhyphen": 0xAD,
+}
+
+
+def _glyph_to_unicode(name: str) -> Optional[str]:
+    if name in _AGL:
+        return chr(_AGL[name])
+    if len(name) == 1:
+        return name
+    if re.fullmatch(r"uni[0-9A-Fa-f]{4,6}", name):
+        return chr(int(name[3:], 16))
+    if re.fullmatch(r"u[0-9A-Fa-f]{4,6}", name):
+        return chr(int(name[1:], 16))
+    m = re.fullmatch(r"([a-zA-Z])(\d*)", name)
+    if m and not m.group(2):
+        return m.group(1)
+    for base in ("one", "two", "three", "four", "five", "six", "seven",
+                 "eight", "nine", "zero"):
+        if name == base:
+            return str(("zero one two three four five six seven eight "
+                        "nine").split().index(base))
+    return None
+
+
+# WinAnsiEncoding deltas from latin-1 in 0x80-0x9F
+_WINANSI = {
+    0x80: 0x20AC, 0x82: 0x201A, 0x83: 0x192, 0x84: 0x201E,
+    0x85: 0x2026, 0x86: 0x2020, 0x87: 0x2021, 0x88: 0x2C6,
+    0x89: 0x2030, 0x8A: 0x160, 0x8B: 0x2039, 0x8C: 0x152,
+    0x8E: 0x17D, 0x91: 0x2018, 0x92: 0x2019, 0x93: 0x201C,
+    0x94: 0x201D, 0x95: 0x2022, 0x96: 0x2013, 0x97: 0x2014,
+    0x98: 0x2DC, 0x99: 0x2122, 0x9A: 0x161, 0x9B: 0x203A,
+    0x9C: 0x153, 0x9E: 0x17E, 0x9F: 0x178,
+}
+
+
+def parse_tounicode(data: bytes) -> Dict[int, str]:
+    """Parse a ToUnicode CMap stream: bfchar + bfrange sections."""
+    out: Dict[int, str] = {}
+
+    def u(hexs: bytes) -> str:
+        b = bytes.fromhex(hexs.decode("ascii"))
+        if len(b) % 2:
+            b = b"\x00" + b
+        try:
+            return b.decode("utf-16-be")
+        except UnicodeDecodeError:
+            return "�"
+
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        for pm in re.finditer(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]*)>",
+                              m.group(1)):
+            if pm.group(2):
+                out[int(pm.group(1), 16)] = u(pm.group(2))
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        body = m.group(1)
+        pos = 0
+        pat = re.compile(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+            rb"(<([0-9A-Fa-f]*)>|\[)")
+        while True:
+            pm = pat.search(body, pos)
+            if pm is None:
+                break
+            lo, hi = int(pm.group(1), 16), int(pm.group(2), 16)
+            if pm.group(3) == b"[":
+                # array form: one destination per code
+                arr_end = body.find(b"]", pm.end())
+                arr = body[pm.end():arr_end if arr_end >= 0 else None]
+                dests = re.findall(rb"<([0-9A-Fa-f]*)>", arr)
+                for i, d in enumerate(dests):
+                    if d and lo + i <= hi:
+                        out[lo + i] = u(d)
+                pos = (arr_end + 1) if arr_end >= 0 else len(body)
+            else:
+                base_hex = pm.group(4)
+                if base_hex:
+                    base = u(base_hex)
+                    # increment the LAST UTF-16 code unit
+                    for i in range(min(hi - lo + 1, 65536)):
+                        if len(base) == 1:
+                            out[lo + i] = chr(ord(base) + i)
+                        else:
+                            out[lo + i] = base[:-1] + \
+                                chr(ord(base[-1]) + i)
+                pos = pm.end()
+    return out
+
+
+class Font:
+    """Resolved font: code→unicode and code→width (1000-unit em)."""
+
+    def __init__(self, doc: PdfDocument, fd: dict) -> None:
+        self.subtype = str(doc.resolve(fd.get("Subtype", "")) or "")
+        self.is_cid = self.subtype == "Type0"
+        self.two_byte = False
+        self.tounicode: Dict[int, str] = {}
+        self.enc_map: Dict[int, str] = {}
+        self.widths: Dict[int, float] = {}
+        self.default_width = 500.0
+        self.ascent = 0.8
+        self.descent = 0.2
+        tu = doc.resolve(fd.get("ToUnicode"))
+        if isinstance(tu, Stream):
+            self.tounicode = parse_tounicode(decode_stream(doc, tu))
+
+        if self.is_cid:
+            enc = doc.resolve(fd.get("Encoding"))
+            self.two_byte = True   # Identity-H/V and most CMaps
+            desc = doc.resolve(fd.get("DescendantFonts"))
+            dfont = doc.resolve(desc[0]) if isinstance(desc, list) and desc \
+                else {}
+            if isinstance(dfont, dict):
+                self.default_width = float(
+                    doc.resolve(dfont.get("DW", 1000)) or 1000)
+                self._descriptor_metrics(
+                    doc, doc.resolve(dfont.get("FontDescriptor")))
+                w = doc.resolve(dfont.get("W")) or []
+                i = 0
+                while i < len(w):
+                    a = doc.resolve(w[i])
+                    if i + 1 < len(w) and isinstance(
+                            doc.resolve(w[i + 1]), list):
+                        arr = doc.resolve(w[i + 1])
+                        for j, width in enumerate(arr):
+                            self.widths[int(a) + j] = float(
+                                doc.resolve(width) or 0)
+                        i += 2
+                    elif i + 2 < len(w):
+                        b = doc.resolve(w[i + 1])
+                        width = float(doc.resolve(w[i + 2]) or 0)
+                        for c in range(int(a), int(b) + 1):
+                            self.widths[c] = width
+                        i += 3
+                    else:
+                        break
+            _ = enc
+            return
+
+        # simple font
+        enc = doc.resolve(fd.get("Encoding"))
+        base = None
+        diffs = None
+        if isinstance(enc, Name) or isinstance(enc, str):
+            base = str(enc)
+        elif isinstance(enc, dict):
+            base = str(doc.resolve(enc.get("BaseEncoding", "")) or "")
+            diffs = doc.resolve(enc.get("Differences"))
+        self.base_encoding = base or ""
+        if diffs:
+            code = 0
+            for item in diffs:
+                item = doc.resolve(item)
+                if isinstance(item, (int, float)):
+                    code = int(item)
+                elif isinstance(item, (Name, str)):
+                    uni = _glyph_to_unicode(str(item))
+                    # unmappable glyph name: docling-parse names the
+                    # glyph itself (e.g. GLYPH<SM590000>, GLYPH<g115>)
+                    self.enc_map[code] = uni if uni is not None \
+                        else f"GLYPH<{item}>"
+                    code += 1
+        first = doc.resolve(fd.get("FirstChar"))
+        widths = doc.resolve(fd.get("Widths"))
+        if isinstance(first, (int, float)) and isinstance(widths, list):
+            for i, w in enumerate(widths):
+                w = doc.resolve(w)
+                if isinstance(w, (int, float)):
+                    self.widths[int(first) + i] = float(w)
+        fdesc = doc.resolve(fd.get("FontDescriptor"))
+        if isinstance(fdesc, dict):
+            mw = doc.resolve(fdesc.get("MissingWidth"))
+            if isinstance(mw, (int, float)):
+                self.default_width = float(mw)
+        self._descriptor_metrics(doc, fdesc)
+
+    def _descriptor_metrics(self, doc: PdfDocument, fdesc) -> None:
+        if not isinstance(fdesc, dict):
+            return
+        asc = doc.resolve(fdesc.get("Ascent"))
+        desc = doc.resolve(fdesc.get("Descent"))
+        if isinstance(asc, (int, float)) and asc > 0:
+            self.ascent = float(asc) / 1000.0
+        if isinstance(desc, (int, float)) and desc < 0:
+            self.descent = -float(desc) / 1000.0
+
+    def decode(self, raw: bytes) -> List[Tuple[int, str]]:
+        """bytes → [(code, unicode string)] per glyph."""
+        out: List[Tuple[int, str]] = []
+        if self.two_byte:
+            for i in range(0, len(raw) - 1, 2):
+                code = (raw[i] << 8) | raw[i + 1]
+                out.append((code, self._uni(code)))
+            return out
+        for b in raw:
+            out.append((b, self._uni(b)))
+        return out
+
+    def _uni(self, code: int) -> str:
+        if code in self.tounicode:
+            return _expand_ligatures(self.tounicode[code])
+        if code in self.enc_map:
+            return _expand_ligatures(self.enc_map[code])
+        if self.is_cid:
+            # no unicode mapping: docling-parse falls back to chr(cid)
+            # for printable ASCII cids, drops control-range cids, and
+            # names the rest GLYPH<gNN> (conventions read off its
+            # redp5110 cell dump)
+            if 0x20 <= code < 0x7F:
+                return chr(code)
+            if code < 0x20:
+                return ""
+            return f"GLYPH<g{code}>"
+        # docling-parse renders 0x27/0x60 as typographic quotes in
+        # every simple-font encoding (its cell dumps carry ’ even for
+        # WinAnsi text; the assemble-stage sanitize maps them back)
+        if code == 0x27:
+            return "’"
+        if code == 0x60:
+            return "‘"
+        if self.base_encoding == "WinAnsiEncoding" and code in _WINANSI:
+            return chr(_WINANSI[code])
+        if 0x20 <= code < 0x7F or 0xA0 <= code <= 0xFF:
+            return chr(code)
+        return f"GLYPH<g{code}>"
+
+    def width(self, code: int) -> float:
+        return self.widths.get(code, self.default_width)
+
+# ---------------------------------------------------------------------------
+# content-stream interpreter
+
+
+def _mat_mul(a, b):
+    """3x2 affine (a b c d e f) compose: a then b."""
+    return (a[0] * b[0] + a[1] * b[2],
+            a[0] * b[1] + a[1] * b[3],
+            a[2] * b[0] + a[3] * b[2],
+            a[2] * b[1] + a[3] * b[3],
+            a[4] * b[0] + a[5] * b[2] + b[4],
+            a[4] * b[1] + a[5] * b[3] + b[5])
+
+
+def _apply(m, x, y):
+    return (m[0] * x + m[2] * y + m[4], m[1] * x + m[3] * y + m[5])
+
+
+_ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+class TextRun:
+    """One positioned text fragment (PDF bottom-left user space)."""
+    __slots__ = ("text", "x0", "y0", "x1", "y1", "baseline", "font",
+                 "size")
+
+    def __init__(self, text, x0, y0, x1, y1, baseline, font, size):
+        self.text = text
+        self.x0, self.y0, self.x1, self.y1 = x0, y0, x1, y1
+        self.baseline = baseline
+        self.font = font
+        self.size = size
+
+    def to_dict(self) -> dict:
+        return {"text": self.text, "x0": self.x0, "y0": self.y0,
+                "x1": self.x1, "y1": self.y1,
+                "baseline": self.baseline, "font": self.font,
+                "size": self.size}
+
+
+class _TextState:
+    __slots__ = ("font", "font_name", "size", "char_spacing",
+                 "word_spacing", "h_scale", "leading", "rise", "render")
+
+    def __init__(self):
+        self.font: Optional[Font] = None
+        self.font_name = ""
+        self.size = 0.0
+        self.char_spacing = 0.0
+        self.word_spacing = 0.0
+        self.h_scale = 1.0
+        self.leading = 0.0
+        self.rise = 0.0
+        self.render = 0
+
+
+class ContentInterpreter:
+    """Executes one page's content stream(s), emitting TextRuns."""
+
+    def __init__(self, doc: PdfDocument, resources: dict) -> None:
+        self.doc = doc
+        self.runs: List[TextRun] = []
+        self._font_cache: Dict[int, Font] = {}
+        self._depth = 0
+        self.resources = resources or {}
+
+    # -- fonts --------------------------------------------------------------
+
+    def _font(self, resources: dict, name: str) -> Optional[Font]:
+        fonts = self.doc.resolve((resources or {}).get("Font")) or {}
+        fref = fonts.get(name)
+        key = id(self.doc.resolve(fref)) if fref is not None else None
+        if key is None:
+            return None
+        if key not in self._font_cache:
+            fd = self.doc.resolve(fref)
+            self._font_cache[key] = Font(self.doc, fd) \
+                if isinstance(fd, dict) else None
+        return self._font_cache[key]
+
+    # -- main loop ----------------------------------------------------------
+
+    def run(self, content: bytes, resources: Optional[dict] = None,
+            ctm=_ID) -> List[TextRun]:
+        if self._depth > 8:
+            return self.runs
+        res = resources if resources is not None else self.resources
+        lex = Lexer(content, 0)
+        stack: List[Any] = []
+        gs_stack: List[tuple] = []
+        ts = _TextState()
+        tm = _ID
+        tlm = _ID
+
+        def show(raw: bytes, tj_mode: bool = False) -> None:
+            nonlocal tm
+            if ts.font is None or not isinstance(raw, bytes):
+                return
+            glyphs = ts.font.decode(raw)
+            if not glyphs:
+                return
+            tm_in = tm
+            scale = (ts.size * ts.h_scale, 0, 0, ts.size, 0, ts.rise)
+
+            def at(a: float):
+                """Device point at text-space advance ``a``."""
+                m = _mat_mul(_mat_mul(
+                    scale, _mat_mul((1, 0, 0, 1, a, 0), tm_in)), ctm)
+                return m[4], m[5]
+
+            trm = _mat_mul(_mat_mul(scale, tm_in), ctm)
+            y_start = trm[5]
+            eff_size = abs(trm[3]) or abs(ts.size)
+            em = max(abs(ts.size * ts.h_scale), 1e-6)
+            # per-glyph advance = glyph part + spacing part; spacing
+            # gaps wider than SPLIT_EM em (tab stops, table columns —
+            # huge Tc/Tw) break the string into separate runs
+            segs: List[Tuple[List[str], float, float]] = []
+            parts: List[str] = []
+            seg_start = 0.0
+            off = 0.0
+            glyph_end = 0.0
+            for code, uni in glyphs:
+                w0 = ts.font.width(code) / 1000.0
+                gw = w0 * ts.size * ts.h_scale
+                extra = (ts.char_spacing +
+                         (ts.word_spacing
+                          if (code == 32 and not ts.font.two_byte)
+                          else 0.0)) * ts.h_scale
+                if not parts:
+                    seg_start = off
+                parts.append(uni)
+                glyph_end = off + gw
+                off = glyph_end + extra
+                if extra > SPLIT_EM * em:
+                    segs.append((parts, seg_start, glyph_end))
+                    parts = []
+                elif extra > SPACE_EM * em and uni != " " and \
+                        not uni.endswith(" "):
+                    parts.append(" ")
+            if parts:
+                segs.append((parts, seg_start, glyph_end))
+            # advance text matrix by the full string width
+            tm = _mat_mul((1, 0, 0, 1, off, 0), tm_in)
+            if ts.render == 3:   # invisible text (OCR underlay): keep,
+                pass             # docling-parse keeps it too
+            font_scale = abs(eff_size) or 1.0
+            asc, desc = ts.font.ascent, ts.font.descent
+            for seg_parts, a0, a1 in segs:
+                text = "".join(seg_parts)
+                if not text:
+                    continue
+                (x0, _), (x1, _) = at(a0), at(a1)
+                self.runs.append(TextRun(
+                    text, min(x0, x1), y_start - desc * font_scale,
+                    max(x0, x1), y_start + asc * font_scale,
+                    y_start, ts.font_name, eff_size))
+
+        def tj_shift(n: float) -> None:
+            nonlocal tm
+            shift = (-n / 1000.0) * ts.size * ts.h_scale
+            if ts.font is not None and ts.size and \
+                    (-n / 1000.0) > SPACE_EM and self.runs:
+                last = self.runs[-1]
+                if last.text and not last.text.endswith(" "):
+                    last.text += " "
+            tm = _mat_mul((1, 0, 0, 1, shift, 0), tm)
+
+        while True:
+            lex.skip_ws()
+            if lex.pos >= len(content):
+                break
+            c = lex.peek_byte()
+            if c in b"/(<[":
+                if c == b"[":
+                    # TJ array — read raw to preserve number/string order
+                    stack.append(lex.read_object())
+                else:
+                    stack.append(lex.read_object())
+                continue
+            tok = lex.read_token()
+            if tok is None:
+                break
+            try:
+                if b"." in tok or tok.lstrip(b"+-").isdigit():
+                    stack.append(float(tok))
+                    continue
+            except Exception:
+                pass
+            op = tok
+            try:
+                if op == b"q":
+                    gs_stack.append(ctm)
+                elif op == b"Q":
+                    if gs_stack:
+                        ctm = gs_stack.pop()
+                elif op == b"cm" and len(stack) >= 6:
+                    m = tuple(float(v) for v in stack[-6:])
+                    ctm = _mat_mul(m, ctm)
+                elif op == b"BT":
+                    tm = tlm = _ID
+                elif op == b"ET":
+                    pass
+                elif op == b"Tf" and len(stack) >= 2:
+                    ts.size = float(stack[-1])
+                    ts.font_name = str(stack[-2])
+                    ts.font = self._font(res, ts.font_name)
+                elif op == b"Tc" and stack:
+                    ts.char_spacing = float(stack[-1])
+                elif op == b"Tw" and stack:
+                    ts.word_spacing = float(stack[-1])
+                elif op == b"Tz" and stack:
+                    ts.h_scale = float(stack[-1]) / 100.0
+                elif op == b"TL" and stack:
+                    ts.leading = float(stack[-1])
+                elif op == b"Ts" and stack:
+                    ts.rise = float(stack[-1])
+                elif op == b"Tr" and stack:
+                    ts.render = int(float(stack[-1]))
+                elif op == b"Td" and len(stack) >= 2:
+                    tlm = _mat_mul((1, 0, 0, 1, float(stack[-2]),
+                                    float(stack[-1])), tlm)
+                    tm = tlm
+                elif op == b"TD" and len(stack) >= 2:
+                    ts.leading = -float(stack[-1])
+                    tlm = _mat_mul((1, 0, 0, 1, float(stack[-2]),
+                                    float(stack[-1])), tlm)
+                    tm = tlm
+                elif op == b"Tm" and len(stack) >= 6:
+                    tlm = tuple(float(v) for v in stack[-6:])
+                    tm = tlm
+                elif op == b"T*":
+                    tlm = _mat_mul((1, 0, 0, 1, 0, -ts.leading), tlm)
+                    tm = tlm
+                elif op == b"Tj" and stack:
+                    show(stack[-1])
+                elif op == b"'" and stack:
+                    tlm = _mat_mul((1, 0, 0, 1, 0, -ts.leading), tlm)
+                    tm = tlm
+                    show(stack[-1])
+                elif op == b'"' and len(stack) >= 3:
+                    ts.word_spacing = float(stack[-3])
+                    ts.char_spacing = float(stack[-2])
+                    tlm = _mat_mul((1, 0, 0, 1, 0, -ts.leading), tlm)
+                    tm = tlm
+                    show(stack[-1])
+                elif op == b"TJ" and stack:
+                    arr = stack[-1]
+                    if isinstance(arr, list):
+                        for item in arr:
+                            if isinstance(item, bytes):
+                                show(item, tj_mode=True)
+                            elif isinstance(item, (int, float)):
+                                tj_shift(float(item))
+                elif op == b"Do" and stack:
+                    name = str(stack[-1])
+                    xobjs = self.doc.resolve(
+                        (res or {}).get("XObject")) or {}
+                    xo = self.doc.resolve(xobjs.get(name))
+                    if isinstance(xo, Stream) and \
+                            str(self.doc.resolve(
+                                xo.dict.get("Subtype", ""))) == "Form":
+                        inner_res = self.doc.resolve(
+                            xo.dict.get("Resources")) or res
+                        mtx = self.doc.resolve(xo.dict.get("Matrix"))
+                        inner_ctm = ctm
+                        if isinstance(mtx, list) and len(mtx) == 6:
+                            inner_ctm = _mat_mul(
+                                tuple(float(v) for v in mtx), ctm)
+                        self._depth += 1
+                        self.run(decode_stream(self.doc, xo),
+                                 inner_res, inner_ctm)
+                        self._depth -= 1
+                elif op == b"BI":
+                    # inline image: skip to EI
+                    end = content.find(b"EI", lex.pos)
+                    lex.pos = end + 2 if end >= 0 else len(content)
+            finally:
+                if op not in (b"q", b"Q"):
+                    stack.clear()
+        return self.runs
+
+
+def extract_page_runs(doc: PdfDocument, page: dict) -> dict:
+    """One page → {width, height, runs:[{text,bbox,...}]} with runs in
+    TOPLEFT coordinates (the groundtruth cell convention)."""
+    mb = doc.resolve(page.get("MediaBox")) or [0, 0, 612, 792]
+    mb = [float(doc.resolve(v) or 0) for v in mb]
+    width, height = mb[2] - mb[0], mb[3] - mb[1]
+    interp = ContentInterpreter(doc, doc.resolve(page.get("Resources")))
+    runs = interp.run(doc.page_content(page))
+    out = []
+    for r in runs:
+        if not r.text.strip():
+            continue
+        out.append({
+            "text": r.text,
+            "x0": r.x0 - mb[0], "x1": r.x1 - mb[0],
+            # flip to TOPLEFT: top = H - y_top
+            "y0": height - (r.y1 - mb[1]),
+            "y1": height - (r.y0 - mb[1]),
+            "baseline": height - (r.baseline - mb[1]),
+            "font": r.font, "size": r.size,
+        })
+    return {"width": width, "height": height, "runs": out}
+
+
+def extract_pdf_runs(data: bytes) -> List[dict]:
+    """Whole document → per-page run dicts (the mapInPandas payload)."""
+    doc = PdfDocument(data)
+    return [extract_page_runs(doc, pg) for pg in doc.pages()]
+
+# ---------------------------------------------------------------------------
+# run → line assembly (docling-parse emits line-level cells; these are
+# OUR line semantics, tuned against its cell dumps, not a port)
+
+_RTL_RE = re.compile(r"[֐-ࣿיִ-﷿ﹰ-﻿]")
+_LTR_RE = re.compile(r"[A-Za-z0-9À-ɏ]")
+
+
+def _visual_to_logical(s: str) -> str:
+    """Approximate BiDi visual→logical for RTL-majority lines: reverse
+    the whole string, then restore maximal LTR (latin/digit) segments."""
+    rev = s[::-1]
+    out = []
+    i = 0
+    while i < len(rev):
+        if _LTR_RE.match(rev[i]):
+            j = i
+            while j < len(rev) and (_LTR_RE.match(rev[j])
+                                    or (rev[j] in ".,-+/" and j + 1 < len(rev)
+                                        and _LTR_RE.match(rev[j + 1]))):
+                j += 1
+            out.append(rev[i:j][::-1])
+            i = j
+        else:
+            out.append(rev[i])
+            i += 1
+    return "".join(out)
+
+
+def assemble_lines(runs: List[dict], space_em: float = 0.15,
+                   bidi: bool = False) -> List[dict]:
+    """Group runs into line cells (TOPLEFT coords): same-baseline
+    grouping, x-sorted concatenation with gap-inferred word spaces.
+
+    ``bidi=False`` (default) keeps RTL text in VISUAL order — the same
+    convention docling-parse uses in its cell dumps (its
+    right_to_left_* groundtruth stores reversed Arabic); ``bidi=True``
+    applies the approximate visual→logical reordering for consumers
+    that want readable logical text."""
+    if not runs:
+        return []
+    rs = sorted(runs, key=lambda r: (r["baseline"], r["x0"]))
+    # fake-bold double draw: the same multi-char text painted twice at
+    # a sub-point offset renders once (docling-parse dedups these).
+    # Single glyphs are exempt — zero-advance scripts (Arabic marks)
+    # legitimately stack at one position.
+    deduped: List[dict] = []
+    for r in rs:
+        if deduped:
+            p = deduped[-1]
+            if len(r["text"]) > 1 and p["text"] == r["text"] and \
+                    abs(p["x0"] - r["x0"]) < 0.4 and \
+                    abs(p["baseline"] - r["baseline"]) < 0.4:
+                continue
+        deduped.append(r)
+    rs = deduped
+    lines: List[List[dict]] = []
+    cur: List[dict] = [rs[0]]
+    for r in rs[1:]:
+        ref = cur[-1]
+        tol = 0.5 * max(min(r.get("size") or 4.0,
+                            ref.get("size") or 4.0), 1.0)
+        if abs(r["baseline"] - ref["baseline"]) <= tol:
+            cur.append(r)
+        else:
+            lines.append(cur)
+            cur = [r]
+    lines.append(cur)
+
+    out: List[dict] = []
+    for group in lines:
+        group.sort(key=lambda r: r["x0"])
+        # dominant size + baseline: sub/superscripts are smaller runs
+        # shifted off it (docling-parse marks them $_{..}$ / $^{..}$)
+        main_size = max((r.get("size") or 0.0) for r in group)
+        mains = [r for r in group
+                 if (r.get("size") or 0.0) >= 0.9 * main_size]
+        main_base = sorted(r["baseline"] for r in mains)[len(mains) // 2]
+        text_parts: List[str] = []
+        prev = None
+        for r in group:
+            size_r = r.get("size") or 0.0
+            script = ""
+            if size_r < 0.85 * main_size and main_size > 0:
+                # scripts attach to adjacent text only — a small run
+                # far along the line is a sidebar/other column, not a
+                # super/subscript
+                gap_prev = (r["x0"] - prev["x1"]) if prev is not None \
+                    else 0.0
+                if gap_prev <= 0.8 * main_size:
+                    if main_base - r["baseline"] > 0.10 * main_size:
+                        script = "^"
+                    elif r["baseline"] - main_base > 0.10 * main_size:
+                        script = "_"
+            if prev is not None and not script:
+                gap = r["x0"] - prev["x1"]
+                size = max(min(size_r or 4.0,
+                               prev.get("size") or 4.0), 1.0)
+                if gap > space_em * size and text_parts and \
+                        not text_parts[-1].endswith(" "):
+                    text_parts.append(" ")
+            if script:
+                text_parts.append("$%s{%s}$" % (script, r["text"]))
+            else:
+                text_parts.append(r["text"])
+            prev = r
+        text = "".join(text_parts)
+        if bidi:
+            n_rtl = len(_RTL_RE.findall(text))
+            if n_rtl and n_rtl >= len(_LTR_RE.findall(text)):
+                text = _visual_to_logical(text)
+        out.append({
+            "text": text,
+            "x0": min(r["x0"] for r in group),
+            "y0": min(r["y0"] for r in group),
+            "x1": max(r["x1"] for r in group),
+            "y1": max(r["y1"] for r in group),
+        })
+    return out
+
+
+def extract_pdf_cells(data: bytes, space_em: float = 0.15,
+                      bidi: bool = False) -> List[dict]:
+    """Whole document → per-page line cells:
+    {width, height, cells:[{text,x0,y0,x1,y1}]} — the same shape the
+    structured-page path consumes (parsers/pdf_page.py)."""
+    pages = extract_pdf_runs(data)
+    return [{"width": p["width"], "height": p["height"],
+             "cells": assemble_lines(p["runs"], space_em=space_em,
+                                     bidi=bidi)}
+            for p in pages]
