@@ -430,6 +430,37 @@ def q_pdf_native_roundtrip(spark, sf_dir):
     return parse_pdf_native(blobs)
 
 
+def q_extract_pdf_native_paged(spark, sf_dir):
+    """The COMPLETE native PDF path: corpus text → real two-page PDF
+    binaries (one word per line, sources/pdfsynth.py) → from-scratch
+    byte parse into line cells (parsers/pdfio.py) → structured-page
+    payloads → the full paged pipeline (merge, margins, column/block
+    heuristics, sanitize, reading order, doc reassembly —
+    extract_spans_paged). The oracle recomputes the expected one
+    body-block-per-page span sequence in pure SQL, so a hash match
+    verifies every stage from PDF bytes to assembled spans. Hyphens
+    are stripped in normalization so sanitize's de-hyphenation rule
+    (page_assemble_model.py:38-50) stays SQL-expressible; backticks
+    map 0x60→'‘'→\\' (pdfio decode + sanitize quote fold), mirrored in
+    the oracle. Three Arrow stages + the one documented reassembly
+    shuffle; no other exchanges."""
+    from docling_spark.operators.extract import extract_spans_paged
+    from docling_spark.operators.pdfnative import (pdf_to_page_spans,
+                                                   synth_pdf_word_docs)
+    docs = _docs(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.regexp_replace(F.regexp_replace(
+        F.substring("text", 1, 500), "[^ -~]", " "), "-", ""),
+        " +", " "))
+    words = F.filter(F.split(norm, " "), lambda w: w != F.lit(""))
+    blobs = synth_pdf_word_docs(
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                    words.alias("words")))
+    corpus = pdf_to_page_spans(blobs)
+    out = extract_spans_paged(corpus, num_partitions=_par(spark))
+    return _exploded_spans(out).select("doc_id", "span_offset", "kind",
+                                       "text")
+
+
 def q_extract_image_docs(spark, sf_dir):
     """Image auto-wrap route (reference pdf_backend.py:55-65: images
     become 1-page PDF docs): pure-image documents flow through
@@ -2003,6 +2034,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pdf_native_roundtrip": q_pdf_native_roundtrip,
+        "extract_pdf_native_paged": q_extract_pdf_native_paged,
         "chunk_documents_hier": q_chunk_documents_hier,
         "extract_pdf_page_limit": q_extract_pdf_page_limit,
         "pdf_real_cells": q_pdf_real_cells,
@@ -2672,6 +2704,35 @@ SELECT doc_id, 2 AS n_pages,
        replace(replace(trim(concat(p1, ' ', p2)),
                chr(39), chr(8217)), chr(96), chr(8216)) AS text
 FROM pages
+"""
+
+    oracles["extract_pdf_native_paged"] = """
+WITH norm AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+             substr(text, 1, 500), '[^ -~]', ' ', 'g'),
+             '-', '', 'g'), ' +', ' ', 'g')) AS t
+  FROM documents
+), words AS (
+  SELECT doc_id,
+         list_filter(
+             list_slice(string_split(
+                 replace(t, chr(96), chr(39)), ' '), 1, 40),
+             w -> w <> '') AS ws
+  FROM norm
+), pages AS (
+  SELECT doc_id,
+         array_to_string(
+             ws[1:CAST(ceil(len(ws) / 2.0) AS INT)], ' ') AS p0,
+         array_to_string(
+             ws[CAST(ceil(len(ws) / 2.0) AS INT) + 1:], ' ') AS p1
+  FROM words
+)
+SELECT doc_id, 0 AS span_offset, 'text' AS kind, p0 AS text
+FROM pages WHERE length(p0) > 0
+UNION ALL
+SELECT doc_id, 1 AS span_offset, 'text' AS kind, p1 AS text
+FROM pages WHERE length(p1) > 0
 """
 
     _real_pages_src = """

@@ -42,6 +42,72 @@ def synth_pdf_docs(df: DataFrame, split_at: int = 250) -> DataFrame:
     return df.mapInPandas(batches, schema="doc_id string, pdf binary")
 
 
+def synth_pdf_word_docs(df: DataFrame, max_words: int = 40) -> DataFrame:
+    """(doc_id, words:array<string>) → (doc_id, pdf:binary): two-page
+    PDF, one word per 14pt-spaced line, first ceil(n/2) words on page
+    0 — the same corpus shape corpus_pdf_pages synthesizes as
+    structured payloads, but as genuine PDF bytes."""
+    import math
+
+    from docling_spark.sources.pdfsynth import synth_pdf_pages
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for ws in pdf["words"]:
+                ws = list(ws)[:max_words]
+                half = math.ceil(len(ws) / 2.0)
+                blobs.append(synth_pdf_pages([ws[:half], ws[half:]]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "pdf": pd.Series(blobs, dtype=object)})
+
+    return df.mapInPandas(batches, schema="doc_id string, pdf binary")
+
+
+def pdf_to_page_spans(df: DataFrame) -> DataFrame:
+    """(doc_id, pdf:binary) → (doc_id, spans[kind=pdf_page]): the
+    bridge from raw PDF bytes to the engine's page-parallel pipeline.
+    pdfio parses each document's bytes into per-page line cells and
+    each page becomes one span whose text is the structured-page JSON
+    payload parse_pdf_pages consumes (parsers/pdf_page.py:333) — so
+    raw bytes → native parse → merge/layout/assembly/reading-order is
+    a complete in-repo path with no native library. Zero-shuffle Arrow
+    stage; downstream extract_spans_paged explodes pages itself."""
+    import json
+
+    from docling_spark.parsers.pdfio import extract_pdf_cells
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "spans": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["pdf"]):
+                spans = []
+                try:
+                    pages = extract_pdf_cells(bytes(blob))
+                except Exception:
+                    pages = []
+                for off, page in enumerate(pages):
+                    payload = json.dumps({
+                        "page_no": off,
+                        "width": page["width"],
+                        "height": page["height"],
+                        "cells": [
+                            {"index": i, "text": c["text"],
+                             "l": c["x0"], "t": c["y0"],
+                             "r": c["x1"], "b": c["y1"]}
+                            for i, c in enumerate(page["cells"])],
+                    })
+                    spans.append(("pdf_page", payload, "", off))
+                out["doc_id"].append(doc_id)
+                out["spans"].append(spans)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        batches,
+        schema=("doc_id string, spans array<struct<kind:string,"
+                "text:string,media_ref:string,offset:int>>"))
+
+
 def parse_pdf_native(df: DataFrame) -> DataFrame:
     """(doc_id, pdf:binary) → (doc_id, n_pages, n_cells, text): parse
     the raw bytes with pdfio, assemble line cells per page, join all

@@ -36,6 +36,16 @@ def _lit(text: str) -> bytes:
 def synth_pdf(page_texts: List[str], compress: bool = True) -> bytes:
     """Build a one-column PDF: each input string is one page with one
     text line at a fixed position (10pt Helvetica, WinAnsi)."""
+    return synth_pdf_pages([[t] for t in page_texts], compress=compress)
+
+
+def synth_pdf_pages(pages: List[List[str]],
+                    compress: bool = True) -> bytes:
+    """Build a one-column PDF where each page is a list of text lines
+    laid out top-down at a uniform 14pt step from y=724 (10pt
+    Helvetica) — single-column body geometry, clear of the page
+    header/footer margins."""
+    page_texts = pages
     objs: List[bytes] = []  # 1-indexed object bodies (without N 0 obj)
 
     n_pages = max(1, len(page_texts))
@@ -52,9 +62,11 @@ def synth_pdf(page_texts: List[str], compress: bool = True) -> bytes:
         objs.append((f"<< /Type /Page /Parent 2 0 R /Contents "
                      f"{4 + n_pages + i} 0 R >>").encode())
     for i in range(n_pages):
-        text = page_texts[i] if i < len(page_texts) else ""
-        content = (b"BT /F1 10 Tf 1 0 0 1 36 750 Tm " + _lit(text) +
-                   b" Tj ET")
+        lines = page_texts[i] if i < len(page_texts) else [""]
+        body = b" ".join(
+            f"1 0 0 1 50 {724 - j * 14} Tm ".encode() + _lit(ln) +
+            b" Tj" for j, ln in enumerate(lines))
+        content = b"BT /F1 10 Tf " + body + b" ET"
         if compress:
             comp = zlib.compress(content)
             objs.append(b"<< /Length " + str(len(comp)).encode() +
