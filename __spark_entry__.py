@@ -461,6 +461,49 @@ def q_extract_pdf_native_paged(spark, sf_dir):
                                        "text")
 
 
+def q_extract_pdf_raw_routed(spark, sf_dir):
+    """Production router fed RAW PDF FILE BYTES alongside HTML — the
+    reference's actual entry shape (DocumentConverter takes a stream,
+    sniffs %PDF-, routes to the native parse backend;
+    datamodel/document.py:274-427 + docling_parse_v4_backend).
+    Even doc_ids arrive as html span corpora, odd doc_ids as genuine
+    two-page PDF binaries base64-packed in one 'pdf_raw' span.
+    extract_routed sends the raw branch through the from-scratch byte
+    parser (pdfio) into the SAME page-parallel pipeline as pre-parsed
+    pdf_page corpora; both sides land in one output table. The oracle
+    recomputes both sides in pure SQL, so the hash match covers the
+    routing predicate, the base64 unpack, the full native parse and
+    the doc-path html parse in one query."""
+    from docling_spark.operators.extract import extract_routed
+    from docling_spark.operators.pdfnative import synth_pdf_word_docs
+    from docling_spark.sources.corpus import corpus_from_documents
+    docs = _docs(spark, sf_dir)
+    html = (corpus_from_documents(spark, sf_dir)
+            .filter(F.col("doc_id").cast("long") % 2 == 0))
+    norm = F.trim(F.regexp_replace(F.regexp_replace(F.regexp_replace(
+        F.substring("text", 1, 500), "[^ -~]", " "), "-", ""),
+        " +", " "))
+    words = F.filter(F.split(norm, " "), lambda w: w != F.lit(""))
+    blobs = synth_pdf_word_docs(
+        docs.filter(F.col("doc_id") % 2 == 1)
+            .select(F.col("doc_id").cast("string").alias("doc_id"),
+                    words.alias("words")))
+    raw = blobs.select(
+        "doc_id",
+        F.array(F.struct(
+            F.lit("pdf_raw").alias("kind"),
+            F.base64("pdf").alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"))).alias("spans"))
+    corpus = html.unionByName(raw).persist()
+    out = extract_routed(corpus, num_partitions=_par(spark))
+    ex = out.select("doc_id", "status", F.explode("spans").alias("s"))
+    return ex.select("doc_id", "status",
+                     F.col("s.offset").alias("span_offset"),
+                     F.col("s.kind").alias("kind"),
+                     F.col("s.text").alias("text"))
+
+
 def q_extract_image_docs(spark, sf_dir):
     """Image auto-wrap route (reference pdf_backend.py:55-65: images
     become 1-page PDF docs): pure-image documents flow through
@@ -2035,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pdf_native_roundtrip": q_pdf_native_roundtrip,
         "extract_pdf_native_paged": q_extract_pdf_native_paged,
+        "extract_pdf_raw_routed": q_extract_pdf_raw_routed,
         "chunk_documents_hier": q_chunk_documents_hier,
         "extract_pdf_page_limit": q_extract_pdf_page_limit,
         "pdf_real_cells": q_pdf_real_cells,
@@ -2733,6 +2777,53 @@ FROM pages WHERE length(p0) > 0
 UNION ALL
 SELECT doc_id, 1 AS span_offset, 'text' AS kind, p1 AS text
 FROM pages WHERE length(p1) > 0
+"""
+
+    oracles["extract_pdf_raw_routed"] = """
+WITH norm AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+             substr(text, 1, 500), '[^ -~]', ' ', 'g'),
+             '-', '', 'g'), ' +', ' ', 'g')) AS t
+  FROM documents WHERE doc_id % 2 = 1
+), words AS (
+  SELECT doc_id,
+         list_filter(
+             list_slice(string_split(
+                 replace(t, chr(96), chr(39)), ' '), 1, 40),
+             w -> w <> '') AS ws
+  FROM norm
+), pages AS (
+  SELECT doc_id,
+         array_to_string(
+             ws[1:CAST(ceil(len(ws) / 2.0) AS INT)], ' ') AS p0,
+         array_to_string(
+             ws[CAST(ceil(len(ws) / 2.0) AS INT) + 1:], ' ') AS p1
+  FROM words
+)
+SELECT doc_id, 'success' AS status, CAST(0 AS INT) AS span_offset,
+       'text' AS kind, p0 AS text
+FROM pages WHERE length(p0) > 0
+UNION ALL
+SELECT doc_id, 'success', CAST(1 AS INT), 'text', p1
+FROM pages WHERE length(p1) > 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'success', CAST(0 AS INT), 'title',
+       'Doc ' || CAST(doc_id AS VARCHAR)
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'success', CAST(1 AS INT), 'text', text
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'success', CAST(2 AS INT),
+       'section_header', 'Stats' FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'success', CAST(3 AS INT), 'text',
+       CAST(n_chars AS VARCHAR) || ' chars'
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'success', CAST(4 AS INT), 'picture', ''
+FROM documents WHERE doc_id % 2 = 0 AND doc_id % 5 = 0
 """
 
     _real_pages_src = """

@@ -28,6 +28,9 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_QUERIES = [
     "extract_html_spans",
     "extract_pdf_paged",
+    "extract_pdf_native_paged",
+    "pdf_native_roundtrip",
+    "extract_pdf_raw_routed",
     "extract_uspto_spans",
     "extract_status_counts",
     "extract_doctags_spans",
@@ -37,6 +40,8 @@ BENCH_QUERIES = [
     "pdf_page_cells",
     "page_dump",
     "export_markdown",
+    "chunk_documents",
+    "chunk_documents_hier",
     "enrich_spans",
     "format_sniff",
     "format_sniff_exact",

@@ -671,16 +671,35 @@ def extract_routed(
     pdf_backend.py:55-65): each image span becomes one 'picture'
     output span in order, status success — the OCR/layout models that
     would text-mine the bitmap are pluggable slots. This branch is
-    pure Catalyst; image payloads never reach Python."""
+    pure Catalyst; image payloads never reach Python.
+
+    Documents carrying a 'pdf_raw' span (base64 PDF file bytes in the
+    span text — how binary payloads ride the string span schema) take
+    the full native path: from-scratch byte parse (parsers/pdfio.py,
+    the in-repo replacement for the reference's docling-parse native
+    lib, backend/docling_parse_v4_backend.py) into per-page cell
+    payloads, then the same page-parallel pipeline as pre-parsed
+    pdf_page corpora. One extra zero-shuffle Arrow stage; the page
+    explode after it keeps mega-PDF skew structural, not salted."""
+    from .pdfnative import pdf_to_page_spans
     is_paged = F.exists("spans", lambda s: s["kind"] == "pdf_page")
     is_image = (F.exists("spans", lambda s: s["kind"] == "image")
                 & ~F.exists("spans", lambda s: s["kind"] != "image"))
+    is_raw = F.exists("spans", lambda s: s["kind"] == "pdf_raw")
     doc_side = extract_spans(
-        df.filter(~is_paged & ~is_image), allowed_kinds=allowed_kinds,
+        df.filter(~is_paged & ~is_image & ~is_raw),
+        allowed_kinds=allowed_kinds,
         max_payload_chars=max_payload_chars, num_partitions=num_partitions,
         oversize=oversize)
-    paged_side = extract_spans_paged(
-        df.filter(is_paged & ~is_image), num_partitions=num_partitions)
+    raw = df.filter(is_raw).select(
+        "doc_id",
+        F.unbase64(F.element_at(
+            F.filter("spans", lambda s: s["kind"] == "pdf_raw"),
+            1)["text"]).alias("pdf"))
+    paged_in = df.filter(is_paged & ~is_image & ~is_raw).select(
+        "doc_id", "spans").unionByName(pdf_to_page_spans(raw))
+    paged_side = extract_spans_paged(paged_in,
+                                     num_partitions=num_partitions)
     image_side = df.filter(is_image).select(
         "doc_id",
         F.transform(

@@ -72,7 +72,15 @@ def pdf_to_page_spans(df: DataFrame) -> DataFrame:
     payload parse_pdf_pages consumes (parsers/pdf_page.py:333) — so
     raw bytes → native parse → merge/layout/assembly/reading-order is
     a complete in-repo path with no native library. Zero-shuffle Arrow
-    stage; downstream extract_spans_paged explodes pages itself."""
+    stage; downstream extract_spans_paged explodes pages itself.
+
+    Corrupt or page-less documents emit ONE sentinel pdf_page span
+    whose payload carries a ``pdfio_error`` field; parse_page raises
+    on it, so the paged path's existing per-page error containment
+    converts the document to a FAILURE row with the real message —
+    same Arrow stage, no second parse pass, nothing silently dropped
+    (mirrors the reference's ConversionStatus.FAILURE on backend
+    parse errors, datamodel/document.py:130-165)."""
     import json
 
     from docling_spark.parsers.pdfio import extract_pdf_cells
@@ -82,10 +90,21 @@ def pdf_to_page_spans(df: DataFrame) -> DataFrame:
             out = {"doc_id": [], "spans": []}
             for doc_id, blob in zip(pdf["doc_id"], pdf["pdf"]):
                 spans = []
+                err = None
                 try:
                     pages = extract_pdf_cells(bytes(blob))
-                except Exception:
+                    if not pages:
+                        err = "no pages parsed"
+                except Exception as exc:
                     pages = []
+                    err = f"{type(exc).__name__}: {exc}"[:300]
+                if err is not None:
+                    out["doc_id"].append(doc_id)
+                    out["spans"].append([(
+                        "pdf_page",
+                        json.dumps({"page_no": 0, "pdfio_error": err}),
+                        "", 0)])
+                    continue
                 for off, page in enumerate(pages):
                     payload = json.dumps({
                         "page_no": off,

@@ -334,6 +334,12 @@ def parse_page(payload: str) -> Dict:
     """One structured-page payload → dict with body block texts and
     furniture (header/footer) texts, in reading order."""
     page = json.loads(payload)
+    if isinstance(page, dict) and "pdfio_error" in page:
+        # sentinel recorded by the native byte parser
+        # (operators/pdfnative.py): surface it as this page's error so
+        # the paged path's per-page containment turns it into
+        # FAILURE/PARTIAL status with the real message.
+        raise ValueError(page["pdfio_error"])
     width = float(page.get("width", 612.0))
     height = float(page.get("height", 792.0))
     cells = [Cell(int(c.get("index", i)), c.get("text", ""),

@@ -129,3 +129,43 @@ def test_unsupported_kind_is_skipped(spark):
     row = extract_spans(df).collect()[0]
     assert row.status == "skipped"
     assert row.spans == [] and row.errors == []
+
+
+def test_pdf_raw_routed(spark):
+    """extract_routed's raw-PDF branch: genuine PDF file bytes
+    (base64 in a pdf_raw span) go through the from-scratch byte
+    parser into the page-parallel path; corrupt bytes become a
+    FAILURE row with the parser's message (the reference's
+    ConversionStatus.FAILURE on backend errors,
+    tests/test_invalid_input.py:38-40) — never a silent drop."""
+    import base64
+
+    from docling_spark.operators.extract import extract_routed
+    from docling_spark.sources.pdfsynth import synth_pdf_pages
+
+    blob = synth_pdf_pages([["alpha", "beta"], ["gamma"]])
+    rows = [
+        ("raw", [("pdf_raw", base64.b64encode(blob).decode("ascii"),
+                  "", 0)]),
+        ("doc", [("md", "# Title\n\nbody text", "", 0)]),
+        ("bad", [("pdf_raw",
+                  base64.b64encode(b"not a pdf at all").decode("ascii"),
+                  "", 0)]),
+    ]
+    df = spark.createDataFrame(rows, schema=INPUT_SCHEMA)
+    got = {r["doc_id"]: r for r in extract_routed(df).collect()}
+    assert set(got) == {"raw", "doc", "bad"}
+
+    assert got["raw"]["status"] == "success"
+    assert [s["text"] for s in got["raw"]["spans"]] == \
+        ["alpha beta", "gamma"]
+    assert [s["offset"] for s in got["raw"]["spans"]] == [0, 1]
+
+    assert got["doc"]["status"] == "success"
+    assert got["doc"]["spans"][0]["kind"] == "title"
+
+    assert got["bad"]["status"] == "failure"
+    assert got["bad"]["spans"] == []
+    assert any("pdf" in (e["message"] or "").lower()
+               or "Error" in (e["message"] or "")
+               for e in got["bad"]["errors"])
