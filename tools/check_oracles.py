@@ -119,17 +119,33 @@ def main():
     todo = [(n, f) for n, f in qs.items() if not only or n == only]
     jobs = int(os.environ.get("ORACLE_JOBS", "4"))
     failures = 0
+    results = {}
+
+    def record(name, bad, lines):
+        results[name] = {"ok": not bad, "detail": lines[0]}
+
     if jobs <= 1:
         for n, f in todo:
             bad, lines = check_one(n, f)
             failures += bad
+            record(n, bad, lines)
             print("\n".join(lines))
     else:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=jobs) as ex:
-            for bad, lines in ex.map(lambda t: check_one(*t), todo):
+            for (n, _), (bad, lines) in zip(
+                    todo, ex.map(lambda t: check_one(*t), todo)):
                 failures += bad
+                record(n, bad, lines)
                 print("\n".join(lines))
+    out_path = os.environ.get("ORACLE_SWEEP_OUT")
+    if out_path:
+        import json
+        with open(out_path, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "n_queries": len(todo),
+                       "n_failures": failures, "results": results},
+                      fh, indent=1, sort_keys=True)
+        print(f"wrote {out_path}")
     spark.stop()
     sys.exit(1 if failures else 0)
 
