@@ -504,6 +504,79 @@ def q_extract_pdf_raw_routed(spark, sf_dir):
                      F.col("s.text").alias("text"))
 
 
+def _messy_urls(spark, sf_dir):
+    """Deterministic messy-URL corpus: groups of 5 consecutive doc_ids
+    are the same logical page fetched 5 ways (case-variant www host +
+    default port, trailing slash + utm param, fragment + utm param,
+    duplicate slashes + fbclid). All five canonicalize to
+    https://h{gid%50}.example.com/p/{gid}?id={gid}."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    gid = F.floor(F.col("doc_id") / 5).cast("long")
+    g = gid.cast("string")
+    host = F.concat(F.lit("h"), (gid % 50).cast("string"),
+                    F.lit(".example.com"))
+    v = F.col("doc_id") % 5
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), host, F.lit("/p/"), g,
+                                F.lit("?id="), g))
+        .when(v == 1, F.concat(F.lit("https://WWW."), F.upper(host),
+                               F.lit(":443/p/"), g, F.lit("?id="), g))
+        .when(v == 2, F.concat(F.lit("https://"), host, F.lit("/p/"), g,
+                               F.lit("/?utm_source=feed&id="), g))
+        .when(v == 3, F.concat(F.lit("https://"), host, F.lit("/p/"), g,
+                               F.lit("?id="), g,
+                               F.lit("&utm_campaign=x#frag")))
+        .otherwise(F.concat(F.lit("https://"), host, F.lit("//p//"), g,
+                            F.lit("?fbclid=abc123&id="), g)))
+    return docs.select("doc_id", url.alias("url"))
+
+
+_MESSY_URLS_SQL = """
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'https://' || h || '/p/' || g || '?id=' || g
+           WHEN 1 THEN 'https://WWW.' || upper(h) || ':443/p/' || g
+                       || '?id=' || g
+           WHEN 2 THEN 'https://' || h || '/p/' || g
+                       || '/?utm_source=feed&id=' || g
+           WHEN 3 THEN 'https://' || h || '/p/' || g || '?id=' || g
+                       || '&utm_campaign=x#frag'
+           ELSE 'https://' || h || '//p//' || g
+                || '?fbclid=abc123&id=' || g
+         END AS url,
+         'https://' || h || '/p/' || g || '?id=' || g AS canon
+  FROM (SELECT doc_id,
+               CAST(doc_id // 5 AS VARCHAR) AS g,
+               'h' || CAST((doc_id // 5) % 50 AS VARCHAR)
+                   || '.example.com' AS h
+        FROM documents)
+"""
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """Per-row URL canonicalization (operators/weburl.py — RFC 3986 §6
+    normalization + crawler practice: lowercase scheme/host, drop
+    fragment, strip default port and leading www., collapse/strip
+    slashes, drop utm_*/fbclid/... tracking params, sort the rest).
+    Pure Catalyst — zero shuffle, whole-stage codegen; the oracle
+    recomputes the expected canonical form independently so every
+    rule is checked on every row."""
+    from docling_spark.operators.weburl import canonicalize_urls
+    return canonicalize_urls(_messy_urls(spark, sf_dir)) \
+        .select("doc_id", "url", "canon_url")
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-level dedup, the FIRST pass of every web-crawl curation
+    pipeline (C4/CCNet/RefinedWeb dedup by canonical URL before any
+    content hashing): one hash aggregation on the canonical string,
+    keeper = smallest doc_id, n_dups = fetch count. Groups of 5
+    synthetic fetch variants collapse to one row each."""
+    from docling_spark.operators.weburl import url_dedup
+    return url_dedup(_messy_urls(spark, sf_dir)) \
+        .select("canon_url", "keep_id", "n_dups")
+
+
 def q_extract_image_docs(spark, sf_dir):
     """Image auto-wrap route (reference pdf_backend.py:55-65: images
     become 1-page PDF docs): pure-image documents flow through
@@ -1521,6 +1594,52 @@ def q_lm_quality(spark, sf_dir):
     return lm_score(docs, ref, max_mean_nll_e6=3_430_000)
 
 
+def q_lm_quality_buckets(spark, sf_dir):
+    """CCNet's per-language head/middle/tail perplexity strata
+    (Wenzek et al. 2020 §4.4): every doc scored by integer-quantized
+    mean NLL under the doc_id%10==0 reference model, then tertiled
+    WITHIN its language by exact rank (doc_id tiebreak). The oracle
+    replays model training, scoring, and the rank bucketing; the
+    sketch-threshold scale path (no per-language total order) is
+    parity-tested in tests/test_lm_buckets.py
+    (operators/lmscore.py:lm_buckets)."""
+    from docling_spark.operators.lmscore import lm_buckets
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text")
+    ref = docs.filter(F.col("doc_id") % 10 == 0)
+    return lm_buckets(docs, ref, thresholds="exact")
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+
+    bigram bag models on the target slice (English docs with
+    doc_id%10==0, the 'wiki-like' curated set) vs the raw pool;
+    per-document weight = integer sum of quantized per-bucket
+    log-ratios — order-independent and engine-exact. Model = two
+    ≤256-row broadcast aggregations; scoring = one explode +
+    broadcast join + one groupBy (operators/dsir.py)."""
+    from docling_spark.operators.dsir import dsir_weights
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    target = docs.filter((F.col("lang") == "en")
+                         & (F.col("doc_id") % 10 == 0))
+    return dsir_weights(docs.select("doc_id", "text"),
+                        target.select("doc_id", "text"))
+
+
+def q_dsir_resample(spark, sf_dir):
+    """DSIR's Gumbel-top-k resampling: rank by weight + Gumbel noise
+    (a pure md5 function of doc_id — deterministic, replayable) and
+    keep the global top-100 via the salted two-phase top-k — the
+    paper's 'sample ∝ w(x) without replacement' spelled as a ranking
+    (operators/dsir.py:dsir_resample)."""
+    from docling_spark.operators.dsir import dsir_resample
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    target = docs.filter((F.col("lang") == "en")
+                         & (F.col("doc_id") % 10 == 0))
+    return dsir_resample(docs.select("doc_id", "text"),
+                         target.select("doc_id", "text"), k=100)
+
+
 def q_events_quantiles_sketch(spark, sf_dir):
     """Histogram-sketch quantiles (1024 equi-width bins): the
     few-huge-groups scale path — per-group shuffle volume is bounded
@@ -2076,6 +2195,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "url_canonicalize": q_url_canonicalize,
+        "url_dedup": q_url_dedup,
+        "lm_quality_buckets": q_lm_quality_buckets,
+        "dsir_weights": q_dsir_weights,
+        "dsir_resample": q_dsir_resample,
         "pdf_native_roundtrip": q_pdf_native_roundtrip,
         "extract_pdf_native_paged": q_extract_pdf_native_paged,
         "extract_pdf_raw_routed": q_extract_pdf_raw_routed,
@@ -2777,6 +2901,17 @@ FROM pages WHERE length(p0) > 0
 UNION ALL
 SELECT doc_id, 1 AS span_offset, 'text' AS kind, p1 AS text
 FROM pages WHERE length(p1) > 0
+"""
+
+    oracles["url_canonicalize"] = f"""
+WITH u AS ({_MESSY_URLS_SQL})
+SELECT doc_id, url, canon AS canon_url FROM u
+"""
+
+    oracles["url_dedup"] = f"""
+WITH u AS ({_MESSY_URLS_SQL})
+SELECT canon AS canon_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM u GROUP BY canon
 """
 
     oracles["extract_pdf_raw_routed"] = """
@@ -3924,6 +4059,85 @@ SELECT doc_id, CAST(n AS INT) AS n_tokens,
        CAST(floor(-1.0 * slp / n) AS BIGINT) AS mean_nll_e6,
        CAST(floor(-1.0 * slp / n) <= 3430000 AS INT) AS keep
 FROM a
+"""
+
+    oracles["lm_quality_buckets"] = f"""
+WITH rt AS (SELECT unnest(string_split({NORM_SQL}, ' ')) AS token
+            FROM documents WHERE doc_id % 10 = 0),
+c AS (SELECT token, count(*) AS c FROM rt GROUP BY token),
+s AS (SELECT sum(c) AS n, count(*) AS v FROM c),
+v AS (SELECT token,
+             CAST(floor(ln((c + 0.5) / (n + 0.5 * (v + 1))) * 1000000)
+                  AS BIGINT) AS lp
+      FROM c, s),
+u AS (SELECT CAST(floor(ln(0.5 / (n + 0.5 * (v + 1))) * 1000000)
+                  AS BIGINT) AS lp FROM s),
+w AS (SELECT doc_id, lang, unnest(string_split({NORM_SQL}, ' ')) AS token
+      FROM documents),
+j AS (SELECT doc_id, lang, COALESCE(v.lp, (SELECT lp FROM u)) AS lp
+      FROM w LEFT JOIN v USING (token)),
+a AS (SELECT doc_id, lang, count(*) AS n, sum(lp) AS slp FROM j
+      GROUP BY doc_id, lang),
+m AS (SELECT doc_id, lang, CAST(n AS INT) AS n_tokens,
+             CAST(floor(-1.0 * slp / n) AS BIGINT) AS mean_nll_e6
+      FROM a)
+SELECT doc_id, lang, n_tokens, mean_nll_e6,
+       CAST(floor(3.0 * (ROW_NUMBER() OVER
+                (PARTITION BY lang ORDER BY mean_nll_e6, doc_id) - 1)
+             / COUNT(*) OVER (PARTITION BY lang)) AS INT) AS bucket
+FROM m
+"""
+
+    _DSIR_W_SQL = f"""
+WITH d AS (SELECT doc_id, string_split({NORM_SQL}, ' ') AS t
+           FROM documents),
+g AS (SELECT doc_id, unnest(t) AS gram FROM d
+      UNION ALL
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+            FROM d WHERE len(t) >= 2)),
+b AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(gram), 1, 8))::BIGINT % 256
+                  AS INT) AS bucket
+      FROM g),
+tb AS (SELECT b.bucket FROM b JOIN documents dd ON b.doc_id = dd.doc_id
+       WHERE dd.lang = 'en' AND dd.doc_id % 10 = 0),
+tc AS (SELECT bucket, count(*) AS c FROM tb GROUP BY bucket),
+tn AS (SELECT sum(c) AS n FROM tc),
+grid AS (SELECT unnest(generate_series(0, 255)) AS bucket),
+lpt AS (SELECT g.bucket,
+               CAST(floor(ln((COALESCE(tc.c, 0) + 1) / (tn.n + 256))
+                          * 1000000) AS BIGINT) AS lp
+        FROM grid g LEFT JOIN tc ON g.bucket = tc.bucket, tn),
+sc AS (SELECT bucket, count(*) AS c FROM b GROUP BY bucket),
+sn AS (SELECT sum(c) AS n FROM sc),
+lps AS (SELECT g.bucket,
+               CAST(floor(ln((COALESCE(sc.c, 0) + 1) / (sn.n + 256))
+                          * 1000000) AS BIGINT) AS lp
+        FROM grid g LEFT JOIN sc ON g.bucket = sc.bucket, sn),
+llr AS (SELECT t.bucket, t.lp - s.lp AS llr
+        FROM lpt t JOIN lps s ON t.bucket = s.bucket),
+w AS (SELECT b.doc_id, count(*) AS n, sum(l.llr) AS w
+      FROM b JOIN llr l ON b.bucket = l.bucket GROUP BY b.doc_id)
+"""
+
+    oracles["dsir_weights"] = _DSIR_W_SQL + """
+SELECT doc_id, CAST(n AS INT) AS n_grams, CAST(w AS BIGINT) AS weight_e6,
+       CAST(w > 0 AS INT) AS keep
+FROM w
+"""
+
+    oracles["dsir_resample"] = _DSIR_W_SQL + """
+, s AS (SELECT doc_id,
+          CAST(floor((w / 1000000.0
+            + (-ln(-ln(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                       ::BIGINT / 281474976710656.0))))
+            * 1000000) AS BIGINT) AS score_e6
+        FROM w)
+SELECT doc_id, score_e6,
+       CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id ASC)
+            AS INT) AS rank
+FROM s QUALIFY rank <= 100
 """
 
     oracles["bpe_merge_candidates"] = f"""

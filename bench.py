@@ -31,6 +31,11 @@ BENCH_QUERIES = [
     "extract_pdf_native_paged",
     "pdf_native_roundtrip",
     "extract_pdf_raw_routed",
+    "url_canonicalize",
+    "url_dedup",
+    "lm_quality_buckets",
+    "dsir_weights",
+    "dsir_resample",
     "extract_uspto_spans",
     "extract_status_counts",
     "extract_doctags_spans",

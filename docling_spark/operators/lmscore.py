@@ -181,3 +181,65 @@ def lm_score_bigram(docs: DataFrame, ref: DataFrame, *,
             "keep", (F.col("mean_nll_e6") <= max_mean_nll_e6)
             .cast("int"))
     return out
+
+
+def lm_buckets(docs: DataFrame, ref: DataFrame, *,
+               n_buckets: int = 3,
+               alpha: float = LM_ALPHA,
+               broadcast_vocab: bool = True,
+               thresholds: str = "exact") -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4: sort
+    each language by LM perplexity, cut into equal parts; 'head' is
+    the most reference-like slice, used as the high-quality corpus).
+
+    ``docs``: (doc_id, lang, text) → (doc_id, lang, n_tokens,
+    mean_nll_e6, bucket), bucket 0..n_buckets-1 (0 = head).
+
+    ``thresholds="exact"`` is the paper's literal spelling — a
+    per-language total order (row_number with doc_id tiebreak). That
+    puts a whole language in one sort partition: correct and
+    oracle-exact, but the wrong shape at 100 TB where one language is
+    tens of TB. ``thresholds="sketch"`` is the scale path: per-language
+    bucket boundaries read off the 1024-bin histogram sketch
+    (operators/sketch.py — bounded shuffle, no total order), broadcast
+    back as a threshold table; documents within one bin width of a
+    boundary may land one bucket off, which the CCNet gate tolerates
+    by design (the buckets are themselves heuristic strata)."""
+    vocab, unseen = unigram_lm_table(ref, alpha=alpha)
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    toks = docs.select("doc_id", "lang",
+                       F.explode(tokens_col()).alias("token"))
+    scored = (toks
+              .join(vocab, "token", "left")
+              .crossJoin(F.broadcast(
+                  unseen.select(F.col("lp_e6").alias("_u"))))
+              .select("doc_id", "lang",
+                      F.coalesce("lp_e6", "_u").alias("lp")))
+    agg = (scored.groupBy("doc_id", "lang")
+           .agg(F.count("*").alias("_n"), F.sum("lp").alias("_slp")))
+    out = agg.select(
+        "doc_id", "lang", F.col("_n").cast("int").alias("n_tokens"),
+        F.floor(-1.0 * F.col("_slp") / F.col("_n"))
+        .cast("long").alias("mean_nll_e6"))
+    if thresholds == "exact":
+        from pyspark.sql import Window
+        w = Window.partitionBy("lang").orderBy("mean_nll_e6", "doc_id")
+        rn = F.row_number().over(w)
+        cnt = F.count("*").over(Window.partitionBy("lang"))
+        bucket = F.floor(F.lit(float(n_buckets)) * (rn - 1) / cnt)
+        return out.select("doc_id", "lang", "n_tokens", "mean_nll_e6",
+                          bucket.cast("int").alias("bucket"))
+    if thresholds != "sketch":
+        raise ValueError(f"thresholds must be exact|sketch: {thresholds}")
+    from .sketch import quantiles_sketch
+    ps = [i / float(n_buckets) for i in range(1, n_buckets)]
+    th = quantiles_sketch(out, group_col="lang",
+                          value_col="mean_nll_e6", ps=ps)
+    th = (th.groupBy("lang")
+          .agg(F.array_sort(F.collect_list("est_e2")).alias("_th")))
+    joined = out.join(F.broadcast(th), "lang")
+    bucket = F.size(F.filter(
+        "_th", lambda t: F.col("mean_nll_e6") * 100 > t))
+    return joined.select("doc_id", "lang", "n_tokens", "mean_nll_e6",
+                         bucket.cast("int").alias("bucket"))

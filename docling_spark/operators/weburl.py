@@ -1,0 +1,101 @@
+"""URL canonicalization + URL-level dedup for web-crawl corpora.
+
+Web-scale pipelines (C4, Raffel et al. 2020; CCNet, Wenzek et al.
+2020; RefinedWeb, Penedo et al. 2023) dedup FIRST by URL: the same
+page is fetched many times with tracking parameters, fragments,
+case-variant hosts, default ports, duplicate/trailing slashes. The
+reference engine has no crawl layer (it starts from fetched bytes,
+datamodel/document.py:274-427 resolves streams) — this module is the
+§2.7 training-data addition that sits in front of it.
+
+Canonicalization is pure Catalyst string expressions — JVM-side,
+whole-stage-codegen, zero Python, zero shuffle. Dedup is ONE hash
+aggregation on the canonical string (the same single-shuffle shape as
+dedup_exact). At 100 TB, pre-aggregate on xxhash64(canon) to shrink
+shuffle bytes and carry the string only for the keeper row
+(``hash_shuffle=True``).
+
+Rules applied (the common subset of RFC 3986 §6 normalization and
+crawler practice):
+
+* scheme and host lowercased; fragment dropped
+* default port stripped (``:80`` for http, ``:443`` for https)
+* leading ``www.`` stripped from the host
+* duplicate slashes in the path collapsed; trailing slashes stripped
+* tracking query params dropped (``utm_*``, fbclid, gclid, mc_cid,
+  mc_eid, ref); remaining params sorted for order-independence
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TRACKING_KEYS = ["fbclid", "gclid", "mc_cid", "mc_eid", "ref"]
+TRACKING_PREFIX = "utm_"
+
+
+def canonical_url_col(url: Column) -> Column:
+    """Catalyst expression: raw URL string → canonical form."""
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")  # drop fragment
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    path = F.regexp_extract(rest, r"^[^/?]*([^?]*)", 1)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+
+    host = F.when(scheme == "http",
+                  F.regexp_replace(hostport, ":80$", "")) \
+            .when(scheme == "https",
+                  F.regexp_replace(hostport, ":443$", "")) \
+            .otherwise(hostport)
+    host = F.regexp_replace(host, r"^www\.", "")
+
+    path = F.regexp_replace(path, "/{2,}", "/")
+    path = F.regexp_replace(path, "/+$", "")
+
+    def _keep(p: Column) -> Column:
+        key = F.element_at(F.split(p, "="), 1)
+        return ((p != F.lit("")) & ~key.startswith(TRACKING_PREFIX)
+                & ~key.isin(TRACKING_KEYS))
+
+    params = F.array_sort(F.filter(F.split(query, "&"), _keep))
+    qcanon = F.array_join(params, "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qcanon != "", F.concat(F.lit("?"), qcanon))
+         .otherwise(F.lit("")))
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds ``canon_url``. Narrow — no shuffle; stays inside
+    whole-stage codegen with the surrounding projections."""
+    return df.withColumn("canon_url", canonical_url_col(F.col(url_col)))
+
+
+def url_dedup(df: DataFrame, url_col: str = "url", *,
+              id_col: str = "doc_id",
+              hash_shuffle: bool = False) -> DataFrame:
+    """One row per canonical URL: (canon_url, keep_id, n_dups), keeper
+    = the smallest id (earliest fetch). ONE shuffle.
+
+    ``hash_shuffle=True`` aggregates on xxhash64(canon_url) instead of
+    the string — at 100 TB the shuffle carries 8 bytes per key instead
+    of the full URL; min_by keeps (canon, id) for the keeper row, so
+    the output is identical (modulo astronomically unlikely xxhash64
+    collisions, which would merge two URLs — acceptable for crawl
+    frontier dedup, not for billing)."""
+    canon = canonical_url_col(F.col(url_col)).alias("canon_url")
+    rows = df.select(canon, F.col(id_col).alias("_id"))
+    if hash_shuffle:
+        keyed = rows.select(F.xxhash64("canon_url").alias("k"),
+                            "canon_url", "_id")
+        agg = keyed.groupBy("k").agg(
+            F.min_by(F.struct("canon_url", "_id"), "_id").alias("keep"),
+            F.count("*").alias("n_dups"))
+        return agg.select(F.col("keep.canon_url").alias("canon_url"),
+                          F.col("keep._id").alias("keep_id"), "n_dups")
+    return (rows.groupBy("canon_url")
+            .agg(F.min("_id").alias("keep_id"),
+                 F.count("*").alias("n_dups")))

@@ -1,0 +1,66 @@
+"""URL canonicalization rules + dedup shapes (operators/weburl.py)."""
+
+from pyspark.sql import functions as F
+
+from docling_spark.operators.weburl import (
+    canonical_url_col,
+    canonicalize_urls,
+    url_dedup,
+)
+
+CASES = [
+    # lowercase scheme+host, keep non-default port
+    ("HTTPS://Example.COM:8443/A/b", "https://example.com:8443/A/b"),
+    # strip default ports per scheme
+    ("http://example.com:80/x", "http://example.com/x"),
+    ("https://example.com:443/x", "https://example.com/x"),
+    # :80 is NOT default for https
+    ("https://example.com:80/x", "https://example.com:80/x"),
+    # www. strip, fragment drop
+    ("https://www.example.com/x#sec-2", "https://example.com/x"),
+    # slash collapse + trailing strip (root path becomes empty)
+    ("https://example.com//a///b//", "https://example.com/a/b"),
+    ("https://example.com/", "https://example.com"),
+    # tracking params dropped, rest sorted; empty query → no '?'
+    ("https://example.com/x?utm_source=a&b=2&a=1&fbclid=z",
+     "https://example.com/x?a=1&b=2"),
+    ("https://example.com/x?utm_campaign=only",
+     "https://example.com/x"),
+    # 'ref' dropped but 'refresh' kept (exact key, not prefix)
+    ("https://example.com/x?ref=tw&refresh=1",
+     "https://example.com/x?refresh=1"),
+    # path case preserved (paths are case-sensitive per RFC 3986)
+    ("https://example.com/CaseSensitive", "https://example.com/CaseSensitive"),
+]
+
+
+def test_canonical_rules(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CASES], "url string")
+    got = [r["c"] for r in
+           df.select(canonical_url_col(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in CASES]
+
+
+def test_canonicalize_is_narrow(spark):
+    df = spark.createDataFrame([("https://a.com/x",)], "url string")
+    plan = canonicalize_urls(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_url_dedup_keeper_and_hash_parity(spark):
+    rows = [
+        (1, "https://www.a.com/p?utm_source=x"),
+        (2, "https://a.com:443/p"),
+        (3, "https://a.com/p/"),
+        (9, "https://b.com/q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["canon_url"]: r for r in url_dedup(df).collect()}
+    assert out["https://a.com/p"]["keep_id"] == 1
+    assert out["https://a.com/p"]["n_dups"] == 3
+    assert out["https://b.com/q"]["keep_id"] == 9
+
+    hashed = {r["canon_url"]: r for r in
+              url_dedup(df, hash_shuffle=True).collect()}
+    assert {k: (v["keep_id"], v["n_dups"]) for k, v in out.items()} == \
+        {k: (v["keep_id"], v["n_dups"]) for k, v in hashed.items()}
