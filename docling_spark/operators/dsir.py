@@ -59,15 +59,24 @@ def _bucket_col(gram: Column, buckets: int) -> Column:
                   .cast("long"), F.lit(buckets)).cast("int")
 
 
-def _bucket_logprobs(df: DataFrame, buckets: int,
-                     out: str) -> DataFrame:
-    """(doc_id, text) slice → (bucket, <out>): integer-quantized
-    add-1 log-prob of each hash bucket. ≤``buckets`` rows."""
-    b = df.select(F.explode(_grams_col()).alias("gram")) \
-          .select(_bucket_col(F.col("gram"), buckets).alias("bucket"))
-    counts = b.groupBy("bucket").agg(F.count("*").alias("c"))
+def _doc_bucket_counts(df: DataFrame, buckets: int) -> DataFrame:
+    """(doc_id, text) → (doc_id, bucket, c): per-document hash-bucket
+    histogram. ONE gram explode + ONE groupBy whose map-side combine
+    collapses each document to ≤``buckets`` rows before the shuffle —
+    every downstream consumer (pool model, scoring join) reads this
+    compact frame instead of re-exploding the corpus."""
+    b = df.select("doc_id", F.explode(_grams_col()).alias("gram")) \
+          .select("doc_id",
+                  _bucket_col(F.col("gram"), buckets).alias("bucket"))
+    return b.groupBy("doc_id", "bucket").agg(F.count("*").alias("c"))
+
+
+def _logprobs_from_counts(counts: DataFrame, buckets: int,
+                          out: str) -> DataFrame:
+    """(bucket, c) marginal → (bucket, <out>): integer-quantized add-1
+    log-prob of each hash bucket, dense over all buckets so unseen
+    buckets get the smoothed floor. ≤``buckets`` rows."""
     total = counts.agg(F.sum("c").alias("n"))
-    # dense over all buckets so unseen buckets get the smoothed floor
     grid = counts.sparkSession.range(buckets) \
         .select(F.col("id").cast("int").alias("bucket"))
     dense = (grid.join(counts, "bucket", "left")
@@ -79,24 +88,43 @@ def _bucket_logprobs(df: DataFrame, buckets: int,
     return dense
 
 
+def _bucket_logprobs(df: DataFrame, buckets: int,
+                     out: str) -> DataFrame:
+    """(doc_id, text) slice → (bucket, <out>) add-1 log-probs."""
+    b = df.select(F.explode(_grams_col()).alias("gram")) \
+          .select(_bucket_col(F.col("gram"), buckets).alias("bucket"))
+    counts = b.groupBy("bucket").agg(F.count("*").alias("c"))
+    return _logprobs_from_counts(counts, buckets, out)
+
+
 def dsir_weights(docs: DataFrame, target: DataFrame, *,
-                 buckets: int = DSIR_BUCKETS) -> DataFrame:
+                 buckets: int = DSIR_BUCKETS,
+                 persist_counts: bool = True) -> DataFrame:
     """(doc_id, text) × target slice → (doc_id, n_grams, weight_e6,
     keep): integer log importance ratio per document; keep = 1 when
-    the document looks more target-like than pool-like (weight > 0)."""
+    the document looks more target-like than pool-like (weight > 0).
+
+    The pool model q and the per-document scores are BOTH derived from
+    one persisted per-doc bucket histogram, so the corpus is tokenized
+    and md5-hashed exactly once (the target slice is small by the
+    method's design and is exploded directly). ``persist_counts=False``
+    trades the cache for a second histogram compute — the knob for a
+    100-TB run where the histogram (≤``buckets`` rows/doc) should be
+    checkpointed to a table instead of executor memory."""
+    bc = _doc_bucket_counts(docs, buckets)
+    if persist_counts:
+        bc = bc.persist()
     p = _bucket_logprobs(target, buckets, "lp_t")
-    q = _bucket_logprobs(docs, buckets, "lp_s")
+    q = _logprobs_from_counts(
+        bc.groupBy("bucket").agg(F.sum("c").alias("c")), buckets, "lp_s")
     llr = F.broadcast(p.join(q, "bucket")
                       .select("bucket",
                               (F.col("lp_t") - F.col("lp_s"))
                               .alias("llr")))
-    grams = docs.select(
-        "doc_id", F.explode(_grams_col()).alias("gram")) \
-        .select("doc_id", _bucket_col(F.col("gram"), buckets)
-                .alias("bucket"))
-    agg = (grams.join(llr, "bucket")
+    agg = (bc.join(llr, "bucket")
            .groupBy("doc_id")
-           .agg(F.count("*").alias("_n"), F.sum("llr").alias("_w")))
+           .agg(F.sum("c").alias("_n"),
+                F.sum(F.col("c") * F.col("llr")).alias("_w")))
     return agg.select(
         "doc_id", F.col("_n").cast("int").alias("n_grams"),
         F.col("_w").cast("long").alias("weight_e6"),
