@@ -504,6 +504,41 @@ def q_extract_pdf_raw_routed(spark, sf_dir):
                      F.col("s.text").alias("text"))
 
 
+def q_page_render_meta(spark, sf_dir):
+    """Page render (SURVEY §2.5 multimodal dump / §2.4 enrichment
+    input; the reference rasterizes via pypdfium2 `get_page_image` —
+    here parsers/raster.py rasterizes the structured page into real
+    PNG bytes with numpy+zlib, no imaging library). The oracle
+    recomputes every metadata column — pixel dims at 72 dpi, cell
+    count and glyph (non-space char) count per page — from the
+    documents table, so the hash pins the renderer's geometry
+    contract. The PNG bytes themselves are pinned by
+    tests/test_render_ocr.py (spec-valid, decodes back bit-exact)."""
+    from docling_spark.operators.render import render_pages
+    from docling_spark.sources.corpus import corpus_pdf_pages
+    out = render_pages(corpus_pdf_pages(spark, sf_dir), dpi=72.0)
+    return out.select("doc_id", "page_no", "width_px", "height_px",
+                      "n_cells", "n_glyphs")
+
+
+def q_page_render_ocr_roundtrip(spark, sf_dir):
+    """Render → OCR round trip (SURVEY §2.4 OCR engine slot): pages
+    are rasterized to PNG (parsers/raster.render_page) and the
+    deterministic template-matching engine (raster.ocr_page) reads the
+    text back from pixels alone — segmentation, glyph windows,
+    word-gap reconstruction, reading order. The oracle recomputes each
+    page's expected text in pure SQL from the documents table, so a
+    hash match proves EXACT text recovery through a real
+    raster+recognition cycle (the reference's OCR engines are external
+    models — models/easyocr_model.py et al. — validated on exactly
+    this contract: rendered page in, line cells out). Two zero-shuffle
+    Arrow stages."""
+    from docling_spark.operators.render import ocr_pages, render_pages
+    from docling_spark.sources.corpus import corpus_pdf_pages
+    imgs = render_pages(corpus_pdf_pages(spark, sf_dir), dpi=72.0)
+    return ocr_pages(imgs.select("doc_id", "page_no", "png"), dpi=72.0)
+
+
 def _messy_urls(spark, sf_dir):
     """Deterministic messy-URL corpus: groups of 5 consecutive doc_ids
     are the same logical page fetched 5 ways (case-variant www host +
@@ -2195,6 +2230,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "page_render_meta": q_page_render_meta,
+        "page_render_ocr_roundtrip": q_page_render_ocr_roundtrip,
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
         "lm_quality_buckets": q_lm_quality_buckets,
@@ -2852,6 +2889,40 @@ UNION ALL
 SELECT doc_id, CAST(CASE WHEN h > 1 THEN 2 ELSE 1 END AS INT), 'text',
        array_to_string(toks[h+1:len(toks)], ' ')
 FROM p WHERE len(toks) > h
+"""
+
+    oracles["page_render_meta"] = """
+WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                  string_split(text, ' ') AS toks FROM documents),
+p AS (SELECT doc_id, toks,
+             CAST(ceil(len(toks) / 2.0) AS INT) AS h FROM t),
+pages AS (
+  SELECT doc_id, 0 AS page_no, toks[1:h] AS pt FROM p
+  UNION ALL
+  SELECT doc_id, 1, toks[h+1:len(toks)] FROM p WHERE len(toks) > h
+)
+SELECT doc_id, CAST(page_no AS INT) AS page_no,
+       CAST(612 AS INT) AS width_px, CAST(792 AS INT) AS height_px,
+       CAST(len(pt) AS INT) AS n_cells,
+       CAST(list_sum(list_transform(pt, w -> len(w))) AS INT)
+           AS n_glyphs
+FROM pages
+"""
+
+    oracles["page_render_ocr_roundtrip"] = """
+WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                  string_split(text, ' ') AS toks FROM documents),
+p AS (SELECT doc_id, toks,
+             CAST(ceil(len(toks) / 2.0) AS INT) AS h FROM t),
+pages AS (
+  SELECT doc_id, 0 AS page_no, toks[1:h] AS pt FROM p
+  UNION ALL
+  SELECT doc_id, 1, toks[h+1:len(toks)] FROM p WHERE len(toks) > h
+)
+SELECT doc_id, CAST(page_no AS INT) AS page_no,
+       CAST(len(pt) AS INT) AS n_cells,
+       array_to_string(pt, ' ') AS text
+FROM pages
 """
 
     oracles["pdf_native_roundtrip"] = """

@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "extract_pdf_native_paged",
     "pdf_native_roundtrip",
     "extract_pdf_raw_routed",
+    "page_render_meta",
+    "page_render_ocr_roundtrip",
     "url_canonicalize",
     "url_dedup",
     "lm_quality_buckets",
@@ -212,7 +214,7 @@ def main() -> None:
         extract_sec = sec if extract_sec is None else min(extract_sec, sec)
     docs_per_sec = n_docs / extract_sec if extract_sec > 0 else 0.0
 
-    print(json.dumps({
+    payload = {
         "metric": ("headline query wall time (docling_spark engine); "
                    "the query SET GROWS each round — compare per-query "
                    "seconds or extra.extract_docs_per_sec (the "
@@ -230,7 +232,20 @@ def main() -> None:
             "extract_docs_per_sec": round(docs_per_sec, 1),
             "row_counts": counts,
         },
-    }))
+    }
+    print(json.dumps(payload))
+    # the driver's log keeps only a 2000-char tail, which drops the
+    # per-query block — always persist the full payload in-repo so
+    # every round's numbers stay auditable (judge round-2 item 6)
+    out_path = os.environ.get(
+        "BENCH_FULL_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH", "bench_full_last.json"))
+    try:
+        with open(out_path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout must not fail the bench
     spark.stop()
 
 
