@@ -504,6 +504,21 @@ def q_extract_pdf_raw_routed(spark, sf_dir):
                      F.col("s.text").alias("text"))
 
 
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style quality classifier (GPT-3 Appendix A / CCNet /
+    RedPajama gate): Naive-Bayes token-LLR model trained curated-vs-
+    raw (doc_id%10==0 as the curated slice, %10==5 as the raw slice),
+    every doc scored by integer-quantized mean LLR and gated at 0 —
+    the NB decision boundary. Training = two vocabulary aggregations
+    (broadcastable, `broadcast_model` knob); scoring = one explode +
+    broadcast join + one groupBy (operators/classify.py)."""
+    from docling_spark.operators.classify import quality_classify
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    pos = docs.filter(F.col("doc_id") % 10 == 0)
+    neg = docs.filter(F.col("doc_id") % 10 == 5)
+    return quality_classify(docs, pos, neg, min_mean_llr_e6=0)
+
+
 def q_page_render_meta(spark, sf_dir):
     """Page render (SURVEY §2.5 multimodal dump / §2.4 enrichment
     input; the reference rasterizes via pypdfium2 `get_page_image` —
@@ -2230,6 +2245,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "quality_classifier": q_quality_classifier,
         "page_render_meta": q_page_render_meta,
         "page_render_ocr_roundtrip": q_page_render_ocr_roundtrip,
         "url_canonicalize": q_url_canonicalize,
@@ -4107,6 +4123,36 @@ FROM (SELECT doc_id,
         CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
                              1, 8))::BIGINT % 10000 AS BIGINT) AS u
       FROM documents)
+"""
+
+    oracles["quality_classifier"] = f"""
+WITH pt AS (SELECT unnest(string_split({NORM_SQL}, ' ')) AS token
+            FROM documents WHERE doc_id % 10 = 0),
+cpt AS (SELECT token, count(*) AS cp FROM pt GROUP BY token),
+nt AS (SELECT unnest(string_split({NORM_SQL}, ' ')) AS token
+       FROM documents WHERE doc_id % 10 = 5),
+cnt AS (SELECT token, count(*) AS cn FROM nt GROUP BY token),
+vo AS (SELECT token, COALESCE(cp, 0) AS cp, COALESCE(cn, 0) AS cn
+       FROM cpt FULL OUTER JOIN cnt USING (token)),
+s AS (SELECT sum(cp) AS np, sum(cn) AS nn, count(*) AS v FROM vo),
+m AS (SELECT token,
+             CAST(floor((ln((cp + 0.5) / (np + 0.5 * (v + 1)))
+                         - ln((cn + 0.5) / (nn + 0.5 * (v + 1))))
+                        * 1000000) AS BIGINT) AS llr
+      FROM vo, s),
+u AS (SELECT CAST(floor((ln(0.5 / (np + 0.5 * (v + 1)))
+                         - ln(0.5 / (nn + 0.5 * (v + 1))))
+                        * 1000000) AS BIGINT) AS llr FROM s),
+w AS (SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS token
+      FROM documents),
+j AS (SELECT doc_id, COALESCE(m.llr, (SELECT llr FROM u)) AS llr
+      FROM w LEFT JOIN m USING (token)),
+a AS (SELECT doc_id, count(*) AS n, sum(llr) AS sl FROM j
+      GROUP BY doc_id)
+SELECT doc_id, CAST(n AS INT) AS n_tokens,
+       CAST(floor(1.0 * sl / n) AS BIGINT) AS mean_llr_e6,
+       CAST(floor(1.0 * sl / n) >= 0 AS INT) AS keep
+FROM a
 """
 
     oracles["lm_quality"] = f"""
