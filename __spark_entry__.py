@@ -504,6 +504,28 @@ def q_extract_pdf_raw_routed(spark, sf_dir):
                      F.col("s.text").alias("text"))
 
 
+def q_dedup_segments(spark, sf_dir):
+    """Dolma/RefinedWeb paragraph-level exact dedup over fixed
+    16-token windows: corpus = originals ∪ exact copies (+1e6) ∪
+    copies with a trailing 8-token suffix (+2e6, so their window
+    grid re-tiles at the tail); only the globally-first occurrence
+    of each segment survives (min (doc_id, seg_idx)), docs are
+    reassembled from surviving segments, fully-duplicate docs come
+    back with empty text. One shuffle: a window-min over the segment
+    key, no joins (operators/segdedup.py)."""
+    from docling_spark.operators.segdedup import dedup_segments
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"),
+                     F.lit(" salt pepper cumin clove anise mace dill"
+                           " sage")).alias("text")))
+    return dedup_segments(corpus, window_tokens=16)
+
+
 def q_quality_classifier(spark, sf_dir):
     """fastText-style quality classifier (GPT-3 Appendix A / CCNet /
     RedPajama gate): Naive-Bayes token-LLR model trained curated-vs-
@@ -2245,6 +2267,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "dedup_segments": q_dedup_segments,
         "quality_classifier": q_quality_classifier,
         "page_render_meta": q_page_render_meta,
         "page_render_ocr_roundtrip": q_page_render_ocr_roundtrip,
@@ -4123,6 +4146,34 @@ FROM (SELECT doc_id,
         CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
                              1, 8))::BIGINT % 10000 AS BIGINT) AS u
       FROM documents)
+"""
+
+    oracles["dedup_segments"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+  UNION ALL SELECT doc_id + 2000000,
+    text || ' salt pepper cumin clove anise mace dill sage'
+  FROM documents),
+n AS (SELECT doc_id,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+      FROM corpus),
+t AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM n),
+w AS (SELECT doc_id, unnest(toks) AS token,
+             generate_subscripts(toks, 1) - 1 AS i FROM t),
+s AS (SELECT doc_id, i // 16 AS seg_idx,
+             string_agg(token, ' ' ORDER BY i) AS seg
+      FROM w GROUP BY doc_id, seg_idx),
+k AS (SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY seg
+                                ORDER BY doc_id, seg_idx) = 1 AS kept
+      FROM s)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_segs,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS INT) AS n_kept,
+       coalesce(string_agg(CASE WHEN kept THEN seg END, ' '
+                           ORDER BY seg_idx), '') AS text
+FROM k GROUP BY doc_id
 """
 
     oracles["quality_classifier"] = f"""
