@@ -504,6 +504,19 @@ def q_extract_pdf_raw_routed(spark, sf_dir):
                      F.col("s.text").alias("text"))
 
 
+def q_table_cells(spark, sf_dir):
+    """TableItem.export_to_dataframe parity, distributed: the md
+    corpus's parsed pipe tables exploded to one row per cell
+    (doc_id, table_idx, dims, row/col, header flag, text) in pure
+    Catalyst — tables stay a queryable relation in the cluster
+    instead of per-table driver frames (operators/tables.py)."""
+    from docling_spark.operators.tables import table_cells
+    docs = _docs(spark, sf_dir)
+    corpus = _single_span_corpus(docs, "md", _md_payload())
+    out = extract_spans(corpus, num_partitions=_par(spark))
+    return table_cells(out)
+
+
 def q_dedup_segments(spark, sf_dir):
     """Dolma/RefinedWeb paragraph-level exact dedup over fixed
     16-token windows: corpus = originals ∪ exact copies (+1e6) ∪
@@ -2267,6 +2280,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "table_cells": q_table_cells,
         "dedup_segments": q_dedup_segments,
         "quality_classifier": q_quality_classifier,
         "page_render_meta": q_page_render_meta,
@@ -4146,6 +4160,21 @@ FROM (SELECT doc_id,
         CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
                              1, 8))::BIGINT % 10000 AS BIGINT) AS u
       FROM documents)
+"""
+
+    oracles["table_cells"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS table_idx,
+       2 AS num_rows, 2 AS num_cols, 0 AS row_idx, 0 AS col_idx,
+       1 AS is_header, 'k' AS text FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 0, 2, 2, 0, 1, 1, 'v' FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 0, 2, 2, 1, 0, 0, 'chars'
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 0, 2, 2, 1, 1, 0,
+       CAST(n_chars AS VARCHAR)
+FROM documents
 """
 
     oracles["dedup_segments"] = f"""

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "pdf_page_cells",
     "page_dump",
     "export_markdown",
+    "table_cells",
     "chunk_documents",
     "chunk_documents_hier",
     "enrich_spans",
@@ -63,6 +64,7 @@ BENCH_QUERIES = [
     "decontaminate_docs",
     "lm_quality",
     "lm_quality_bigram",
+    "quality_classifier",
     "pack_sequences",
     "sample_weighted",
     "split_docs",
@@ -74,6 +76,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_substrings",
+    "dedup_segments",
     "curate_corpus",
     "source_reputation",
     "dedup_boilerplate_lines",

@@ -1,0 +1,67 @@
+"""Tables → queryable cell relation (docling-core
+``TableItem.export_to_dataframe`` parity, distributed).
+
+A docling user's last step for extracted tables is
+``table.export_to_dataframe()`` — one pandas frame per table, on the
+driver. The Spark-native spelling keeps every parsed table IN the
+cluster as one long relation ``(doc_id, table_idx, row_idx,
+col_idx, is_header, text)``: downstream joins/filters/pivots stay distributed,
+and a single table never has to fit on the driver.
+
+Input is the extraction output's span rows; table spans carry the
+engine's canonical grid text (``doctree.serialize_table``: an "RxC"
+dims line, tab-separated rows, a trailing ``H:``-flags line — the
+same form ``export.export_docling_json`` parses back into docling-core
+TableData structs). Parsing here is pure Catalyst (split/transform/
+posexplode) — zero Python in the hot path, and the explode is narrow:
+no shuffle at all unless the caller aggregates.
+
+Same known limitation as ``export._table_data_col``: cell text
+containing a literal tab/newline splits at the embedded delimiter
+(the canonical form reuses those as delimiters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def table_cells(extracted: DataFrame, *,
+                spans_col: str = "spans") -> DataFrame:
+    """Extraction output (doc_id, spans) → one row per table cell:
+    (doc_id, table_idx, num_rows, num_cols, row_idx, col_idx,
+    is_header, text). ``table_idx`` numbers the table spans within each document
+    in span order; header flags come from the grid's ``H:`` line
+    (column headers live in row 0, docling-core's dense-table
+    convention for declarative backends)."""
+    tables = (extracted.select(
+        "doc_id",
+        F.posexplode(F.filter(F.col(spans_col),
+                              lambda s: s["kind"] == F.lit("table")))
+        .alias("_i", "_s"))
+        .select("doc_id", F.col("_s.text").alias("_grid"),
+                F.col("_i").alias("table_idx")))
+    # table_idx from posexplode of the FILTERED array is already the
+    # per-doc table ordinal (0-based, span order preserved).
+    lines = F.split(F.col("_grid"), "\n")
+    dims = F.split(F.element_at(lines, 1), "x")
+    rows = F.slice(lines, 2, F.greatest(F.size(lines) - 2, F.lit(0)))
+    flags = F.split(F.substring(F.element_at(lines, -1), 3, 1_000_000),
+                    "\t")
+    cells = F.flatten(F.transform(rows, lambda row, r: F.transform(
+        F.split(row, "\t"), lambda c, j: F.struct(
+            r.alias("row_idx"), j.alias("col_idx"),
+            ((r == 0) & (F.element_at(flags, j + 1) == "1"))
+            .alias("is_header"),
+            c.alias("text")))))
+    return (tables
+            .select("doc_id", "table_idx",
+                    F.element_at(dims, 1).cast("int").alias("num_rows"),
+                    F.element_at(dims, 2).cast("int").alias("num_cols"),
+                    F.explode(cells).alias("_c"))
+            .select("doc_id", "table_idx", "num_rows", "num_cols",
+                    F.col("_c.row_idx").alias("row_idx"),
+                    F.col("_c.col_idx").alias("col_idx"),
+                    F.col("_c.is_header").cast("int").alias("is_header"),
+                    F.col("_c.text").alias("text")))
