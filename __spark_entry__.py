@@ -504,6 +504,19 @@ def q_extract_pdf_raw_routed(spark, sf_dir):
                      F.col("s.text").alias("text"))
 
 
+def q_mixture_weights(spark, sf_dir):
+    """Temperature-based data-mixing weights (XLM-R/mT5, α=0.3) per
+    language: token shares, q ∝ share^α sampling weights, and the
+    per-doc epoch multiplier — the pow() quantized to an integer
+    per group BEFORE the normalization sum so every output is
+    engine-exact. One groupBy + a 1-row broadcast
+    (operators/packing.py:mixture_weights)."""
+    from docling_spark.operators.packing import mixture_weights
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text")
+    return mixture_weights(docs, group_col="lang", alpha=0.3)
+
+
 def q_table_cells(spark, sf_dir):
     """TableItem.export_to_dataframe parity, distributed: the md
     corpus's parsed pipe tables exploded to one row per cell
@@ -2280,6 +2293,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "mixture_weights": q_mixture_weights,
         "table_cells": q_table_cells,
         "dedup_segments": q_dedup_segments,
         "quality_classifier": q_quality_classifier,
@@ -4160,6 +4174,25 @@ FROM (SELECT doc_id,
         CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
                              1, 8))::BIGINT % 10000 AS BIGINT) AS u
       FROM documents)
+"""
+
+    oracles["mixture_weights"] = f"""
+WITH g AS (
+  SELECT lang, count(*) AS n_docs,
+         sum(len(string_split({NORM_SQL}, ' '))) AS n_tokens
+  FROM documents GROUP BY lang),
+p AS (SELECT lang, n_docs, n_tokens,
+             CAST(floor(pow(CAST(n_tokens AS DOUBLE), 0.3) * 1000000)
+                  AS BIGINT) AS pw
+      FROM g),
+t AS (SELECT sum(n_tokens) AS nt, sum(pw) AS spw FROM p)
+SELECT lang, CAST(n_docs AS INT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(1e6 * n_tokens / nt) AS BIGINT) AS share_e6,
+       CAST(floor(1e6 * pw / spw) AS BIGINT) AS weight_e6,
+       CAST(floor(1e6 * pw * nt / (spw * n_tokens)) AS BIGINT)
+         AS rate_e6
+FROM p, t
 """
 
     oracles["table_cells"] = """

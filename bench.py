@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "quality_classifier",
     "pack_sequences",
     "sample_weighted",
+    "mixture_weights",
     "split_docs",
     "cap_per_source",
     "token_histogram",

@@ -130,3 +130,49 @@ def cap_per_group(docs: DataFrame, *, group_col: str, n: int,
         docs.withColumn("_u", u), key=group_col, order="_u",
         tie="doc_id", k=n, ascending=True)
     return ranked.drop("_u", "rank")
+
+
+def mixture_weights(docs: DataFrame, *, group_col: str = "lang",
+                    alpha: float = 0.3) -> DataFrame:
+    """Temperature-based corpus mixing weights (XLM-R / mT5 recipe,
+    Conneau et al. 2020 §3.1): per-group sampling probability
+    q_g ∝ p_g^α where p_g is the group's token share. α<1 upsamples
+    the tail (low-resource languages / rare sources), α=1 is
+    proportional, α→0 is uniform. Since N^α cancels in the
+    normalization, q is computed from raw token counts — and the
+    per-group pow() is quantized to an integer (floor(n^α · 1e6))
+    BEFORE the cross-group normalization sum, so the normalizer is an
+    exact integer sum (order-independent) and every output is
+    engine-exact.
+
+    Output per group: doc/token counts, token share (×1e6), sampling
+    weight q (×1e6), and rate = q/p (×1e6) — the per-document epoch
+    multiplier a sampler applies within the group.
+
+    Scale shape: ONE groupBy over the corpus (map-side partial; token
+    counting reuses the staged token array) + one broadcast of the
+    1-row totals onto the group rows (bounded by group cardinality).
+    """
+    from .textstats import tokens_col
+
+    g = (docs.groupBy(group_col)
+         .agg(F.count("*").alias("n_docs"),
+              F.sum(F.size(tokens_col())).alias("n_tokens")))
+    g = g.withColumn(
+        "_pw", F.floor(F.pow(F.col("n_tokens").cast("double"),
+                             F.lit(float(alpha))) * 1_000_000)
+        .cast("long"))
+    tot = g.agg(F.sum("n_tokens").alias("_nt"),
+                F.sum("_pw").alias("_spw"))
+    out = g.crossJoin(F.broadcast(tot))
+    return out.select(
+        group_col,
+        F.col("n_docs").cast("int").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(F.lit(1e6) * F.col("n_tokens") / F.col("_nt"))
+        .cast("long").alias("share_e6"),
+        F.floor(F.lit(1e6) * F.col("_pw") / F.col("_spw"))
+        .cast("long").alias("weight_e6"),
+        F.floor(F.lit(1e6) * F.col("_pw") * F.col("_nt")
+                / (F.col("_spw") * F.col("n_tokens")))
+        .cast("long").alias("rate_e6"))
