@@ -504,6 +504,16 @@ def q_extract_pdf_raw_routed(spark, sf_dir):
                      F.col("s.text").alias("text"))
 
 
+def q_inverted_index(spark, sf_dir):
+    """Offline search-index build: the (term, doc, tf) posting
+    relation with per-term df/cf headers, stopword-gated at
+    df ≤ 98% of N and min_df=2 — one term-keyed shuffle, co-
+    partitioned stats join (operators/retrieval.py:inverted_index)."""
+    from docling_spark.operators.retrieval import inverted_index
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return inverted_index(docs, min_df=2, max_df_ratio=0.98)
+
+
 def q_mixture_weights(spark, sf_dir):
     """Temperature-based data-mixing weights (XLM-R/mT5, α=0.3) per
     language: token shares, q ∝ share^α sampling weights, and the
@@ -2293,6 +2303,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "inverted_index": q_inverted_index,
         "mixture_weights": q_mixture_weights,
         "table_cells": q_table_cells,
         "dedup_segments": q_dedup_segments,
@@ -4174,6 +4185,21 @@ FROM (SELECT doc_id,
         CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
                              1, 8))::BIGINT % 10000 AS BIGINT) AS u
       FROM documents)
+"""
+
+    oracles["inverted_index"] = f"""
+WITH nd AS (SELECT doc_id, string_split({NORM_SQL}, ' ') AS t
+            FROM documents),
+dt AS (SELECT doc_id, unnest(t) AS term FROM nd),
+p AS (SELECT term, doc_id, COUNT(*) AS tf FROM dt
+      GROUP BY term, doc_id),
+s AS (SELECT term, COUNT(*) AS df, SUM(tf) AS cf FROM p
+      GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents)
+SELECT p.term, p.doc_id, CAST(p.tf AS INT) AS tf,
+       CAST(s.df AS INT) AS df, CAST(s.cf AS BIGINT) AS cf
+FROM p JOIN s USING (term), n
+WHERE s.df >= 2 AND s.df <= n.n * 0.98
 """
 
     oracles["mixture_weights"] = f"""

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "knn_cosine_pq",
     "knn_classify",
     "bm25_topk",
+    "inverted_index",
     "kmeans_clusters",
     "semdedup",
     "doc_embed_hash",

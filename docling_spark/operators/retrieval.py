@@ -124,3 +124,43 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, *, k: int = 10,
     return top.select(
         "query_id", "doc_id", F.col("rank").cast("int").alias("rank"),
         F.floor(F.col("score") * 10000).cast("long").alias("score_e4"))
+
+
+def inverted_index(docs: DataFrame, *, min_df: int = 1,
+                   max_df_ratio: float = 1.0) -> DataFrame:
+    """(doc_id, text) → the posting relation a search index is built
+    from: one row per (term, doc_id) with term frequency, plus the
+    term's document frequency and collection frequency repeated on
+    every posting (the header fields a segment writer consumes).
+
+    Lucene/Elasticsearch build these segments single-node; Spark is
+    the standard way to build them offline at corpus scale (each
+    partition of the output IS a shard's posting stream: write it
+    partitioned by ``pmod(xxhash64(term), n_shards)``). ``min_df``
+    drops hapax noise; ``max_df_ratio`` drops stopword-like terms
+    that would dominate postings volume (df > ratio·N).
+
+    Scale shape: one explode (narrow) + ONE shuffle on term — tf is
+    aggregated per (term, doc) map-side first, then df/cf come from a
+    second aggregation of the already-term-partitioned postings, so
+    the join back is co-partitioned (no second exchange of the
+    posting stream). The N-docs scalar is a 1-row broadcast.
+    """
+    toks = _norm_tokens(F.col("text"))
+    postings = (docs.select("doc_id", F.explode(toks).alias("term"))
+                .groupBy("term", "doc_id")
+                .agg(F.count("*").alias("tf")))
+    term_stats = (postings.groupBy("term")
+                  .agg(F.count("*").alias("df"),
+                       F.sum("tf").alias("cf")))
+    n_docs = docs.agg(F.count("*").alias("_n"))
+    gated = (term_stats
+             .crossJoin(F.broadcast(n_docs))
+             .filter((F.col("df") >= min_df)
+                     & (F.col("df") <= F.col("_n") * max_df_ratio))
+             .drop("_n"))
+    return (postings.join(gated, "term")
+            .select("term", "doc_id",
+                    F.col("tf").cast("int").alias("tf"),
+                    F.col("df").cast("int").alias("df"),
+                    F.col("cf").cast("long").alias("cf")))
