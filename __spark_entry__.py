@@ -504,6 +504,18 @@ def q_extract_pdf_raw_routed(spark, sf_dir):
                      F.col("s.text").alias("text"))
 
 
+def q_pack_manifest(spark, sf_dir):
+    """Dataloader manifest for packed training sequences: one row per
+    (shard, sequence, doc) slice with in-sequence / in-doc offsets —
+    the attention-mask/loss-boundary map for documents straddling
+    sequence edges. pack_sequences' one-window layout + a bounded
+    narrow explode (operators/packing.py:pack_manifest)."""
+    from docling_spark.operators.packing import pack_manifest
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.size(tokens_col()).alias("n_tokens"))
+    return pack_manifest(toks, seq_len=64, n_shards=8)
+
+
 def q_inverted_index(spark, sf_dir):
     """Offline search-index build: the (term, doc, tf) posting
     relation with per-term df/cf headers, stopword-gated at
@@ -2303,6 +2315,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "pack_manifest": q_pack_manifest,
         "inverted_index": q_inverted_index,
         "mixture_weights": q_mixture_weights,
         "table_cells": q_table_cells,
@@ -4185,6 +4198,40 @@ FROM (SELECT doc_id,
         CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
                              1, 8))::BIGINT % 10000 AS BIGINT) AS u
       FROM documents)
+"""
+
+    oracles["pack_manifest"] = f"""
+WITH n AS (SELECT doc_id,
+             CAST(len(string_split({NORM_SQL}, ' ')) AS BIGINT)
+               AS n_tokens
+           FROM documents),
+s AS (SELECT doc_id, n_tokens,
+        CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                             1, 8))::BIGINT % 8 AS INT) AS shard_id
+      FROM n),
+w AS (SELECT doc_id, shard_id, n_tokens,
+        CAST(coalesce(SUM(n_tokens) OVER (
+          PARTITION BY shard_id ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS start_tok
+      FROM s),
+e AS (SELECT doc_id, shard_id, n_tokens, start_tok,
+        unnest(generate_series(
+          CAST(floor(start_tok / 64) AS BIGINT),
+          CAST(floor((start_tok + greatest(n_tokens, 1) - 1) / 64)
+               AS BIGINT))) AS seq_idx
+      FROM w),
+o AS (SELECT shard_id, seq_idx, doc_id,
+        greatest(seq_idx * 64, start_tok) AS gs,
+        least((seq_idx + 1) * 64,
+              start_tok + greatest(n_tokens, 1)) AS ge,
+        start_tok
+      FROM e)
+SELECT shard_id, CAST(seq_idx AS BIGINT) AS seq_idx, doc_id,
+       CAST(gs - seq_idx * 64 AS INT) AS pos_in_seq,
+       CAST(gs - start_tok AS BIGINT) AS doc_off,
+       CAST(ge - gs AS INT) AS slice_len
+FROM o
 """
 
     oracles["inverted_index"] = f"""

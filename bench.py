@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "lm_quality_bigram",
     "quality_classifier",
     "pack_sequences",
+    "pack_manifest",
     "sample_weighted",
     "mixture_weights",
     "split_docs",

@@ -176,3 +176,42 @@ def mixture_weights(docs: DataFrame, *, group_col: str = "lang",
         F.floor(F.lit(1e6) * F.col("_pw") * F.col("_nt")
                 / (F.col("_spw") * F.col("n_tokens")))
         .cast("long").alias("rate_e6"))
+
+
+def pack_manifest(docs: DataFrame, *, seq_len: int = 2048,
+                  n_shards: int = 64,
+                  tokens_col: str = "n_tokens") -> DataFrame:
+    """The trainer-facing half of packing: one row per
+    (shard, sequence, document) slice — where each document's tokens
+    sit inside each fixed-length training sequence. This is the
+    manifest a dataloader needs to build per-sequence attention masks
+    (no cross-document attention) and loss boundaries when documents
+    straddle sequence edges.
+
+    Output: (shard_id, seq_idx, doc_id, pos_in_seq, doc_off, slice_len)
+    — ``pos_in_seq`` is the slice's offset inside the sequence,
+    ``doc_off`` the offset inside the document, both 0-based; a
+    sequence's slices tile it exactly (except the shard's ragged tail).
+
+    Derived from ``pack_sequences``'s layout by a bounded explode
+    (n_seqs rows per doc — narrow, no extra shuffle beyond the one
+    per-shard cumsum window). Empty docs are clamped to a 1-token
+    slot by pack_sequences and emit their placeholder slice."""
+    layout = pack_sequences(docs, seq_len=seq_len, n_shards=n_shards,
+                            tokens_col=tokens_col)
+    seq = F.explode(
+        F.sequence(F.col("first_seq"), F.col("last_seq"))).alias(
+        "seq_idx")
+    ex = layout.select("doc_id", "shard_id", "n_tokens", "start_tok",
+                       seq)
+    gs = F.greatest(F.col("seq_idx") * seq_len, F.col("start_tok"))
+    ge = F.least((F.col("seq_idx") + 1) * seq_len,
+                 F.col("start_tok") + F.greatest(F.col("n_tokens"),
+                                                 F.lit(1)))
+    return ex.select(
+        "shard_id", F.col("seq_idx").cast("long").alias("seq_idx"),
+        "doc_id",
+        (gs - F.col("seq_idx") * seq_len).cast("int")
+        .alias("pos_in_seq"),
+        (gs - F.col("start_tok")).cast("long").alias("doc_off"),
+        (ge - gs).cast("int").alias("slice_len"))
