@@ -504,6 +504,17 @@ def q_extract_pdf_raw_routed(spark, sf_dir):
                      F.col("s.text").alias("text"))
 
 
+def q_cooccurrence_pmi(spark, sf_dir):
+    """GloVe-style co-occurrence + PMI table (window=4, min_count=2):
+    doc-local narrow pair expansion in one array expression (no
+    position self-join), ONE pair-count shuffle, broadcast unigram
+    joins, integer-quantized PMI over exact counts
+    (operators/cooc.py:cooccurrence_pmi)."""
+    from docling_spark.operators.cooc import cooccurrence_pmi
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return cooccurrence_pmi(docs, window=4, min_count=2)
+
+
 def q_pack_manifest(spark, sf_dir):
     """Dataloader manifest for packed training sequences: one row per
     (shard, sequence, doc) slice with in-sequence / in-doc offsets —
@@ -2315,6 +2326,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "cooccurrence_pmi": q_cooccurrence_pmi,
         "pack_manifest": q_pack_manifest,
         "inverted_index": q_inverted_index,
         "mixture_weights": q_mixture_weights,
@@ -4198,6 +4210,32 @@ FROM (SELECT doc_id,
         CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
                              1, 8))::BIGINT % 10000 AS BIGINT) AS u
       FROM documents)
+"""
+
+    oracles["cooccurrence_pmi"] = f"""
+WITH nd AS (SELECT doc_id, string_split({NORM_SQL}, ' ') AS t
+            FROM documents),
+dt AS (SELECT doc_id, unnest(t) AS tok,
+              generate_subscripts(t, 1) AS i FROM nd),
+pr AS (SELECT least(a.tok, b.tok) AS x, greatest(a.tok, b.tok) AS y
+       FROM dt a JOIN dt b
+         ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 4),
+pc AS (SELECT x, y, count(*) AS c_xy FROM pr GROUP BY x, y
+       HAVING count(*) >= 2),
+un AS (SELECT tok, count(*) AS c FROM dt GROUP BY tok),
+tt AS (SELECT CAST(sum(len(t)) AS BIGINT) AS n,
+              CAST(sum(least(len(t) - 1, 4) * len(t)
+                       - CASE WHEN len(t) - 1 < 4
+                              THEN (len(t) - 1) * len(t) / 2
+                              ELSE 10 END) AS BIGINT) AS p
+       FROM nd)
+SELECT pc.x, pc.y, CAST(pc.c_xy AS BIGINT) AS c_xy,
+       CAST(ux.c AS BIGINT) AS c_x, CAST(uy.c AS BIGINT) AS c_y,
+       CAST(floor(ln(CAST(pc.c_xy AS DOUBLE) * tt.n * tt.n
+                     / (CAST(tt.p AS DOUBLE) * ux.c * uy.c))
+                  * 1000000) AS BIGINT) AS pmi_e6
+FROM pc JOIN un ux ON pc.x = ux.tok
+        JOIN un uy ON pc.y = uy.tok, tt
 """
 
     oracles["pack_manifest"] = f"""

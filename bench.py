@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "cap_per_source",
     "token_histogram",
     "bpe_merge_candidates",
+    "cooccurrence_pmi",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
