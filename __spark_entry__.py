@@ -504,6 +504,21 @@ def q_extract_pdf_raw_routed(spark, sf_dir):
                      F.col("s.text").alias("text"))
 
 
+def q_pagerank_hosts(spark, sf_dir):
+    """Host-authority PageRank (3 rounds, d=0.85) over a
+    deterministic 50-node multigraph derived from doc_ids — integer-
+    quantized per-edge contributions so every round is engine-exact
+    and the oracle replays the iterations unrolled. Edges are
+    shuffled once and reused; rank lineage is checkpoint-truncated
+    (operators/graph.py:pagerank)."""
+    from docling_spark.operators.graph import pagerank
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 50).alias("dst"))
+    return pagerank(edges, iters=3)
+
+
 def q_cooccurrence_pmi(spark, sf_dir):
     """GloVe-style co-occurrence + PMI table (window=4, min_count=2):
     doc-local narrow pair expansion in one array expression (no
@@ -2326,6 +2341,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "pagerank_hosts": q_pagerank_hosts,
         "cooccurrence_pmi": q_cooccurrence_pmi,
         "pack_manifest": q_pack_manifest,
         "inverted_index": q_inverted_index,
@@ -4210,6 +4226,45 @@ FROM (SELECT doc_id,
         CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
                              1, 8))::BIGINT % 10000 AS BIGINT) AS u
       FROM documents)
+"""
+
+    oracles["pagerank_hosts"] = """
+WITH e AS (SELECT doc_id % 50 AS src, (doc_id * 31 + 7) % 50 AS dst
+           FROM documents),
+v AS (SELECT DISTINCT node FROM
+        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+nn AS (SELECT count(*) AS n FROM v),
+od AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(floor(1000000 / nn.n) AS BIGINT) AS r
+       FROM v, nn),
+c1 AS (SELECT e.dst AS node,
+              CAST(floor(r0.r * 850000 / (1000000 * od.outd))
+                   AS BIGINT) AS c
+       FROM e JOIN od USING (src) JOIN r0 ON r0.node = e.src),
+s1 AS (SELECT node, sum(c) AS s FROM c1 GROUP BY node),
+r1 AS (SELECT v.node,
+              CAST(floor(150000 / nn.n) + coalesce(s1.s, 0) AS BIGINT)
+                AS r
+       FROM v LEFT JOIN s1 USING (node), nn),
+c2 AS (SELECT e.dst AS node,
+              CAST(floor(r1.r * 850000 / (1000000 * od.outd))
+                   AS BIGINT) AS c
+       FROM e JOIN od USING (src) JOIN r1 ON r1.node = e.src),
+s2 AS (SELECT node, sum(c) AS s FROM c2 GROUP BY node),
+r2 AS (SELECT v.node,
+              CAST(floor(150000 / nn.n) + coalesce(s2.s, 0) AS BIGINT)
+                AS r
+       FROM v LEFT JOIN s2 USING (node), nn),
+c3 AS (SELECT e.dst AS node,
+              CAST(floor(r2.r * 850000 / (1000000 * od.outd))
+                   AS BIGINT) AS c
+       FROM e JOIN od USING (src) JOIN r2 ON r2.node = e.src),
+s3 AS (SELECT node, sum(c) AS s FROM c3 GROUP BY node),
+r3 AS (SELECT v.node,
+              CAST(floor(150000 / nn.n) + coalesce(s3.s, 0) AS BIGINT)
+                AS r
+       FROM v LEFT JOIN s3 USING (node), nn)
+SELECT node, r AS rank_e6 FROM r3
 """
 
     oracles["cooccurrence_pmi"] = f"""

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "dedup_segments",
     "curate_corpus",
     "source_reputation",
+    "pagerank_hosts",
     "dedup_boilerplate_lines",
     "c4_line_filter",
     "dedup_components",
