@@ -504,6 +504,81 @@ def q_extract_pdf_raw_routed(spark, sf_dir):
                      F.col("s.text").alias("text"))
 
 
+def q_ngram_counts(spark, sf_dir):
+    """KenLM-prep trigram count table, singleton-pruned: doc-local
+    shifted-slice n-gram build (no position self-join), one counting
+    shuffle (operators/lmscore.py:ngram_counts)."""
+    from docling_spark.operators.lmscore import ngram_counts
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_counts(docs, n=3, min_count=2)
+
+
+def q_doc_char_entropy(spark, sf_dir):
+    """Character-distribution entropy gate (binary-junk detector):
+    per-char contributions floored to integers, so the zero-shuffle
+    Arrow doc-local pass matches the oracle's explode+group spelling
+    exactly (operators/textstats.py:with_char_entropy)."""
+    from docling_spark.operators.textstats import with_char_entropy
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_char_entropy(docs)
+
+
+def q_doc_readability(spark, sf_dir):
+    """Flesch reading-ease / Flesch-Kincaid grade: dictionary-free
+    vowel-group syllables + sentence runs, all Catalyst regex/HOF —
+    zero shuffle, scores quantized ×1e3
+    (operators/textstats.py:with_readability)."""
+    from docling_spark.operators.textstats import with_readability
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_readability(docs)
+
+
+def q_hard_negatives(spark, sf_dir):
+    """DPR-style hard-negative mining: top-5 cosine neighbors inside
+    a similarity band — matches above the band are excluded as
+    positives/near-dups. Band (0.25, 0.45] calibrated to the
+    synthetic embeddings' cosine range (max ≈0.49) so both gates
+    bind. Band mask applied before the per-batch partial top-k;
+    salted two-phase merge (operators/similarity.py:hard_negatives)."""
+    from docling_spark.operators.similarity import hard_negatives
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = hard_negatives(emb, queries, k=5, sim_lo=0.25, sim_hi=0.45)
+    return out.withColumnRenamed("rank", "rnk")
+
+
+def q_tfidf_hash_vectors(spark, sf_dir):
+    """Hashed tf-idf document vectors (sklearn HashingVectorizer +
+    smooth idf): sparse (doc_id, dim, w_e6) with integer-quantized
+    idf so bucket sums are engine-exact; md5 bucket/sign hashes, df
+    from the already-token-partitioned tf table
+    (operators/vectorize.py:tfidf_hash_vectors)."""
+    from docling_spark.operators.vectorize import tfidf_hash_vectors
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_hash_vectors(docs, dim=64)
+
+
+def q_event_transitions(spark, sf_dir):
+    """User-journey Markov chain: per-user event streams (ordered by
+    ts, event_id) → (src, dst) transition counts and row-stochastic
+    probabilities (×1e6, floored). ONE window pass for lead() + one
+    groupBy; the per-src normalizer is a window over the tiny k²
+    transition table."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("event_type").over(w)
+    pairs = (ev.select(F.col("event_type").alias("src_type"),
+                       nxt.alias("dst_type"))
+             .filter(F.col("dst_type").isNotNull()))
+    counts = (pairs.groupBy("src_type", "dst_type")
+              .agg(F.count("*").alias("n")))
+    tot = F.sum("n").over(Window.partitionBy("src_type"))
+    return counts.select(
+        "src_type", "dst_type", F.col("n").cast("long").alias("n"),
+        F.floor(F.lit(1e6) * F.col("n") / tot)
+        .cast("long").alias("p_e6"))
+
+
 def q_pagerank_hosts(spark, sf_dir):
     """Host-authority PageRank (3 rounds, d=0.85) over a
     deterministic 50-node multigraph derived from doc_ids — integer-
@@ -2341,6 +2416,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "ngram_counts": q_ngram_counts,
+        "doc_char_entropy": q_doc_char_entropy,
+        "doc_readability": q_doc_readability,
+        "hard_negatives": q_hard_negatives,
+        "tfidf_hash_vectors": q_tfidf_hash_vectors,
+        "event_transitions": q_event_transitions,
         "pagerank_hosts": q_pagerank_hosts,
         "cooccurrence_pmi": q_cooccurrence_pmi,
         "pack_manifest": q_pack_manifest,
@@ -3922,6 +4003,11 @@ FROM ranked WHERE rn <= 5
 """
     oracles["knn_cosine_bruteforce"] = "WITH " + knn_core.format(extra_cond="")
 
+    oracles["hard_negatives"] = "WITH " + knn_core.format(
+        extra_cond="").replace(
+        "FROM scored)",
+        "FROM scored WHERE score > 0.25 AND score <= 0.45)")
+
     oracles["doc_embed_hash"] = f"""
 WITH n AS (SELECT doc_id, {NORM_SQL} AS nt FROM documents),
 tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM n),
@@ -4226,6 +4312,96 @@ FROM (SELECT doc_id,
         CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
                              1, 8))::BIGINT % 10000 AS BIGINT) AS u
       FROM documents)
+"""
+
+    oracles["ngram_counts"] = f"""
+WITH n AS (SELECT string_split({NORM_SQL}, ' ') AS t FROM documents),
+g AS (SELECT unnest(list_transform(
+        generate_series(1, greatest(len(t) - 2, 0)),
+        i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS ngram
+      FROM n)
+SELECT ngram, CAST(count(*) AS BIGINT) AS c
+FROM g GROUP BY ngram HAVING count(*) >= 2
+"""
+
+    oracles["doc_char_entropy"] = f"""
+WITH n AS (SELECT doc_id, {NORM_SQL} AS nt FROM documents),
+ch AS (SELECT doc_id, unnest(string_split(nt, '')) AS c FROM n),
+cc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+tot AS (SELECT doc_id, length(nt) AS nn FROM n),
+num AS (SELECT cc.doc_id,
+               sum(CAST(floor(1000000 * cc.k
+                              * ln(CAST(cc.k AS DOUBLE) / tot.nn))
+                        AS BIGINT)) AS s
+        FROM cc JOIN tot USING (doc_id) GROUP BY cc.doc_id)
+SELECT tot.doc_id, CAST(tot.nn AS INT) AS n_chars,
+       CAST(CASE WHEN tot.nn = 0 THEN 0
+                 ELSE floor(-1.0 * num.s / tot.nn) END AS BIGINT)
+         AS entropy_e6
+FROM tot LEFT JOIN num USING (doc_id)
+"""
+
+    oracles["doc_readability"] = f"""
+WITH n AS (SELECT doc_id, {NORM_SQL} AS nt FROM documents),
+t AS (SELECT doc_id, nt, string_split(nt, ' ') AS toks FROM n),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+sy AS (SELECT doc_id,
+              sum(greatest(len(regexp_extract_all(tok, '[aeiouy]+')),
+                           1)) AS syl
+       FROM tok GROUP BY doc_id),
+base AS (SELECT t.doc_id, len(t.toks) AS sz,
+                greatest(len(t.toks), 1) AS nt_c,
+                sy.syl,
+                greatest(len(regexp_extract_all(t.nt, '[.!?]+')), 1)
+                  AS sent
+         FROM t JOIN sy ON t.doc_id = sy.doc_id)
+SELECT doc_id, CAST(sz AS INT) AS n_tokens,
+       CAST(syl AS BIGINT) AS n_syllables,
+       CAST(sent AS INT) AS n_sentences,
+       CAST(floor((206.835 - 1.015 * (CAST(nt_c AS DOUBLE) / sent)
+                   - 84.6 * (CAST(syl AS DOUBLE) / nt_c)) * 1000)
+            AS BIGINT) AS fre_e3,
+       CAST(floor((0.39 * (CAST(nt_c AS DOUBLE) / sent)
+                   + 11.8 * (CAST(syl AS DOUBLE) / nt_c) - 15.59)
+                  * 1000) AS BIGINT) AS fkg_e3
+FROM base
+"""
+
+    oracles["tfidf_hash_vectors"] = f"""
+WITH n AS (SELECT doc_id, {NORM_SQL} AS nt FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS token FROM n),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+       WHERE token != '' GROUP BY doc_id, token),
+nd AS (SELECT count(*) AS n FROM documents),
+idf AS (SELECT token,
+               CAST(floor((ln((1 + nd.n) * 1.0 / (1 + count(*))) + 1.0)
+                          * 1000000) AS BIGINT) AS idf_e6
+        FROM (SELECT DISTINCT doc_id, token FROM tf), nd
+        GROUP BY token, nd.n),
+hb AS (SELECT tf.doc_id,
+              CAST(('0x' || substr(md5(tf.token), 1, 8))::BIGINT % 64
+                   AS INT) AS dim,
+              CASE WHEN ('0x' || substr(md5(tf.token), 9, 1))::BIGINT
+                        >= 8 THEN 1 ELSE -1 END
+                * tf.tf * idf.idf_e6 AS w
+       FROM tf JOIN idf USING (token))
+SELECT doc_id, dim, CAST(sum(w) AS BIGINT) AS w_e6
+FROM hb GROUP BY doc_id, dim
+HAVING sum(w) != 0
+"""
+
+    oracles["event_transitions"] = """
+WITH p AS (SELECT event_type AS src_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                    AS dst_type
+           FROM events),
+c AS (SELECT src_type, dst_type, count(*) AS n FROM p
+      WHERE dst_type IS NOT NULL GROUP BY src_type, dst_type)
+SELECT src_type, dst_type, CAST(n AS BIGINT) AS n,
+       CAST(floor(1e6 * n / sum(n) OVER (PARTITION BY src_type))
+            AS BIGINT) AS p_e6
+FROM c
 """
 
     oracles["pagerank_hosts"] = """

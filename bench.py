@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "doc_token_stats",
     "corpus_grep",
     "doc_quality",
+    "doc_readability",
+    "doc_char_entropy",
     "gopher_rules",
     "doc_language_id",
     "doc_winnow_fingerprints",
@@ -74,6 +76,7 @@ BENCH_QUERIES = [
     "token_histogram",
     "bpe_merge_candidates",
     "cooccurrence_pmi",
+    "ngram_counts",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -93,12 +96,14 @@ BENCH_QUERIES = [
     "knn_cosine_lsh",
     "knn_cosine_ivf",
     "knn_cosine_pq",
+    "hard_negatives",
     "knn_classify",
     "bm25_topk",
     "inverted_index",
     "kmeans_clusters",
     "semdedup",
     "doc_embed_hash",
+    "tfidf_hash_vectors",
     "events_asof_join",
     "events_range_join",
     "events_rollup",
@@ -115,6 +120,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_funnel",
     "events_retention",
+    "event_transitions",
     "events_windowed",
     "events_sliding",
     "media_decode_meta",

@@ -243,3 +243,30 @@ def lm_buckets(docs: DataFrame, ref: DataFrame, *,
         "_th", lambda t: F.col("mean_nll_e6") * 100 > t))
     return joined.select("doc_id", "lang", "n_tokens", "mean_nll_e6",
                          bucket.cast("int").alias("bucket"))
+
+
+def ngram_counts(docs: DataFrame, *, n: int = 3,
+                 min_count: int = 2) -> DataFrame:
+    """Corpus n-gram count table — the KenLM / infini-gram training
+    prep (Heafield 2011): every order-``n`` token window with its
+    corpus count, pruned at ``min_count`` (singleton pruning is the
+    standard KenLM default for n>2).
+
+    Scale shape: the n-gram column is built DOC-LOCALLY by zipping
+    ``n`` shifted slices of the already-materialized token array (no
+    position explode + self-join), then ONE shuffle counts them
+    (map-side partial). Output is bounded by distinct-n-gram count;
+    at web scale write it partitioned by ``pmod(xxhash64(ngram), k)``
+    and feed the shards to the LM trainer."""
+    from .textstats import tokens_col
+
+    staged = docs.select(tokens_col().alias("_t"))
+    sz = F.size("_t")
+    # guard: sequence(1, 0) would generate a DESCENDING [1, 0]
+    grams = F.when(sz >= n, F.transform(
+        F.sequence(F.lit(1), sz - (n - 1)),
+        lambda i: F.array_join(F.slice("_t", i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    return (staged.select(F.explode(grams).alias("ngram"))
+            .groupBy("ngram").agg(F.count("*").cast("long").alias("c"))
+            .filter(F.col("c") >= min_count))

@@ -485,3 +485,54 @@ def knn_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                       cosine_udf(F.col("q_emb"), F.col("nbr_emb"))
                       .alias("score")))
     return _topk(scored, k)
+
+
+def hard_negatives(embeddings: DataFrame, queries: DataFrame, *,
+                   k: int = 5, sim_lo: float = 0.5,
+                   sim_hi: float = 0.95) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training (DPR,
+    Karpukhin et al. 2020; contrastive fine-tuning recipes): for each
+    query vector, the top-k most-similar corpus vectors INSIDE a
+    cosine band (sim_lo, sim_hi] — similar enough to be hard, but the
+    near-exact band above sim_hi is excluded because those are
+    duplicates/positives, not negatives.
+
+    Same scale shape as ``knn_bruteforce``: one Arrow scan with
+    per-batch partial top-k (the band mask is applied before the
+    partial top-k, so excluded near-dups never occupy candidate
+    slots), then the salted two-phase merge. Self-matches excluded.
+    """
+    q_ids, q_mat = _collect_matrix(queries)
+    qn = _normalize(q_mat)
+    id_type = embeddings.schema["vec_id"].dataType.simpleString()
+    out_ddl = f"query_id {id_type}, nbr_id {id_type}, score double"
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            scores = _normalize(emb) @ qn.T
+            out = {"query_id": [], "nbr_id": [], "score": []}
+            for j, qid in enumerate(q_ids):
+                col = scores[:, j].copy()
+                col[ids == qid] = -np.inf
+                col[(col <= sim_lo) | (col > sim_hi)] = -np.inf
+                live = np.flatnonzero(np.isfinite(col))
+                if not len(live):
+                    continue
+                kk = min(k, len(live))
+                part = live[np.argpartition(-col[live], kk - 1)[:kk]]
+                thresh = col[part].min()
+                pool = np.flatnonzero(col >= thresh)
+                order = np.lexsort((ids[pool], -col[pool]))
+                top = pool[order[:kk]]
+                out["query_id"].extend([qid] * len(top))
+                out["nbr_id"].extend(ids[top].tolist())
+                out["score"].extend(col[top].tolist())
+            yield pd.DataFrame(out)
+
+    cand = (_as_double(embeddings).select("vec_id", "embedding")
+            .mapInPandas(score_batches, schema=out_ddl))
+    return _topk(cand, k)

@@ -359,3 +359,79 @@ def gopher_rules(docs: DataFrame, *, min_words: int = 50,
         r_ellipsis.cast("int").alias("r_ellipsis"),
         r_stops.cast("int").alias("r_stops"),
         keep.cast("int").alias("keep"))
+
+
+def with_readability(docs: DataFrame) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade (Kincaid et al.
+    1975) — the readability gate some curation recipes layer on top
+    of the Gopher/C4 shape rules. Syllables are approximated the
+    standard dictionary-free way (count of vowel GROUPS [aeiouy]+ per
+    token, ≥1 per non-empty token); sentences are [.!?]+ runs in the
+    normalized text (min 1). Both are pure Catalyst regex/HOF counts
+    — zero-shuffle, fused into the scan — and the two scores ship as
+    floor(x·1e3) integers for exact cross-engine comparison.
+
+    FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    FKG = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59
+    """
+    toks = F.col("_toks")
+    n_tokens = F.greatest(F.size(toks), F.lit(1))
+    syl_of = lambda t: F.greatest(  # noqa: E731
+        F.size(F.filter(F.split(t, "[^aeiouy]+"),
+                        lambda s: s != "")), F.lit(1))
+    syllables = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + syl_of(t))
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col("_nt"),
+                                    F.lit(r"[.!?]+"), 0)),
+        F.lit(1))
+    wps = n_tokens.cast("double") / sentences
+    spw = syllables.cast("double") / n_tokens
+    return _staged(docs).select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        syllables.cast("long").alias("n_syllables"),
+        sentences.cast("int").alias("n_sentences"),
+        F.floor((F.lit(206.835) - 1.015 * wps - 84.6 * spw) * 1000)
+        .cast("long").alias("fre_e3"),
+        F.floor((0.39 * wps + 11.8 * spw - 15.59) * 1000)
+        .cast("long").alias("fkg_e3"))
+
+
+def with_char_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document character-distribution entropy — the cheap
+    binary-junk / encoding-garbage gate (near-zero entropy = repeated
+    filler; near-log|alphabet| entropy on short docs = random bytes;
+    natural text sits in a stable band).
+
+    Integer-exact spelling: over the NORMALIZED text, the entropy
+    numerator is Σ_c floor(1e6 · c_c · ln(c_c / n)) — one floored
+    integer per DISTINCT character, summed exactly — and
+    ent_e6 = floor(−numerator / n). Order-independent, so the
+    Arrow-batched doc-local pass (zero shuffle — no char explode, no
+    groupBy) matches the SQL oracle's explode+group spelling
+    bit-for-bit.
+    """
+    import math
+
+    from collections import Counter
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def ent_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            n = len(t)
+            if n == 0:
+                out.append(0)
+                continue
+            num = 0
+            for c in Counter(t).values():
+                num += math.floor(1_000_000 * c * math.log(c / n))
+            out.append(math.floor(-num / n))
+        return pd.Series(out, dtype="int64")
+
+    return _staged(docs).select(
+        "doc_id", F.length("_nt").alias("n_chars"),
+        ent_udf(F.col("_nt")).alias("entropy_e6"))
