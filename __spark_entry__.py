@@ -504,6 +504,67 @@ def q_extract_pdf_raw_routed(spark, sf_dir):
                      F.col("s.text").alias("text"))
 
 
+def q_doc_sentences(spark, sf_dir):
+    """Sentence segmentation relation: one row per terminal-punctuated
+    sentence with index + token count — zero shuffle, doc-local
+    posexplode (operators/textstats.py:doc_sentences). The synthetic
+    corpus is terminal-punctuation-free, so the query frames each doc
+    with deterministic sentence boundaries (prefix sentence, mid-doc
+    '!', question, and an unterminated tail that both engines drop) to
+    exercise segmentation on every path."""
+    from docling_spark.operators.textstats import doc_sentences
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("Doc "), F.col("doc_id").cast("string"),
+                 F.lit(" begins. "), F.col("text"),
+                 F.lit("! Is it over? Yes. trailing fragment"))
+        .alias("text"))
+    return doc_sentences(docs)
+
+
+def q_decontaminate_semantic(spark, sf_dir):
+    """Embedding-level eval-set decontamination: one mapInPandas
+    matmul+row-max pass against the broadcast eval matrix, no join —
+    the semantic complement of the n-gram collision gate
+    (operators/decontam.py:decontaminate_semantic). Threshold 0.40
+    sits inside the synthetic embeddings' cosine range (max ≈0.49)
+    so both branches of the flag are exercised."""
+    from docling_spark.operators.decontam import decontaminate_semantic
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    eval_vecs = emb.filter(F.col("vec_id") < 20)
+    return decontaminate_semantic(emb.filter(F.col("vec_id") >= 20),
+                                  eval_vecs, threshold_e4=4000)
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth: token types attributed to their
+    first document (one min-agg shuffle), bucketed per 100 docs, with
+    the cumulative curve a window over the bounded bucket table
+    (operators/textstats.py:vocab_growth). The synthetic corpus has a
+    ~31-type closed vocabulary (saturates by doc 8), so the query
+    widens it with one doc-unique token per document — every bucket
+    then contributes new types and the curve is non-degenerate at all
+    scale factors."""
+    from docling_spark.operators.textstats import vocab_growth
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" uniq"),
+                 F.col("doc_id").cast("string")).alias("text"))
+    return vocab_growth(docs, bucket_size=100)
+
+
+def q_epoch_plan(spark, sf_dir):
+    """Data-constrained epoch plan (Muennighoff 2023): per-group
+    epochs to fill a 2M-token budget under temperature-mixed weights,
+    with the >4-epoch repetition flag — pure derivation on the
+    mixture_weights rows, zero extra corpus work
+    (operators/packing.py:epoch_plan)."""
+    from docling_spark.operators.packing import epoch_plan
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return epoch_plan(docs, target_tokens=2_000_000, alpha=0.3,
+                      max_epochs_e3=4000)
+
+
 def q_ngram_counts(spark, sf_dir):
     """KenLM-prep trigram count table, singleton-pruned: doc-local
     shifted-slice n-gram build (no position self-join), one counting
@@ -2416,6 +2477,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "doc_sentences": q_doc_sentences,
+        "decontaminate_semantic": q_decontaminate_semantic,
+        "vocab_growth": q_vocab_growth,
+        "epoch_plan": q_epoch_plan,
         "ngram_counts": q_ngram_counts,
         "doc_char_entropy": q_doc_char_entropy,
         "doc_readability": q_doc_readability,
@@ -4312,6 +4377,84 @@ FROM (SELECT doc_id,
         CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
                              1, 8))::BIGINT % 10000 AS BIGINT) AS u
       FROM documents)
+"""
+
+    norm_aug = NORM_SQL.replace(
+        "(text,",
+        "('Doc ' || CAST(doc_id AS VARCHAR) || ' begins. ' || text ||"
+        " '! Is it over? Yes. trailing fragment',")
+    oracles["doc_sentences"] = f"""
+WITH n AS (SELECT doc_id,
+                  regexp_extract_all({norm_aug}, '[^.!?]+[.!?]+') AS ss
+           FROM documents),
+e AS (SELECT doc_id, unnest(generate_series(1, len(ss))) AS i, ss
+      FROM n)
+SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx,
+       trim(ss[i]) AS sentence,
+       CAST(len(string_split(trim(ss[i]), ' ')) AS INT) AS n_tokens
+FROM e
+"""
+
+    oracles["decontaminate_semantic"] = """
+WITH vecs AS (SELECT vec_id, list_transform(embedding,
+                x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+ev AS (SELECT e AS qe FROM vecs WHERE vec_id < 20),
+corpus AS (SELECT vec_id, e FROM vecs WHERE vec_id >= 20),
+scored AS (
+  SELECT c.vec_id,
+    max(list_reduce(list_transform(generate_series(1, len(c.e)),
+                    i -> c.e[i] * ev.qe[i]), (a, b) -> a + b)
+        / (sqrt(list_reduce(list_transform(c.e, x -> x*x),
+                            (a, b) -> a + b))
+           * sqrt(list_reduce(list_transform(ev.qe, x -> x*x),
+                              (a, b) -> a + b)))) AS best
+  FROM corpus c, ev GROUP BY c.vec_id)
+SELECT vec_id, CAST(floor(best * 10000) AS BIGINT) AS max_eval_sim_e4,
+       CAST(floor(best * 10000) >= 4000 AS INT) AS contaminated
+FROM scored
+"""
+
+    norm_uniq = NORM_SQL.replace(
+        "(text,", "(text || ' uniq' || CAST(doc_id AS VARCHAR),")
+    oracles["vocab_growth"] = f"""
+WITH n AS (SELECT doc_id, {norm_uniq} AS nt FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(string_split(nt, ' ')) AS token
+        FROM n),
+first AS (SELECT token, min(doc_id) AS first_doc FROM tok
+          WHERE token != '' GROUP BY token),
+b AS (SELECT CAST(floor(first_doc / 100) AS BIGINT) AS bucket_id,
+             count(*) AS new_types
+      FROM first GROUP BY 1)
+SELECT bucket_id, CAST(bucket_id * 100 AS BIGINT) AS first_doc,
+       CAST(new_types AS BIGINT) AS new_types,
+       CAST(sum(new_types) OVER (ORDER BY bucket_id) AS BIGINT)
+         AS cum_types
+FROM b
+"""
+
+    oracles["epoch_plan"] = f"""
+WITH g AS (
+  SELECT lang, sum(len(string_split({NORM_SQL}, ' '))) AS n_tokens
+  FROM documents GROUP BY lang),
+p AS (SELECT lang, n_tokens,
+             CAST(floor(pow(CAST(n_tokens AS DOUBLE), 0.3) * 1000000)
+                  AS BIGINT) AS pw
+      FROM g),
+t AS (SELECT sum(pw) AS spw FROM p),
+w AS (SELECT lang, n_tokens,
+             CAST(floor(1e6 * pw / spw) AS BIGINT) AS weight_e6
+      FROM p, t),
+r AS (SELECT lang, n_tokens, weight_e6,
+             CAST(floor(weight_e6 * 2000000 / 1000000) AS BIGINT)
+               AS requested_tokens
+      FROM w)
+SELECT lang, CAST(n_tokens AS BIGINT) AS available_tokens, weight_e6,
+       requested_tokens,
+       CAST(floor(requested_tokens * 1000 / n_tokens) AS BIGINT)
+         AS epochs_e3,
+       CAST(floor(requested_tokens * 1000 / n_tokens) > 4000 AS INT)
+         AS over_budget
+FROM r
 """
 
     oracles["ngram_counts"] = f"""

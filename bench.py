@@ -44,9 +44,29 @@ BENCH_QUERIES = [
     "extract_main_content",
     "extract_image_docs",
     "extract_mixed_routed",
+    "extract_pdf_page_limit",
     "pdf_page_cells",
+    "pdf_real_cells",
+    "pdf_real_assembled",
     "page_dump",
+    "page_assembly",
     "export_markdown",
+    "export_html",
+    "export_doctags",
+    "export_doctags_loc",
+    "export_docling_json",
+    "extract_docling_markdown",
+    "extract_docling_itxt",
+    "extract_docling_html",
+    "extract_md_spans",
+    "extract_csv_spans",
+    "extract_asciidoc_spans",
+    "extract_jats_spans",
+    "extract_docling_json_spans",
+    "extract_docx_spans",
+    "extract_xlsx_spans",
+    "extract_pptx_spans",
+    "extract_media_manifest",
     "table_cells",
     "chunk_documents",
     "chunk_documents_hier",
@@ -54,8 +74,10 @@ BENCH_QUERIES = [
     "format_sniff",
     "format_sniff_exact",
     "doc_token_stats",
+    "doc_sentences",
     "corpus_grep",
     "doc_quality",
+    "doc_fingerprint",
     "doc_readability",
     "doc_char_entropy",
     "gopher_rules",
@@ -64,6 +86,7 @@ BENCH_QUERIES = [
     "doc_repetition",
     "pii_scrub",
     "decontaminate_docs",
+    "decontaminate_semantic",
     "lm_quality",
     "lm_quality_bigram",
     "quality_classifier",
@@ -71,9 +94,12 @@ BENCH_QUERIES = [
     "pack_manifest",
     "sample_weighted",
     "mixture_weights",
+    "epoch_plan",
     "split_docs",
     "cap_per_source",
+    "source_gated_docs",
     "token_histogram",
+    "vocab_growth",
     "bpe_merge_candidates",
     "cooccurrence_pmi",
     "ngram_counts",
@@ -83,6 +109,7 @@ BENCH_QUERIES = [
     "dedup_simhash_pairs",
     "dedup_substrings",
     "dedup_segments",
+    "ngram_jaccard_pairs",
     "curate_corpus",
     "source_reputation",
     "pagerank_hosts",
@@ -123,9 +150,14 @@ BENCH_QUERIES = [
     "event_transitions",
     "events_windowed",
     "events_sliding",
+    "events_json_props",
     "media_decode_meta",
+    "media_audio_meta",
+    "media_frame_plan",
     "media_asset_dedup",
     "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "tpch_q5_local_supplier",
 ]
 
 

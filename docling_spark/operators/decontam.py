@@ -71,3 +71,55 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, *, n: int = 5,
         contam.alias("contam_e4"),
         (contam >= int(threshold * 10000)).cast("int")
          .alias("contaminated"))
+
+
+def decontaminate_semantic(embeddings: DataFrame, eval_vecs: DataFrame,
+                           *, threshold_e4: int = 4000) -> DataFrame:
+    """Embedding-level decontamination: flag corpus vectors whose max
+    cosine similarity against an evaluation set reaches the threshold
+    — the semantic complement of the n-gram collision test above
+    (paraphrased eval leakage that shares no 5-gram still lands near
+    the eval point in embedding space; cf. SemDeDup, Abbas et al.
+    2023, applied cross-split).
+
+    embeddings: (vec_id, embedding) corpus side; eval_vecs: small by
+    contract (eval suites are thousands of rows) — collected into the
+    scan closure like ``similarity.knn_bruteforce``'s query side.
+
+    Scale shape: ONE ``mapInPandas`` pass over the corpus — each Arrow
+    batch is one (batch × n_eval) matmul and a row-max; no join, no
+    shuffle. Scores quantized floor(×1e4) like the kNN family so the
+    keep/drop decision is engine-exact against the SQL oracle.
+
+    Output: (vec_id, max_eval_sim_e4, contaminated).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _as_double, _collect_matrix, _normalize
+
+    eval_ids, eval_mat = _collect_matrix(eval_vecs)
+    en = _normalize(eval_mat)
+    eval_id_set = set(eval_ids)
+    id_type = embeddings.schema["vec_id"].dataType.simpleString()
+    out_ddl = f"vec_id {id_type}, max_eval_sim_e4 long, contaminated int"
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            best = (_normalize(emb) @ en.T).max(axis=1)
+            q = np.floor(best * 10000).astype(np.int64)
+            yield pd.DataFrame({
+                "vec_id": ids,
+                "max_eval_sim_e4": q,
+                "contaminated": (q >= threshold_e4).astype(np.int32)})
+
+    corpus = _as_double(embeddings).select("vec_id", "embedding")
+    # the eval rows themselves are not "contaminated corpus" — drop
+    # them Catalyst-side so the filter rides the parquet scan
+    if eval_id_set:
+        corpus = corpus.filter(~F.col("vec_id").isin(list(eval_id_set)))
+    return corpus.mapInPandas(score_batches, schema=out_ddl)

@@ -215,3 +215,40 @@ def pack_manifest(docs: DataFrame, *, seq_len: int = 2048,
         .alias("pos_in_seq"),
         (gs - F.col("start_tok")).cast("long").alias("doc_off"),
         (ge - gs).cast("int").alias("slice_len"))
+
+
+def epoch_plan(docs: DataFrame, *, target_tokens: int,
+               group_col: str = "lang", alpha: float = 0.3,
+               max_epochs_e3: int = 4000) -> DataFrame:
+    """Data-constrained training plan (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"): given a total token
+    budget and temperature-mixed group weights, how many EPOCHS of
+    each group the sampler must draw — and whether that exceeds the
+    repetition budget where extra epochs stop adding value (the paper
+    bounds useful repetition at ~4 epochs).
+
+    requested_g = weight_g × target_tokens; epochs_g = requested_g /
+    available_g (×1e3, floored — integer-exact given the already
+    integer-quantized weight_e6). ``over_budget`` marks groups whose
+    epochs exceed ``max_epochs_e3``; the trainer either caps them
+    (redistributing budget) or accepts decayed-value repetition.
+
+    Scale shape: pure derivation on ``mixture_weights``'s per-group
+    rows — the ONE corpus aggregation there is the only corpus-scale
+    work; this adds zero shuffles of corpus data.
+
+    Output per group: available tokens, sampling weight (×1e6),
+    requested tokens, epochs (×1e3), over_budget flag.
+    """
+    w = mixture_weights(docs, group_col=group_col, alpha=alpha)
+    requested = F.floor(F.col("weight_e6") * F.lit(int(target_tokens))
+                        / F.lit(1_000_000)).cast("long")
+    epochs = F.floor(requested * F.lit(1000) / F.col("n_tokens"))\
+        .cast("long")
+    return w.select(
+        group_col,
+        F.col("n_tokens").alias("available_tokens"),
+        "weight_e6",
+        requested.alias("requested_tokens"),
+        epochs.alias("epochs_e3"),
+        (epochs > int(max_epochs_e3)).cast("int").alias("over_budget"))

@@ -18,7 +18,7 @@ from __future__ import annotations
 from typing import Optional
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # marker stop-words per language for the n-gram/stop-word heuristic
@@ -435,3 +435,69 @@ def with_char_entropy(docs: DataFrame) -> DataFrame:
     return _staged(docs).select(
         "doc_id", F.length("_nt").alias("n_chars"),
         ent_udf(F.col("_nt")).alias("entropy_e6"))
+
+
+def vocab_growth(docs: DataFrame, *, bucket_size: int = 100) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: cumulative distinct token
+    types as the corpus is consumed in doc_id order, reported per
+    doc_id bucket of ``bucket_size`` documents. The trainer-side use
+    is tokenizer sizing / OOV forecasting: the curve's flattening
+    point tells how much corpus a vocabulary of a given size covers.
+
+    Scale shape: each type is attributed to the FIRST document it
+    appears in (min(doc_id) per token — ONE shuffle, map-side partial
+    min), then bucketed and counted (second tiny shuffle on bucket
+    ids). The cumulative sum is a window over the BUCKET table whose
+    row count is corpus_span/bucket_size — the caller sizes buckets so
+    that table is bounded (e.g. 10^12 docs / 10^8 bucket = 10^4 rows),
+    so the unpartitioned ordered window never sees corpus-scale rows.
+
+    Output: (bucket_id, first_doc, new_types, cum_types) where
+    first_doc = bucket_id*bucket_size, new_types = types first seen in
+    the bucket, cum_types = vocabulary size after the bucket.
+    """
+    first = (docs
+             .select("doc_id", F.explode(F.array_distinct(tokens_col()))
+                     .alias("token"))
+             .filter(F.col("token") != "")
+             .groupBy("token")
+             .agg(F.min("doc_id").alias("first_doc")))
+    per_bucket = (first
+                  .groupBy(F.floor(F.col("first_doc") / bucket_size)
+                           .cast("long").alias("bucket_id"))
+                  .agg(F.count("*").alias("new_types")))
+    w = Window.orderBy("bucket_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return per_bucket.select(
+        "bucket_id",
+        (F.col("bucket_id") * bucket_size).cast("long").alias("first_doc"),
+        F.col("new_types").cast("long").alias("new_types"),
+        F.sum("new_types").over(w).cast("long").alias("cum_types"))
+
+
+def doc_sentences(docs: DataFrame) -> DataFrame:
+    """Sentence segmentation over normalized text: one row per
+    sentence with its index and token count — the unit relation for
+    sentence-level dedup, bitext alignment, and per-sentence quality
+    gates (WMT-style corpus prep).
+
+    Sentences are maximal runs terminated by [.!?]+ — extracted with
+    ``regexp_extract_all`` (shared by Java regex and RE2, so the SQL
+    oracle replays it exactly; lookbehind splits are RE2-unsupported).
+    A trailing fragment with no terminal punctuation is dropped by
+    construction on both engines.
+
+    Scale shape: zero shuffle — one narrow pass, a bounded doc-local
+    explode (posexplode keeps the index without a window), token
+    counts from the already-split sentence. Everything whole-stage
+    codegen except the HOF trim."""
+    sents = F.expr(r"regexp_extract_all(_nt, '[^.!?]+[.!?]+', 0)")
+    staged = _staged(docs).select(
+        "doc_id", F.transform(sents, lambda s: F.trim(s)).alias("_s"))
+    ex = staged.select(
+        "doc_id", F.posexplode("_s").alias("sent_idx", "sentence"))
+    return ex.select(
+        "doc_id", F.col("sent_idx").cast("int").alias("sent_idx"),
+        "sentence",
+        F.size(F.split(F.col("sentence"), " ")).cast("int")
+        .alias("n_tokens"))
