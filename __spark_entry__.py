@@ -504,6 +504,74 @@ def q_extract_pdf_raw_routed(spark, sf_dir):
                      F.col("s.text").alias("text"))
 
 
+def q_ngram_containment_pairs(spark, sf_dir):
+    """Asymmetric shingle containment on explicit candidate pairs
+    (operators/dedup.py:ngram_containment): every original is FULLY
+    contained in its padded clone, so containment(orig→clone) == 1.0
+    exactly where Jaccard < 1 — the Dolma-style 'doc mostly embedded
+    in another' signal. Same equijoin-on-candidates plan shape as the
+    Jaccard verify; no shingle self-product."""
+    from docling_spark.operators.dedup import (exploded_shingles,
+                                               ngram_containment)
+    corpus = _clone_corpus_near(_docs(spark, sf_dir))
+    pairs = (corpus.filter(F.col("doc_id") >= 1000000)
+             .select((F.col("doc_id") - 1000000).alias("doc_a"),
+                     F.col("doc_id").alias("doc_b")))
+    sh = exploded_shingles(corpus, n=3)
+    out = ngram_containment(sh, pairs)
+    return out.select("doc_a", "doc_b",
+                      F.floor(F.col("containment") * 10000).cast("long")
+                       .alias("containment_e4"))
+
+
+def q_bloom_dedup(spark, sf_dir):
+    """Bloom-filter incremental dedup (operators/dedup.py:
+    bloom_membership): the seen-corpus bit set is a ≤m-row DISTINCT
+    relation broadcast to the probe side — the probe corpus never
+    shuffles. Probes include re-keyed exact clones of seen docs
+    (guaranteed members) plus genuinely novel docs; both engines replay
+    the identical md5 bit math, so even false positives match."""
+    from docling_spark.operators.dedup import bloom_membership
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    seen = docs.filter(F.col("doc_id") % 3 == 0)
+    clones = (seen.filter(F.col("doc_id") < 90)
+              .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    probes = docs.filter(F.col("doc_id") % 3 != 0).unionByName(clones)
+    return bloom_membership(seen, probes, m=1 << 18, k=4)
+
+
+def q_quality_percentile_gate(spark, sf_dir):
+    """Per-domain adaptive quality gate (operators/curate.py:
+    adaptive_quality_gate): keep docs at/above their source's exact
+    30th-percentile token count. One tiny shuffle on source for the
+    percentile; thresholds broadcast back — the doc table never
+    re-shuffles."""
+    from docling_spark.operators.curate import adaptive_quality_gate
+    from docling_spark.operators.textstats import tokens_col
+    docs = _docs(spark, sf_dir)
+    scored = docs.select("doc_id", "source",
+                         F.size(tokens_col()).alias("n_tokens"))
+    out = adaptive_quality_gate(scored, score_col="n_tokens",
+                                group_col="source", q=0.3)
+    return out.select("doc_id", "source", "n_tokens")
+
+
+def q_doc_normalize(spark, sf_dir):
+    """Unicode canonicalization (operators/normalize.py): NFC compose +
+    C0/DEL control strip + horizontal-whitespace collapse in ONE
+    Arrow-batched zero-shuffle pass. The fixture appends a decomposed
+    accent (e + U+0301), a BEL control, tabs, and double spaces so
+    every rule does real work; the oracle replays the pipeline with
+    DuckDB's native nfc_normalize and must produce the identical
+    sha256."""
+    from docling_spark.operators.normalize import canonicalized
+    docs = _docs(spark, sf_dir)
+    fix = F.concat(F.col("text"),
+                   F.lit("  cafe\u0301 \x07x\ty  z "))  # decomposed
+    out = canonicalized(docs.select("doc_id", fix.alias("text")))
+    return out.select("doc_id", "n_chars_norm", "norm_sha256")
+
+
 def q_doc_sentences(spark, sf_dir):
     """Sentence segmentation relation: one row per terminal-punctuated
     sentence with index + token count — zero shuffle, doc-local
@@ -2477,6 +2545,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "ngram_containment_pairs": q_ngram_containment_pairs,
+        "bloom_dedup": q_bloom_dedup,
+        "quality_percentile_gate": q_quality_percentile_gate,
+        "doc_normalize": q_doc_normalize,
         "doc_sentences": q_doc_sentences,
         "decontaminate_semantic": q_decontaminate_semantic,
         "vocab_growth": q_vocab_growth,
@@ -2614,6 +2686,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     oracles: dict[str, str] = {}
+
+    oracles["ngram_containment_pairs"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' extra trailing words appended here'
+  FROM documents WHERE doc_id < 30),
+{SHINGLE_CTE},
+pairs AS (SELECT doc_id - 1000000 AS doc_a, doc_id AS doc_b
+          FROM corpus WHERE doc_id >= 1000000),
+shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shx GROUP BY doc_id),
+inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+          FROM pairs p
+          JOIN shx a ON p.doc_a = a.doc_id
+          JOIN shx b ON p.doc_b = b.doc_id AND a.shingle = b.shingle
+          GROUP BY p.doc_a, p.doc_b)
+SELECT i.doc_a, i.doc_b,
+       CAST(floor(CAST(i.n_inter AS DOUBLE) / sa.n_sh * 10000) AS BIGINT)
+         AS containment_e4
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+"""
+
+    _bloom_pos = ", ".join(
+        f"('0x' || substr(md5(nt), {1 + 7 * i}, 7))::BIGINT % 262144"
+        for i in range(4))
+    oracles["bloom_dedup"] = f"""
+WITH seen AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+probes AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM seen WHERE doc_id < 90),
+norm_s AS (SELECT {NORM_SQL} AS nt FROM seen),
+set_bits AS (SELECT DISTINCT unnest(list_distinct([{_bloom_pos}])) AS p
+             FROM norm_s),
+norm_p AS (SELECT doc_id, {NORM_SQL} AS nt FROM probes),
+pp AS (SELECT doc_id, list_distinct([{_bloom_pos}]) AS ps FROM norm_p),
+ppx AS (SELECT doc_id, len(ps) AS n_pos, unnest(ps) AS p FROM pp),
+hits AS (SELECT q.doc_id, any_value(q.n_pos) AS n_pos,
+                COUNT(s.p) AS n_hit
+         FROM ppx q LEFT JOIN set_bits s ON q.p = s.p
+         GROUP BY q.doc_id)
+SELECT doc_id,
+       CASE WHEN n_hit = n_pos THEN 1 ELSE 0 END AS bloom_dup
+FROM hits
+"""
+
+    oracles["quality_percentile_gate"] = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         len(string_split({NORM_SQL}, ' ')) AS n_tokens
+  FROM documents),
+th AS (SELECT source, quantile_cont(n_tokens, 0.3) AS th
+       FROM scored GROUP BY source)
+SELECT s.doc_id, s.source, s.n_tokens
+FROM scored s JOIN th ON s.source = th.source
+WHERE s.n_tokens >= th.th
+"""
+
+    oracles["doc_normalize"] = """
+WITH fixed AS (
+  SELECT doc_id,
+         text || '  cafe' || chr(769) || ' ' || chr(7)
+              || 'x' || chr(9) || 'y  z ' AS t
+  FROM documents),
+n1 AS (SELECT doc_id, nfc_normalize(t) AS t FROM fixed),
+n2 AS (SELECT doc_id,
+         regexp_replace(t, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]',
+                        '', 'g') AS t
+       FROM n1),
+n3 AS (SELECT doc_id,
+         trim(regexp_replace(t, '[ \t]+', ' ', 'g'),
+              ' ' || chr(9) || chr(10) || chr(13)) AS t
+       FROM n2)
+SELECT doc_id,
+       CAST(length(t) AS BIGINT) AS n_chars_norm,
+       sha256(t) AS norm_sha256
+FROM n3
+"""
 
     oracles["extract_html_spans"] = """
 SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS INT) AS span_offset,

@@ -158,6 +158,10 @@ BENCH_QUERIES = [
     "tpch_q1_pricing",
     "tpch_q3_shipping",
     "tpch_q5_local_supplier",
+    "ngram_containment_pairs",
+    "bloom_dedup",
+    "quality_percentile_gate",
+    "doc_normalize",
 ]
 
 

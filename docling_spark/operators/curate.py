@@ -147,6 +147,28 @@ def gate_by_source(docs: DataFrame, reputation: DataFrame) -> DataFrame:
     return docs.join(F.broadcast(keep), "source", "left_semi")
 
 
+def adaptive_quality_gate(docs: DataFrame, *, score_col: str,
+                          group_col: str = "source",
+                          q: float = 0.3) -> DataFrame:
+    """Per-group adaptive quality threshold: keep rows whose score is at
+    or above the group's exact q-quantile (linear interpolation, the
+    quantile_cont / percentile semantics shared by Spark and ANSI SQL).
+    Fixed global cutoffs misfire when domains score on different
+    distributions — the FineWeb/DataComp-style per-domain gate keeps
+    the same survival fraction everywhere.
+
+    Scale shape: ONE shuffle on group_col for the exact percentile
+    (group cardinality = number of domains, tiny), thresholds broadcast
+    back — the doc table itself never re-shuffles. At 10^12 docs swap
+    F.percentile for percentile_approx(…, accuracy) if exact per-group
+    sort memory becomes the bound; the gate shape is unchanged."""
+    th = (docs.groupBy(group_col)
+          .agg(F.percentile(F.col(score_col), F.lit(q)).alias("_th")))
+    return (docs.join(F.broadcast(th), group_col)
+            .filter(F.col(score_col) >= F.col("_th"))
+            .drop("_th"))
+
+
 def dedup_boilerplate_lines(docs: DataFrame, *, min_df: int = 2,
                             min_line_chars: int = 8) -> DataFrame:
     """CCNet-style cross-document line dedup: a line whose normalized

@@ -182,6 +182,74 @@ def ngram_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
                 .alias("jaccard")))
 
 
+def ngram_containment(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact shingle containment C(A→B) = |A∩B| / |A| for the given
+    candidate pairs — the asymmetric near-dup signal (a short doc fully
+    embedded in a long one) that Jaccard under-scores when set sizes
+    differ (the Dolma-style "mostly contained" rule). Same plan shape
+    as ngram_jaccard: equijoin on shingle restricted to candidates,
+    never a shingle self-product; pairs broadcast when small."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (pairs.alias("p")
+             .join(a, F.col("p.doc_a") == F.col("a.doc_id"))
+             .join(b, (F.col("p.doc_b") == F.col("b.doc_id"))
+                   & (F.col("a.shingle") == F.col("b.shingle")))
+             .groupBy("p.doc_a", "p.doc_b")
+             .agg(F.count("*").alias("n_inter")))
+    return (inter
+            .join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+            .select("doc_a", "doc_b",
+                    (F.col("n_inter") / F.col("sa.n_sh"))
+                    .alias("containment")))
+
+
+def _bloom_positions(col: Column, *, m: int, k: int) -> Column:
+    """k bit positions from ONE md5 per value: consecutive 7-hex-digit
+    (28-bit) digest slices mod m. Portable to ANSI SQL — the oracle
+    replays the identical formula, so even the false positives match."""
+    digest = F.md5(col)
+    return F.array_distinct(F.array(*[
+        (F.conv(F.substring(digest, 1 + 7 * i, 7), 16, 10).cast("long")
+         % F.lit(m)).cast("long")
+        for i in range(k)]))
+
+
+def bloom_membership(seen: DataFrame, probes: DataFrame, *,
+                     m: int = 1 << 18, k: int = 4,
+                     text_col: str = "text") -> DataFrame:
+    """Bloom-filter incremental dedup, expressed relationally: the
+    filter's set bits are a one-column DISTINCT table (≤ m rows) built
+    from the already-ingested corpus; a probe doc is flagged dup iff
+    ALL of its k positions are present — exact Bloom semantics,
+    including the deterministic false-positive rate.
+
+    Scale shape: building the bit table is one hash-distinct bounded at
+    m rows (m = 2^18 default ≈ 2 MB, broadcast to the probe side — no
+    shuffle of the probe corpus at all). For a 10^12-doc seen-set raise
+    m (the table stays ≤ m rows regardless of corpus size); the classic
+    byte-array filter is the same information — the relational form
+    keeps it oracle-checkable and incrementally updatable by UNION."""
+    pos = _bloom_positions(
+        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))),
+        m=m, k=k)
+    set_bits = (seen.select(F.explode(pos).alias("pos"))
+                .distinct())
+    probe_pos = probes.select(
+        "doc_id", F.explode(pos).alias("pos"),
+        F.size(pos).alias("n_pos"))
+    hits = (probe_pos.alias("q")
+            .join(F.broadcast(set_bits.alias("s")),
+                  F.col("q.pos") == F.col("s.pos"), "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.col("s.pos")).alias("n_hit"),
+                 F.first("n_pos").alias("n_pos")))
+    return hits.select(
+        "doc_id",
+        (F.col("n_hit") == F.col("n_pos")).cast("int").alias("bloom_dup"))
+
+
 def minhash_dedup(docs: DataFrame, *, n: int = 3, num_hashes: int = 16,
                   bands: int = 4, threshold: float = 0.7,
                   num_partitions: int = 0,
