@@ -504,6 +504,53 @@ def q_extract_pdf_raw_routed(spark, sf_dir):
                      F.col("s.text").alias("text"))
 
 
+def q_winnow_overlap_pairs(spark, sf_dir):
+    """MOSS-style copy-detection candidates over winnowing fingerprints
+    (operators/dedup.py:winnow_overlap_pairs): df-capped fp equijoin,
+    never a doc×doc product. The padded clones share nearly all
+    fingerprints with their originals, so every (orig, clone) pair must
+    surface with overlap near 10000."""
+    from docling_spark.operators.dedup import winnow_overlap_pairs
+    from docling_spark.operators.textstats import winnow_fingerprints
+    corpus = _clone_corpus_near(_docs(spark, sf_dir))
+    fps = winnow_fingerprints(corpus, k=8, w=4)
+    return winnow_overlap_pairs(fps, min_shared=5, max_df=8)
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc n-gram novelty (operators/dedup.py:ngram_novelty):
+    fraction of a doc's shingles first seen by that doc. Exact clones
+    (doc_id+1000000) must score novelty 0 — their originals own every
+    shingle's min doc_id."""
+    from docling_spark.operators.dedup import (exploded_shingles,
+                                               ngram_novelty)
+    corpus = _clone_corpus_exact(_docs(spark, sf_dir))
+    return ngram_novelty(exploded_shingles(corpus, n=3))
+
+
+def q_idf_rarity(spark, sf_dir):
+    """Corpus-relative mean-IDF rarity score (operators/textstats.py:
+    idf_rarity): per-token idf quantized to BIGINT before the per-doc
+    sum, so the score is order-independent and engine-exact."""
+    from docling_spark.operators.textstats import idf_rarity
+    return idf_rarity(_docs(spark, sf_dir))
+
+
+def q_url_blocklist_gate(spark, sf_dir):
+    """UT1-style domain blocklist gate (operators/weburl.py:
+    url_blocklist_gate): any dot-suffix of the host matching the
+    broadcast blocklist drops the doc — h7/h13 hosts (incl. their
+    WWW./uppercase/port fetch variants) must vanish, everything else
+    survives. The oracle derives survivors from the fixture's closed
+    form, independently checking the whole host-extraction path."""
+    from docling_spark.operators.weburl import url_blocklist_gate
+    urls = _messy_urls(spark, sf_dir).select("doc_id", "url")
+    bl = spark.createDataFrame(
+        [("h7.example.com",), ("h13.example.com",), ("badtld.net",)],
+        "domain string")
+    return url_blocklist_gate(urls, bl)
+
+
 def q_ngram_containment_pairs(spark, sf_dir):
     """Asymmetric shingle containment on explicit candidate pairs
     (operators/dedup.py:ngram_containment): every original is FULLY
@@ -2545,6 +2592,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "winnow_overlap_pairs": q_winnow_overlap_pairs,
+        "ngram_novelty": q_ngram_novelty,
+        "idf_rarity": q_idf_rarity,
+        "url_blocklist_gate": q_url_blocklist_gate,
         "ngram_containment_pairs": q_ngram_containment_pairs,
         "bloom_dedup": q_bloom_dedup,
         "quality_percentile_gate": q_quality_percentile_gate,
@@ -2686,6 +2737,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     oracles: dict[str, str] = {}
+
+    oracles["winnow_overlap_pairs"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' extra trailing words appended here'
+  FROM documents WHERE doc_id < 30),
+n AS (SELECT doc_id, {NORM_SQL} AS nt FROM corpus),
+g AS (SELECT doc_id, length(nt) AS ln,
+        CASE WHEN length(nt) >= 8
+             THEN list_transform(generate_series(1, length(nt) - 7),
+                    i -> ('0x' || substr(md5(substr(nt, i, 8)), 1, 8))
+                         ::BIGINT)
+             ELSE [('0x' || substr(md5(nt), 1, 8))::BIGINT] END AS hs
+      FROM n),
+m AS (SELECT doc_id,
+        CASE WHEN ln >= 11
+             THEN list_distinct(list_transform(
+                    generate_series(1, len(hs) - 3),
+                    j -> list_min(hs[j:j+3])))
+             ELSE [list_min(hs)] END AS fps
+      FROM g),
+fx AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+dfx AS (SELECT fp FROM fx GROUP BY fp HAVING COUNT(*) <= 8),
+rare AS (SELECT f.doc_id, f.fp FROM fx f JOIN dfx USING (fp)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM fx GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 COUNT(*) AS n_shared
+          FROM rare a JOIN rare b
+            ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       CAST(floor(p.n_shared * 10000.0 / least(sa.n_fp, sb.n_fp))
+            AS BIGINT) AS overlap_e4
+FROM pairs p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+"""
+
+    oracles["ngram_novelty"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+{SHINGLE_CTE},
+shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+first AS (SELECT shingle, MIN(doc_id) AS first_doc
+          FROM shx GROUP BY shingle),
+j AS (SELECT s.doc_id,
+             CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END AS nov
+      FROM shx s JOIN first f ON s.shingle = f.shingle),
+per AS (SELECT doc_id, COUNT(*) AS n_shingles,
+               CAST(SUM(nov) AS BIGINT) AS n_novel
+        FROM j GROUP BY doc_id)
+SELECT doc_id, n_shingles, n_novel,
+       CAST(floor(n_novel * 10000.0 / n_shingles) AS BIGINT)
+         AS novelty_e4
+FROM per
+"""
+
+    oracles["idf_rarity"] = f"""
+WITH n AS (SELECT doc_id, {NORM_SQL} AS nt FROM documents),
+toks AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS token FROM n),
+dfx AS (SELECT token, COUNT(DISTINCT doc_id) AS df
+        FROM toks GROUP BY token),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+idf AS (SELECT token,
+               CAST(floor(ln(CAST(n_docs AS DOUBLE) / df) * 1e6)
+                    AS BIGINT) AS idf_e6
+        FROM dfx, nd),
+per AS (SELECT t.doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(i.idf_e6) AS BIGINT) AS s
+        FROM toks t JOIN idf i ON t.token = i.token
+        GROUP BY t.doc_id)
+SELECT doc_id, n_tokens,
+       CAST(floor(CAST(s AS DOUBLE) / n_tokens) AS BIGINT)
+         AS mean_idf_e6
+FROM per
+"""
+
+    oracles["url_blocklist_gate"] = f"""
+WITH u AS ({_MESSY_URLS_SQL})
+SELECT doc_id, url FROM u WHERE (doc_id // 5) % 50 NOT IN (7, 13)
+"""
 
     oracles["ngram_containment_pairs"] = f"""
 WITH corpus AS (

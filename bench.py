@@ -162,6 +162,10 @@ BENCH_QUERIES = [
     "bloom_dedup",
     "quality_percentile_gate",
     "doc_normalize",
+    "winnow_overlap_pairs",
+    "ngram_novelty",
+    "idf_rarity",
+    "url_blocklist_gate",
 ]
 
 

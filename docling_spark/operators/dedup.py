@@ -205,6 +205,60 @@ def ngram_containment(sh: DataFrame, pairs: DataFrame) -> DataFrame:
                     .alias("containment")))
 
 
+def winnow_overlap_pairs(fps: DataFrame, *, min_shared: int = 2,
+                         max_df: int = 20) -> DataFrame:
+    """MOSS-style content-overlap candidates from winnowing
+    fingerprints (textstats.winnow_fingerprints): docs sharing ≥
+    min_shared selected fingerprints. Guaranteed to catch any shared
+    run of ≥ k+w−1 chars — the copy-detection primitive.
+
+    Scale shape: fingerprints occurring in more than max_df docs are
+    dropped FIRST (boilerplate headers would otherwise both flood the
+    candidate set and make the self-join key skewed — the same df-cap
+    every plagiarism detector applies); the remaining self-equijoin on
+    fp emits only co-bucketed pairs, never a doc×doc product."""
+    df_tbl = fps.groupBy("fp").agg(F.count("*").alias("df"))
+    rare = fps.join(df_tbl.filter(F.col("df") <= max_df), "fp")
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a = rare.alias("a")
+    b = rare.alias("b")
+    pairs = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("n_shared"))
+             .filter(F.col("n_shared") >= min_shared))
+    return (pairs
+            .join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+            .select("doc_a", "doc_b", "n_shared",
+                    F.floor(F.col("n_shared") * 10000
+                            / F.least(F.col("sa.n_fp"), F.col("sb.n_fp")))
+                    .cast("long").alias("overlap_e4")))
+
+
+def ngram_novelty(sh: DataFrame) -> DataFrame:
+    """Per-doc n-gram novelty (memorization/repetition analysis à la
+    Carlini et al.): the fraction of a doc's distinct shingles whose
+    FIRST occurrence (min doc_id) is this doc. Near-0 novelty = the doc
+    is assembled from already-seen text; the corpus-level novelty curve
+    is the dedup-effectiveness report.
+
+    One shuffle on shingle for the min-agg; the join back is on the
+    same key so AQE co-partitions it; final per-doc agg is the only
+    other exchange."""
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    joined = sh.join(first, "shingle")
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+         .alias("n_novel"))
+    return per_doc.select(
+        "doc_id", "n_shingles", "n_novel",
+        F.floor(F.col("n_novel") * 10000 / F.col("n_shingles"))
+         .cast("long").alias("novelty_e4"))
+
+
 def _bloom_positions(col: Column, *, m: int, k: int) -> Column:
     """k bit positions from ONE md5 per value: consecutive 7-hex-digit
     (28-bit) digest slices mod m. Portable to ANSI SQL — the oracle

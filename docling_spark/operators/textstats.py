@@ -164,6 +164,40 @@ def with_language_id(docs: DataFrame) -> DataFrame:
         _pred_from_scores(s).alias("lang_pred"))
 
 
+def idf_rarity(docs: DataFrame, *,
+               broadcast_idf: bool = True) -> DataFrame:
+    """Mean-IDF rarity score per doc: rare-vocabulary documents score
+    high, listicle/boilerplate documents of common words score low —
+    the corpus-relative complement of the absolute LM-quality gates.
+
+    All arithmetic is order-independent: per-token idf = ln(N/df) is
+    quantized to floor(·1e6) BIGINT before the per-doc SUM, so the
+    result is bit-identical regardless of aggregation order (a raw
+    double sum would drift between engines). Shapes: df table = one
+    shuffle on token; the occurrence→idf join broadcasts the idf table
+    when the vocabulary is bounded (broadcast_idf=True — a 10M-term
+    vocab is ~200 MB; set False to let AQE shuffle-join a larger one,
+    where skew on stopword keys is AQE-split)."""
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    df_tbl = (toks.distinct()
+              .groupBy("token").agg(F.count("*").alias("df")))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    idf = (df_tbl.crossJoin(F.broadcast(n_docs))
+           .select("token",
+                   F.floor(F.log(F.col("n_docs") / F.col("df")) * 1e6)
+                    .cast("long").alias("idf_e6")))
+    if broadcast_idf:
+        idf = F.broadcast(idf)
+    per_doc = (toks.join(idf, "token")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_tokens"),
+                    F.sum("idf_e6").alias("idf_sum_e6")))
+    return per_doc.select(
+        "doc_id", "n_tokens",
+        F.floor(F.col("idf_sum_e6") / F.col("n_tokens"))
+         .cast("long").alias("mean_idf_e6"))
+
+
 def _winnow_udf(k: int, w: int):
     import hashlib
 

@@ -99,3 +99,45 @@ def url_dedup(df: DataFrame, url_col: str = "url", *,
     return (rows.groupBy("canon_url")
             .agg(F.min("_id").alias("keep_id"),
                  F.count("*").alias("n_dups")))
+
+
+def host_col(url: Column) -> Column:
+    """Canonical host from a raw URL: lowercase, strip port and
+    leading www. — pure Catalyst."""
+    rest = F.regexp_replace(F.trim(url),
+                            r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    host = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    host = F.regexp_replace(host, r":[0-9]+$", "")
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def url_blocklist_gate(df: DataFrame, blocklist: DataFrame, *,
+                       url_col: str = "url",
+                       broadcast_hits: bool = True) -> DataFrame:
+    """Domain-blocklist gate with UT1-style suffix semantics: a doc is
+    dropped when ANY dot-suffix of its host (a.b.example.com →
+    a.b.example.com, b.example.com, example.com, com) appears in the
+    blocklist — blocking a registered domain blocks every subdomain.
+
+    Scale shape: the host's ≤ ~6 suffixes are exploded doc-locally and
+    anti-joined against the BROADCAST blocklist (blocklists are
+    ~10^6 rows ≈ tens of MB), so the 10^12-doc table never shuffles;
+    the gate composes into the scan stage."""
+    host = host_col(F.col(url_col))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    suffixes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."))
+    probe = df.withColumn("_host", host) \
+              .withColumn("_sfx", F.explode(suffixes))
+    blocked = blocklist.select(F.col(blocklist.columns[0]).alias("_sfx"))
+    id_col = df.columns[0]
+    hit = (probe.join(F.broadcast(blocked), "_sfx", "left_semi")
+           .select(F.col(id_col).alias("_hit_id")).distinct())
+    # blocked ids ≪ corpus for any real blocklist (gates drop a few %),
+    # so the anti-join build side broadcasts; broadcast_hits=False
+    # falls back to AQE's choice for a pathological mostly-blocked feed
+    if broadcast_hits:
+        hit = F.broadcast(hit)
+    return (df.join(hit, F.col(id_col) == F.col("_hit_id"), "left_anti"))

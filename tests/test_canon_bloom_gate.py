@@ -91,3 +91,70 @@ def test_adaptive_quality_gate_per_group(spark):
     assert {s for g, s in got if g == "a"} == set(range(4, 11))
     assert {s for g, s in got if g == "b"} == {i * 100
                                                for i in range(4, 11)}
+
+
+def test_winnow_overlap_ranks_copy_above_unrelated(spark):
+    from docling_spark.operators.dedup import winnow_overlap_pairs
+    from docling_spark.operators.textstats import winnow_fingerprints
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the quick brown fox jumps over the lazy dog tomorrow"),
+         (3, "completely different text with no overlap at all here")],
+        "doc_id long, text string")
+    fps = winnow_fingerprints(docs)
+    rows = winnow_overlap_pairs(fps, min_shared=2, max_df=10).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(1, 2)]
+    assert rows[0]["overlap_e4"] > 9000
+
+
+def test_ngram_novelty_clone_scores_zero(spark):
+    from docling_spark.operators.dedup import (exploded_shingles,
+                                               ngram_novelty)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma delta epsilon"),     # exact clone
+         (3, "totally fresh shingle content here")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           ngram_novelty(exploded_shingles(docs, n=3)).collect()}
+    assert out[1]["novelty_e4"] == 10000
+    assert out[2]["novelty_e4"] == 0
+    assert out[3]["novelty_e4"] == 10000
+
+
+def test_idf_rarity_orders_rare_above_common(spark):
+    from docling_spark.operators.textstats import idf_rarity
+    docs = spark.createDataFrame(
+        [(i, "the common shared words") for i in range(1, 10)]
+        + [(10, "zyzzyva xylophone quixotic jackdaw")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["mean_idf_e6"] for r in idf_rarity(docs).collect()}
+    assert out[10] > out[1]
+    import math
+    # doc 10's tokens each appear in exactly 1 of 10 docs → ln(10)
+    assert out[10] == math.floor(math.log(10) * 1e6)
+    assert out[1] == math.floor(math.log(10 / 9) * 1e6)
+
+
+def test_url_blocklist_suffix_semantics(spark):
+    from docling_spark.operators.weburl import url_blocklist_gate
+    df = spark.createDataFrame(
+        [(1, "https://WWW.Deep.Sub.Blocked.org:443/x"),  # suffix hit
+         (2, "https://blocked.org/y"),                   # exact hit
+         (3, "https://notblocked.org/z"),                # no suffix match
+         (4, "https://fine.example.net/w")],
+        "doc_id long, url string")
+    bl = spark.createDataFrame([("blocked.org",)], "domain string")
+    kept = {r["doc_id"] for r in url_blocklist_gate(df, bl).collect()}
+    assert kept == {3, 4}
+
+
+def test_url_blocklist_broadcast_no_doc_shuffle(spark):
+    from docling_spark.operators.weburl import url_blocklist_gate
+    df = spark.createDataFrame(
+        [(i, f"https://h{i}.example.com/p") for i in range(100)],
+        "doc_id long, url string")
+    bl = spark.createDataFrame([("h7.example.com",)], "domain string")
+    plan = url_blocklist_gate(df, bl)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SortMergeJoin" not in plan
