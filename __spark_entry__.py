@@ -504,6 +504,40 @@ def q_extract_pdf_raw_routed(spark, sf_dir):
                      F.col("s.text").alias("text"))
 
 
+def q_minhash_jaccard_est(spark, sf_dir):
+    """MinHash Jaccard estimate on explicit pairs (operators/dedup.py:
+    minhash_jaccard_est): fraction of equal signature components, the
+    128-B/doc scoring path that replaces the shingle re-join at scale.
+    Both engines replay the identical Carter-Wegman signature
+    construction, so the estimates match bit-for-bit."""
+    from docling_spark.operators.dedup import (exploded_shingles,
+                                               minhash_jaccard_est,
+                                               minhash_signatures_indep)
+    corpus = _clone_corpus_near(_docs(spark, sf_dir))
+    pairs = (corpus.filter(F.col("doc_id") >= 1000000)
+             .select((F.col("doc_id") - 1000000).alias("doc_a"),
+                     F.col("doc_id").alias("doc_b")))
+    sigs = minhash_signatures_indep(exploded_shingles(corpus, n=3))
+    return minhash_jaccard_est(sigs, pairs)
+
+
+def q_script_mix(spark, sf_dir):
+    """Unicode script profile (operators/textstats.py:script_mix):
+    per-script letter counts + the Latin/Cyrillic homoglyph-mix flag.
+    The fixture appends Cyrillic/CJK/Greek/Arabic runs by doc_id
+    residue so every counter does real work. Zero shuffle."""
+    from docling_spark.operators.textstats import script_mix
+    docs = _docs(spark, sf_dir)
+    suffix = (F.when(F.col("doc_id") % 5 == 1, F.lit(" привет мир"))
+              .when(F.col("doc_id") % 5 == 2, F.lit(" 你好世界"))
+              .when(F.col("doc_id") % 5 == 3, F.lit(" αβγδ"))
+              .when(F.col("doc_id") % 5 == 4, F.lit(" مرحبا بك"))
+              .otherwise(F.lit("")))
+    fixed = docs.select("doc_id",
+                        F.concat(F.col("text"), suffix).alias("text"))
+    return script_mix(fixed)
+
+
 def q_winnow_overlap_pairs(spark, sf_dir):
     """MOSS-style copy-detection candidates over winnowing fingerprints
     (operators/dedup.py:winnow_overlap_pairs): df-capped fp equijoin,
@@ -2592,6 +2626,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "minhash_jaccard_est": q_minhash_jaccard_est,
+        "script_mix": q_script_mix,
         "winnow_overlap_pairs": q_winnow_overlap_pairs,
         "ngram_novelty": q_ngram_novelty,
         "idf_rarity": q_idf_rarity,
@@ -2737,6 +2773,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     oracles: dict[str, str] = {}
+
+    oracles["minhash_jaccard_est"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' extra trailing words appended here'
+  FROM documents WHERE doc_id < 30),
+{SHINGLE_CTE},
+mixed AS (SELECT doc_id,
+            list_transform(shingles,
+              x -> ('0x' || substr(md5(x), 1, 12))::BIGINT
+                   % 2147483647) AS vs
+          FROM sh),
+sigs AS (SELECT doc_id,
+           list_transform(generate_series(0, 15),
+             s -> list_min(list_transform(vs,
+                    v -> (v * (((2*s+1) * 2654435761) % 2147483647)
+                          + ((s * 1013904223 + 12345) % 2147483647))
+                         % 2147483647))) AS sig
+         FROM mixed),
+pairs AS (SELECT doc_id - 1000000 AS doc_a, doc_id AS doc_b
+          FROM corpus WHERE doc_id >= 1000000),
+j AS (SELECT p.doc_a, p.doc_b,
+        len(list_filter(generate_series(1, 16),
+                        i -> a.sig[i] = b.sig[i])) AS nm
+      FROM pairs p
+      JOIN sigs a ON p.doc_a = a.doc_id
+      JOIN sigs b ON p.doc_b = b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(floor(nm * 10000.0 / 16) AS BIGINT) AS est_jaccard_e4
+FROM j
+"""
+
+    _script_cases = (
+        "CASE doc_id % 5 WHEN 1 THEN ' привет мир' "
+        "WHEN 2 THEN ' 你好世界' WHEN 3 THEN ' αβγδ' "
+        "WHEN 4 THEN ' مرحبا بك' ELSE '' END")
+    _script_cls = {
+        "latin": r"[A-Za-z\x{00C0}-\x{024F}]",
+        "cyrillic": r"[\x{0400}-\x{04FF}]",
+        "greek": r"[\x{0370}-\x{03FF}]",
+        "cjk": r"[\x{4E00}-\x{9FFF}]",
+        "arabic": r"[\x{0600}-\x{06FF}]",
+    }
+    _script_counts = ", ".join(
+        f"CAST(length(t) - length(regexp_replace(t, '{rx}', '', 'g'))"
+        f" AS BIGINT) AS n_{k}" for k, rx in _script_cls.items())
+    oracles["script_mix"] = f"""
+WITH fixed AS (SELECT doc_id, text || {_script_cases} AS t
+               FROM documents),
+c AS (SELECT doc_id, {_script_counts} FROM fixed)
+SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk, n_arabic,
+       CASE WHEN n_latin > 0 AND n_cyrillic > 0 THEN 1 ELSE 0 END
+         AS latin_cyrillic_mix
+FROM c
+"""
 
     oracles["winnow_overlap_pairs"] = f"""
 WITH corpus AS (

@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     "ngram_novelty",
     "idf_rarity",
     "url_blocklist_gate",
+    "minhash_jaccard_est",
+    "script_mix",
 ]
 
 

@@ -205,6 +205,56 @@ def ngram_containment(sh: DataFrame, pairs: DataFrame) -> DataFrame:
                     .alias("containment")))
 
 
+_MERSENNE31 = (1 << 31) - 1
+
+
+def minhash_signatures_indep(sh: DataFrame, *,
+                             num_hashes: int = 16) -> DataFrame:
+    """Signatures from an INDEPENDENT hash family: h_s(x) = (c_s·v +
+    d_s) mod (2³¹−1) over one 48-bit md5-derived value v per shingle.
+    The mod-wraparound makes each s an effectively independent
+    permutation — unlike minhash_signatures' a + s·b family, whose
+    orderings are correlated across s (one outlier element can hijack
+    every component; fine for LSH candidate generation, which only
+    needs collision-on-equality and is exactness-verified downstream,
+    but USELESS as an estimator). Constants are closed-form in s, so
+    the SQL oracle replays them literally. Same plan shape: one md5
+    per shingle, one shuffle with 16 primitive min-aggregates."""
+    v = (F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10)
+         .cast("long") % F.lit(_MERSENNE31))
+    aggs = []
+    for s in range(num_hashes):
+        c = ((2 * s + 1) * 2654435761) % _MERSENNE31
+        d = (s * 1013904223 + 12345) % _MERSENNE31
+        aggs.append(F.min((v * F.lit(c) + F.lit(d)) % F.lit(_MERSENNE31))
+                    .alias(f"h{s}"))
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_jaccard_est(sigs: DataFrame, pairs: DataFrame, *,
+                        num_hashes: int = 16) -> DataFrame:
+    """MinHash Jaccard ESTIMATE for candidate pairs: the fraction of
+    equal signature components (the textbook unbiased estimator) — the
+    sketch-accuracy eval primitive, and the production scoring path
+    when shingle sets are too big to re-join: at 10^12 docs a
+    16-component signature is ~128 B/doc vs KBs of shingles, so the
+    estimate join moves 10-100× less data than the exact verify.
+    Plan shape: two equijoins of the pair list against the signature
+    table (broadcast when the pair list is small), zero recompute."""
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    matches = None
+    for i in range(num_hashes):
+        t = (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int")
+        matches = t if matches is None else matches + t
+    return (pairs.alias("p")
+            .join(a, F.col("p.doc_a") == F.col("a.doc_id"))
+            .join(b, F.col("p.doc_b") == F.col("b.doc_id"))
+            .select("p.doc_a", "p.doc_b",
+                    F.floor(matches * 10000 / num_hashes).cast("long")
+                     .alias("est_jaccard_e4")))
+
+
 def winnow_overlap_pairs(fps: DataFrame, *, min_shared: int = 2,
                          max_df: int = 20) -> DataFrame:
     """MOSS-style content-overlap candidates from winnowing

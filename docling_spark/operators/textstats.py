@@ -164,6 +164,38 @@ def with_language_id(docs: DataFrame) -> DataFrame:
         _pred_from_scores(s).alias("lang_pred"))
 
 
+_SCRIPT_CLASSES = {
+    # char-class per script; Java regex and RE2 both accept the
+    # equivalent ranges (the oracle spells them \\x{hhhh})
+    "latin": "[A-Za-zÀ-ɏ]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "greek": "[Ͱ-Ͽ]",
+    "cjk": "[一-鿿]",
+    "arabic": "[؀-ۿ]",
+}
+
+
+def script_mix(docs: DataFrame) -> DataFrame:
+    """Unicode script profile per doc: letter counts for
+    Latin/Cyrillic/Greek/CJK/Arabic plus a mixed-script flag
+    (Latin+Cyrillic blending is the classic homoglyph-spam /
+    wrong-language signal a fasttext gate misses on short texts).
+    Counts are length(text) − length(strip(class)) — pure Catalyst,
+    zero shuffle, whole-stage codegen."""
+    n = F.length("text")
+
+    def cnt(rx):
+        return (n - F.length(F.regexp_replace(F.col("text"), rx, ""))) \
+            .cast("long")
+
+    counts = {k: cnt(rx) for k, rx in _SCRIPT_CLASSES.items()}
+    mixed = ((counts["latin"] > 0) & (counts["cyrillic"] > 0)).cast("int")
+    return docs.select(
+        "doc_id",
+        *[c.alias(f"n_{k}") for k, c in counts.items()],
+        mixed.alias("latin_cyrillic_mix"))
+
+
 def idf_rarity(docs: DataFrame, *,
                broadcast_idf: bool = True) -> DataFrame:
     """Mean-IDF rarity score per doc: rare-vocabulary documents score

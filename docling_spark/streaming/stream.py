@@ -172,6 +172,59 @@ def dedup_stream(docs: DataFrame, *,
                 timeoutConf=timeout))
 
 
+_APPROX_OUT_DDL = "prefix string, doc_id bigint"
+_APPROX_STATE_DDL = "first_doc bigint"
+
+
+def approx_dedup_stream(docs: DataFrame, *, prefix_hex: int = 8,
+                        state_ttl_minutes: Optional[int] = None
+                        ) -> DataFrame:
+    """Approximate dedup-on-arrival with BOUNDED state — the streaming
+    counterpart of operators/dedup.bloom_membership (a k=1 Bloom with
+    m = 16^prefix_hex): the key is the leading ``prefix_hex`` hex
+    digits of the normalized-text md5, state is one long per occupied
+    prefix, so memory is capped at m entries regardless of how much
+    ingest passes (exact dedup_stream state grows with UNIQUE docs —
+    unbounded on an open crawl). Prefix collisions are deterministic
+    false positives: the later doc is dropped. Widen prefix_hex to
+    trade memory for FP rate; keys shard uniformly across the state
+    store because md5 prefixes are uniform."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    fp = F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"),
+                                               r"\s+", " "))))
+    keyed = docs.select(F.substring(fp, 1, prefix_hex).alias("prefix"),
+                        F.col("doc_id").cast("long").alias("doc_id"))
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if state_ttl_minutes else GroupStateTimeout.NoTimeout)
+
+    def fold(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf["doc_id"].min())
+                best = m if best is None else min(best, m)
+        fresh = best is not None and not state.exists
+        if fresh:
+            state.update((best,))
+        if state.exists and state_ttl_minutes:
+            state.setTimeoutDuration(state_ttl_minutes * 60_000)
+        if fresh:
+            yield pd.DataFrame({"prefix": [key[0]], "doc_id": [best]})
+
+    return (keyed.groupBy("prefix")
+            .applyInPandasWithState(
+                fold,
+                outputStructType=_APPROX_OUT_DDL,
+                stateStructType=_APPROX_STATE_DDL,
+                outputMode="update",
+                timeoutConf=timeout))
+
+
 def run_stream_to_table(stream_df: DataFrame, out_dir: str,
                         checkpoint_dir: str, *,
                         available_now: bool = True):

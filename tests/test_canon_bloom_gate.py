@@ -158,3 +158,55 @@ def test_url_blocklist_broadcast_no_doc_shuffle(spark):
     plan = url_blocklist_gate(df, bl)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "SortMergeJoin" not in plan
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    from docling_spark.operators.dedup import (exploded_shingles,
+                                               minhash_jaccard_est,
+                                               minhash_signatures_indep,
+                                               ngram_jaccard)
+    docs = spark.createDataFrame(
+        [(1, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 wa wb wc wd we wf"),
+         (2, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 wa wb wc wd we wf x y"),
+         (3, "entirely different tokens here nothing shared at all ok")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (1, 3)],
+                                  "doc_a long, doc_b long")
+    sh = exploded_shingles(docs, n=3)
+    est = {(r["doc_a"], r["doc_b"]): r["est_jaccard_e4"]
+           for r in minhash_jaccard_est(
+               minhash_signatures_indep(sh), pairs).collect()}
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard(sh, pairs).collect()}
+    # near-identical pair estimates high, disjoint pair exactly 0
+    assert est[(1, 2)] >= 6000 and exact[(1, 2)] > 0.8
+    # disjoint pair: estimator says 0; the exact verify emits no row
+    # at all (its shingle equijoin has no intersection to count)
+    assert est[(1, 3)] == 0
+    assert (1, 3) not in exact
+
+
+def test_script_mix_counts_and_flag(spark):
+    from docling_spark.operators.textstats import script_mix
+    docs = spark.createDataFrame(
+        [(1, "hello world"),
+         (2, "hello мир"),          # latin + cyrillic → mix
+         (3, "你好世界"),
+         (4, "αβγ and مرحبا")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in script_mix(docs).collect()}
+    assert out[1]["n_latin"] == 10 and out[1]["latin_cyrillic_mix"] == 0
+    assert out[2]["n_cyrillic"] == 3 and out[2]["latin_cyrillic_mix"] == 1
+    assert out[3]["n_cjk"] == 4
+    assert out[4]["n_greek"] == 3 and out[4]["n_arabic"] == 5
+    assert out[4]["latin_cyrillic_mix"] == 0
+
+
+def test_script_mix_zero_shuffle(spark):
+    from docling_spark.operators.textstats import script_mix
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    plan = script_mix(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan

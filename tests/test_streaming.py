@@ -260,3 +260,48 @@ def test_anomaly_stream_matches_batch_flags(spark, tmp_path):
     assert got == batch
     # and the spike was actually flagged
     assert got[1000 + 3600 * 6][1] == 1
+
+
+def test_approx_dedup_stream_bounded_state_batch_parity(spark, tmp_path):
+    """Approximate (hash-prefix / k=1 Bloom) dedup-on-arrival: the
+    emitted set equals the batch groupBy-prefix representative set,
+    duplicates in later micro-batches are dropped by carried state,
+    and a deliberately tiny prefix (1 hex digit = 16 possible keys)
+    bounds the emission count at m regardless of distinct texts —
+    the bounded-memory contract exact dedup can't give."""
+    from pyspark.sql import functions as F
+
+    from docling_spark.streaming.stream import approx_dedup_stream
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"text {i} body") for i in range(30)],
+        "doc_id long, text string").coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(i, f"text {i - 30} body") for i in range(30, 60)],  # dups
+        "doc_id long, text string").coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src))
+    out = approx_dedup_stream(stream, prefix_hex=1)
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("approx_dedup_out")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql("select * from approx_dedup_out").collect()
+
+    # batch twin: first doc_id per md5 prefix over the SAME data
+    batch = spark.read.parquet(src)
+    fp = F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"),
+                                               r"\s+", " "))))
+    expected = {(r["prefix"], r["doc_id"]) for r in
+                batch.select(F.substring(fp, 1, 1).alias("prefix"),
+                             "doc_id")
+                .groupBy("prefix").agg(F.min("doc_id").alias("doc_id"))
+                .collect()}
+    got = {(r["prefix"], r["doc_id"]) for r in rows}
+    assert got == expected
+    assert len(got) <= 16  # bounded by m = 16^prefix_hex
