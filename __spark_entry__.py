@@ -504,6 +504,50 @@ def q_extract_pdf_raw_routed(spark, sf_dir):
                      F.col("s.text").alias("text"))
 
 
+def q_near_dup_eval(spark, sf_dir):
+    """Candidate-quality harness (operators/dedup.py:pair_eval):
+    precision/recall of the SimHash band candidates against the
+    labeled clone pairs — the tuning loop every LSH deployment runs
+    before committing band/hamming knobs at scale. Recall must be
+    10000 (every planted clone found); precision measures band noise."""
+    from docling_spark.operators.dedup import pair_eval, simhash_pairs
+    corpus = _clone_corpus_near(_docs(spark, sf_dir))
+    pred = (simhash_pairs(corpus, n=3, bits=32, bands=4, max_hamming=3)
+            .select("doc_a", "doc_b"))
+    truth = (_docs(spark, sf_dir).filter(F.col("doc_id") < 30)
+             .select(F.col("doc_id").alias("doc_a"),
+                     (F.col("doc_id") + 1000000).alias("doc_b")))
+    return pair_eval(pred, truth)
+
+
+def q_dedup_report(spark, sf_dir):
+    """Per-source dedup accounting (operators/dedup.py:dedup_report):
+    doc count, distinct texts, dup ratio, largest cluster. Exact
+    clones keep their source, so each source's ratio reflects its
+    planted duplicates."""
+    from docling_spark.operators.dedup import dedup_report
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    clones = (docs.filter(F.col("doc_id") < 50)
+              .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                      "source", "text"))
+    return dedup_report(docs.unionByName(clones))
+
+
+def q_mad_outlier_gate(spark, sf_dir):
+    """Robust two-sided length gate (operators/curate.py:
+    mad_outlier_gate): keep docs within 3.5 MAD of their source's
+    median token count — outlier mega-docs and stubs drop without a
+    hand-tuned absolute threshold."""
+    from docling_spark.operators.curate import mad_outlier_gate
+    from docling_spark.operators.textstats import tokens_col
+    docs = _docs(spark, sf_dir)
+    scored = docs.select("doc_id", "source",
+                         F.size(tokens_col()).alias("n_tokens"))
+    out = mad_outlier_gate(scored, score_col="n_tokens",
+                           group_col="source", k_e4=35000)
+    return out.select("doc_id", "source", "n_tokens")
+
+
 def q_minhash_jaccard_est(spark, sf_dir):
     """MinHash Jaccard estimate on explicit pairs (operators/dedup.py:
     minhash_jaccard_est): fraction of equal signature components, the
@@ -2626,6 +2670,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "near_dup_eval": q_near_dup_eval,
+        "dedup_report": q_dedup_report,
+        "mad_outlier_gate": q_mad_outlier_gate,
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "script_mix": q_script_mix,
         "winnow_overlap_pairs": q_winnow_overlap_pairs,
@@ -4381,6 +4428,54 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
     oracles["dedup_simhash_pairs"] = "WITH " + simhash_pair_ctes + """
 SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+    oracles["near_dup_eval"] = "WITH " + simhash_pair_ctes + """,
+pred AS (SELECT doc_a, doc_b FROM cand
+         WHERE bit_count(xor(ha, hb)) <= 3),
+truth AS (SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+          FROM documents WHERE doc_id < 30),
+hit AS (SELECT COUNT(*) AS n_hit
+        FROM pred JOIN truth USING (doc_a, doc_b)),
+np AS (SELECT COUNT(*) AS n_pred FROM pred),
+nt AS (SELECT COUNT(*) AS n_truth FROM truth)
+SELECT n_pred, n_truth, n_hit,
+       CAST(floor(n_hit * 10000.0 / n_pred) AS BIGINT) AS precision_e4,
+       CAST(floor(n_hit * 10000.0 / n_truth) AS BIGINT) AS recall_e4
+FROM np, nt, hit
+"""
+
+    oracles["dedup_report"] = f"""
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, source, text FROM documents
+  WHERE doc_id < 50),
+per_fp AS (SELECT source, md5({NORM_SQL}) AS fp, COUNT(*) AS cnt
+           FROM corpus GROUP BY source, fp),
+rep AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+               COUNT(*) AS n_unique, MAX(cnt) AS max_cluster
+        FROM per_fp GROUP BY source)
+SELECT source, n_docs, n_unique, max_cluster,
+       CAST(floor((n_docs - n_unique) * 10000.0 / n_docs) AS BIGINT)
+         AS dup_ratio_e4
+FROM rep
+"""
+
+    oracles["mad_outlier_gate"] = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         len(string_split({NORM_SQL}, ' ')) AS n_tokens
+  FROM documents),
+med AS (SELECT source, quantile_cont(n_tokens, 0.5) AS med
+        FROM scored GROUP BY source),
+j AS (SELECT s.doc_id, s.source, s.n_tokens, m.med
+      FROM scored s JOIN med m ON s.source = m.source),
+mad AS (SELECT source, quantile_cont(abs(n_tokens - med), 0.5) AS mad
+        FROM j GROUP BY source)
+SELECT j.doc_id, j.source, j.n_tokens
+FROM j JOIN mad ON j.source = mad.source
+WHERE abs(j.n_tokens - j.med) * 10000 <= 35000 * mad.mad
 """
 
     oracles["dedup_components"] = \

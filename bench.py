@@ -168,6 +168,9 @@ BENCH_QUERIES = [
     "url_blocklist_gate",
     "minhash_jaccard_est",
     "script_mix",
+    "near_dup_eval",
+    "dedup_report",
+    "mad_outlier_gate",
 ]
 
 

@@ -169,6 +169,28 @@ def adaptive_quality_gate(docs: DataFrame, *, score_col: str,
             .drop("_th"))
 
 
+def mad_outlier_gate(docs: DataFrame, *, score_col: str,
+                     group_col: str = "source",
+                     k_e4: int = 35000) -> DataFrame:
+    """Two-sided robust outlier gate: keep rows with |score − median|
+    ≤ k·MAD per group (k_e4 = k·10⁴, default 3.5 — the robust z-score
+    cut). Unlike a mean/stddev gate, one mega-document can't drag the
+    threshold. Same scale shape as adaptive_quality_gate: two tiny
+    grouped exact percentiles (swap in percentile_approx at 10^12
+    rows), broadcast back; the doc table never re-shuffles."""
+    med = (docs.groupBy(group_col)
+           .agg(F.percentile(F.col(score_col), F.lit(0.5))
+                .alias("_med")))
+    j = docs.join(F.broadcast(med), group_col)
+    mad = (j.groupBy(group_col)
+           .agg(F.percentile(F.abs(F.col(score_col) - F.col("_med")),
+                             F.lit(0.5)).alias("_mad")))
+    return (j.join(F.broadcast(mad), group_col)
+            .filter(F.abs(F.col(score_col) - F.col("_med")) * 10000
+                    <= F.lit(k_e4) * F.col("_mad"))
+            .drop("_med", "_mad"))
+
+
 def dedup_boilerplate_lines(docs: DataFrame, *, min_df: int = 2,
                             min_line_chars: int = 8) -> DataFrame:
     """CCNet-style cross-document line dedup: a line whose normalized

@@ -309,6 +309,44 @@ def ngram_novelty(sh: DataFrame) -> DataFrame:
          .cast("long").alias("novelty_e4"))
 
 
+def pair_eval(pred: DataFrame, truth: DataFrame) -> DataFrame:
+    """Candidate-set quality eval: precision/recall of predicted
+    (doc_a, doc_b) pairs against labeled pairs — the harness for tuning
+    LSH bands/hamming thresholds before a 100-TB run. One row out; the
+    hit count is a broadcast semi-join on the pair key, the three
+    1-row counts cross-join (the accepted scalar-stats pattern)."""
+    hit = (pred.join(F.broadcast(truth), ["doc_a", "doc_b"], "left_semi")
+           .agg(F.count("*").alias("n_hit")))
+    np_ = pred.agg(F.count("*").alias("n_pred"))
+    nt = truth.agg(F.count("*").alias("n_truth"))
+    return (np_.crossJoin(nt).crossJoin(hit)
+            .select("n_pred", "n_truth", "n_hit",
+                    F.floor(F.col("n_hit") * 10000 / F.col("n_pred"))
+                     .cast("long").alias("precision_e4"),
+                    F.floor(F.col("n_hit") * 10000 / F.col("n_truth"))
+                     .cast("long").alias("recall_e4")))
+
+
+def dedup_report(docs: DataFrame, *, group_col: str = "source",
+                 text_col: str = "text") -> DataFrame:
+    """Per-source dedup report: doc count, distinct normalized texts,
+    duplicate ratio, largest duplicate cluster — the before/after
+    accounting every corpus release publishes. ONE shuffle on
+    (group, fingerprint), then a rollup on the tiny group key."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col),
+                                           r"\s+", " ")))
+    per_fp = (docs.select(F.col(group_col), F.md5(norm).alias("fp"))
+              .groupBy(group_col, "fp").agg(F.count("*").alias("cnt")))
+    rep = per_fp.groupBy(group_col).agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count("*").alias("n_unique"),
+        F.max("cnt").alias("max_cluster"))
+    return rep.select(
+        group_col, "n_docs", "n_unique", "max_cluster",
+        F.floor((F.col("n_docs") - F.col("n_unique")) * 10000
+                / F.col("n_docs")).cast("long").alias("dup_ratio_e4"))
+
+
 def _bloom_positions(col: Column, *, m: int, k: int) -> Column:
     """k bit positions from ONE md5 per value: consecutive 7-hex-digit
     (28-bit) digest slices mod m. Portable to ANSI SQL — the oracle

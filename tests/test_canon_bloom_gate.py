@@ -210,3 +210,41 @@ def test_script_mix_zero_shuffle(spark):
     plan = script_mix(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pair_eval_precision_recall(spark):
+    from docling_spark.operators.dedup import pair_eval
+    pred = spark.createDataFrame([(1, 2), (3, 4), (5, 6)],
+                                 "doc_a long, doc_b long")
+    truth = spark.createDataFrame([(1, 2), (3, 4), (7, 8), (9, 10)],
+                                  "doc_a long, doc_b long")
+    r = pair_eval(pred, truth).collect()[0]
+    assert (r["n_pred"], r["n_truth"], r["n_hit"]) == (3, 4, 2)
+    assert r["precision_e4"] == 6666  # 2/3
+    assert r["recall_e4"] == 5000     # 2/4
+
+
+def test_dedup_report_ratios(spark):
+    from docling_spark.operators.dedup import dedup_report
+    docs = spark.createDataFrame(
+        [(1, "a", "same text"), (2, "a", "same text"),
+         (3, "a", "same  TEXT"),          # normalizes equal too
+         (4, "a", "other"), (5, "b", "unique one"), (6, "b", "two")],
+        "doc_id long, source string, text string")
+    out = {r["source"]: r for r in dedup_report(docs).collect()}
+    assert out["a"]["n_docs"] == 4 and out["a"]["n_unique"] == 2
+    assert out["a"]["max_cluster"] == 3
+    assert out["a"]["dup_ratio_e4"] == 5000
+    assert out["b"]["dup_ratio_e4"] == 0
+
+
+def test_mad_gate_drops_only_outliers(spark):
+    from docling_spark.operators.curate import mad_outlier_gate
+    rows = ([(i, "a", 100 + (i % 7)) for i in range(40)]   # tight core
+            + [(90, "a", 100000), (91, "a", 1)])           # outliers
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, score long")
+    kept = {r["doc_id"] for r in
+            mad_outlier_gate(docs, score_col="score").collect()}
+    assert 90 not in kept and 91 not in kept
+    assert all(i in kept for i in range(40))
