@@ -956,7 +956,13 @@ def q_page_render_meta(spark, sf_dir):
     tests/test_render_ocr.py (spec-valid, decodes back bit-exact)."""
     from docling_spark.operators.render import render_pages
     from docling_spark.sources.corpus import corpus_pdf_pages
-    out = render_pages(corpus_pdf_pages(spark, sf_dir), dpi=72.0)
+    # ingest repartition: the small-file synthetic source arrives as
+    # ONE scan partition, which would serialize every rasterization
+    # behind a single Python worker (measured 25+ s at sf0.1); at
+    # 100 TB the scan yields thousands of splits and this is dropped
+    corpus = corpus_pdf_pages(spark, sf_dir) \
+        .repartition(_par(spark), "doc_id")
+    out = render_pages(corpus, dpi=72.0)
     return out.select("doc_id", "page_no", "width_px", "height_px",
                       "n_cells", "n_glyphs")
 
@@ -975,7 +981,9 @@ def q_page_render_ocr_roundtrip(spark, sf_dir):
     Arrow stages."""
     from docling_spark.operators.render import ocr_pages, render_pages
     from docling_spark.sources.corpus import corpus_pdf_pages
-    imgs = render_pages(corpus_pdf_pages(spark, sf_dir), dpi=72.0)
+    corpus = corpus_pdf_pages(spark, sf_dir) \
+        .repartition(_par(spark), "doc_id")  # see q_page_render_meta
+    imgs = render_pages(corpus, dpi=72.0)
     return ocr_pages(imgs.select("doc_id", "page_no", "png"), dpi=72.0)
 
 

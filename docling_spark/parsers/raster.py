@@ -70,6 +70,23 @@ ATLAS: Dict[str, bytes] = {chr(c): _glyph(chr(c))
 _DECODE: Dict[bytes, str] = {v: k for k, v in ATLAS.items() if k != " "}
 
 
+def _atlas_cell(ch: str) -> np.ndarray:
+    """7×ADVANCE bool ink mask for one char (glyph + 1 gap column)."""
+    g = ATLAS.get(ch) or ATLAS["?"]
+    bits = np.frombuffer(g, dtype=np.uint8)
+    cell = np.zeros((GLYPH_H, ADVANCE), dtype=bool)
+    cell[:, :GLYPH_W] = (
+        (bits[:, None] >> np.arange(GLYPH_W - 1, -1, -1)) & 1
+    ).astype(bool)
+    return cell
+
+
+_ATLAS_NP: Dict[str, np.ndarray] = {chr(c): _atlas_cell(chr(c))
+                                    for c in range(0x20, 0x7F)}
+_SPACE_CELL = np.zeros((GLYPH_H, ADVANCE), dtype=bool)
+_W5 = (1 << np.arange(GLYPH_W - 1, -1, -1)).astype(np.uint8)
+
+
 # ---------------------------------------------------------------------------
 # raster
 
@@ -88,17 +105,31 @@ def render_page(width: float, height: float, cells: List[dict],
     for cell in cells:
         x = int(round(float(cell["l"]) * scale))
         y = int(round(float(cell["t"]) * scale))
-        for ch in str(cell.get("text", "")):
-            if ch != " " and 0 <= x and x + GLYPH_W <= w_px \
-                    and 0 <= y and y + GLYPH_H <= h_px:
-                g = ATLAS.get(ch) or ATLAS["?"]
-                for r in range(GLYPH_H):
-                    bits = g[r]
-                    for c in range(GLYPH_W):
-                        if bits & (1 << (GLYPH_W - 1 - c)):
-                            img[y + r, x + c] = 0
-                drawn += 1
-            x += ADVANCE
+        text = str(cell.get("text", ""))
+        if not text or y < 0 or y + GLYPH_H > h_px:
+            continue
+        # chars whose glyph window fits horizontally form one
+        # contiguous run (x is monotone): blit the whole run as one
+        # concatenated mask instead of per-pixel Python
+        n = len(text)
+        xs0 = x
+        i0 = 0
+        while i0 < n and xs0 + i0 * ADVANCE < 0:
+            i0 += 1
+        i1 = n
+        while i1 > i0 and xs0 + (i1 - 1) * ADVANCE + GLYPH_W > w_px:
+            i1 -= 1
+        if i1 <= i0:
+            continue
+        run = text[i0:i1]
+        mask = np.concatenate(
+            [_ATLAS_NP.get(ch, _SPACE_CELL if ch == " "
+                           else _ATLAS_NP["?"]) for ch in run], axis=1)
+        x0 = xs0 + i0 * ADVANCE
+        width = min(mask.shape[1], w_px - x0)
+        region = img[y:y + GLYPH_H, x0:x0 + width]
+        region[mask[:, :width]] = 0
+        drawn += sum(1 for ch in run if ch != " ")
     return img, drawn
 
 
@@ -119,7 +150,9 @@ def png_encode(img: np.ndarray) -> bytes:
     repo's own header parser (operators/multimodal.py)."""
     h, w = img.shape
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
-    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+    buf = np.zeros((h, w + 1), dtype=np.uint8)  # col 0 = filter byte 0
+    buf[:, 1:] = img
+    raw = buf.tobytes()
     return (_SIG + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zlib.compress(raw))
             + _chunk(b"IEND", b""))
@@ -162,11 +195,8 @@ def png_decode(data: bytes) -> np.ndarray:
             out = (row.astype(np.int32) + prev) % 256
             out = out.astype(np.uint8)
         elif filt == 1:          # Sub
-            out = np.empty(w, dtype=np.uint8)
-            acc = 0
-            for c in range(w):
-                acc = (int(row[c]) + acc) & 0xFF
-                out[c] = acc
+            out = (np.cumsum(row, dtype=np.uint64) & 0xFF) \
+                .astype(np.uint8)
         else:
             raise ValueError(f"unsupported PNG filter {filt}")
         img[r] = out
@@ -208,19 +238,16 @@ def ocr_page(img: np.ndarray, dpi: float = 72.0,
             win = band[:, x:x + GLYPH_W]
             if win.shape[0] < GLYPH_H or not win.any():
                 break
-            pat = bytes(
-                int("".join("1" if win[rr, cc] else "0"
-                            for cc in range(GLYPH_W)), 2)
-                for rr in range(min(GLYPH_H, win.shape[0])))
+            pat = (win.astype(np.uint8) @ _W5).astype(np.uint8).tobytes()
             parts.append(_DECODE.get(pat, "?"))
             x_last_end = x + GLYPH_W
-            nxt = col_idx[col_idx >= x_last_end]
-            if len(nxt) == 0:
+            k = int(np.searchsorted(col_idx, x_last_end))
+            if k >= len(col_idx):
                 break
-            gap_cols = int(nxt[0]) - x_last_end
+            gap_cols = int(col_idx[k]) - x_last_end
             n_spaces = max(0, (gap_cols + GLYPH_W - ADVANCE) // ADVANCE)
             parts.append(" " * n_spaces)
-            x = int(nxt[0])
+            x = int(col_idx[k])
         text = "".join(parts).rstrip()
         if text:
             x0, x1 = float(col_idx[0]), float(x_last_end)
