@@ -592,7 +592,14 @@ def q_winnow_overlap_pairs(spark, sf_dir):
     from docling_spark.operators.textstats import winnow_fingerprints
     corpus = _clone_corpus_near(_docs(spark, sf_dir))
     fps = winnow_fingerprints(corpus, k=8, w=4)
-    return winnow_overlap_pairs(fps, min_shared=5, max_df=8)
+    # corpus-relative df cap: the synthetic vocabulary is tiny, so a
+    # FIXED cap that works at sf0.01 filters every shared fingerprint
+    # at sf0.1 (measured: 0 pairs at cap=8 vs all 30 clone pairs at
+    # the relative cap). Bounded driver-side count, replayed by the
+    # oracle as a scalar subquery.
+    n_docs = corpus.count()
+    return winnow_overlap_pairs(fps, min_shared=5,
+                                max_df=max(8, n_docs // 100))
 
 
 def q_ngram_novelty(spark, sf_dir):
@@ -2907,7 +2914,9 @@ m AS (SELECT doc_id,
              ELSE [list_min(hs)] END AS fps
       FROM g),
 fx AS (SELECT doc_id, unnest(fps) AS fp FROM m),
-dfx AS (SELECT fp FROM fx GROUP BY fp HAVING COUNT(*) <= 8),
+dfx AS (SELECT fp FROM fx GROUP BY fp
+        HAVING COUNT(*) <= greatest(8, (SELECT COUNT(*) FROM corpus)
+                                       // 100)),
 rare AS (SELECT f.doc_id, f.fp FROM fx f JOIN dfx USING (fp)),
 sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM fx GROUP BY doc_id),
 pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
