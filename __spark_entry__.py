@@ -504,6 +504,34 @@ def q_extract_pdf_raw_routed(spark, sf_dir):
                      F.col("s.text").alias("text"))
 
 
+def q_source_vocab_jaccard(spark, sf_dir):
+    """EXACT vocabulary Jaccard between every source pair
+    (operators/sketch.py:group_vocab_jaccard) — the corpus-composition
+    overlap matrix behind mixing/dedup decisions. Equijoin on the
+    token key; per-token fan-out bounded by the source count."""
+    from docling_spark.operators.sketch import group_vocab_jaccard
+    from docling_spark.operators.textstats import tokens_col
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("source", F.explode(tokens_col()).alias("token"))
+    return group_vocab_jaccard(toks, group_col="source",
+                               value_col="token")
+
+
+def q_source_vocab_kmv(spark, sf_dir):
+    """KMV-sketch estimate of the same source-pair vocabulary Jaccard
+    (operators/sketch.py:kmv_jaccard, Beyer et al. 2007): after one
+    k-min sketch build per source, pair scoring touches 256-element
+    arrays only — no token-key join at all, so two 10^12-token sources
+    compare as cheaply as two tiny ones. Deterministic md5 hashing =
+    the oracle replays the estimates bit-for-bit."""
+    from docling_spark.operators.sketch import kmv_jaccard
+    from docling_spark.operators.textstats import tokens_col
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("source", F.explode(tokens_col()).alias("token"))
+    return kmv_jaccard(toks, group_col="source", value_col="token",
+                       k=256)
+
+
 def q_near_dup_eval(spark, sf_dir):
     """Candidate-quality harness (operators/dedup.py:pair_eval):
     precision/recall of the SimHash band candidates against the
@@ -2685,6 +2713,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "source_vocab_jaccard": q_source_vocab_jaccard,
+        "source_vocab_kmv": q_source_vocab_kmv,
         "near_dup_eval": q_near_dup_eval,
         "dedup_report": q_dedup_report,
         "mad_outlier_gate": q_mad_outlier_gate,
@@ -4445,6 +4475,44 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
     oracles["dedup_simhash_pairs"] = "WITH " + simhash_pair_ctes + """
 SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+    _vocab_ctes = f"""
+n AS (SELECT source, {NORM_SQL} AS nt FROM documents),
+t AS (SELECT source, unnest(string_split(nt, ' ')) AS v FROM n),
+gv AS (SELECT DISTINCT source AS grp, v AS val FROM t)"""
+    oracles["source_vocab_jaccard"] = f"""
+WITH {_vocab_ctes},
+sizes AS (SELECT grp, COUNT(*) AS n FROM gv GROUP BY grp),
+inter AS (SELECT a.grp AS grp_a, b.grp AS grp_b, COUNT(*) AS n_inter
+          FROM gv a JOIN gv b ON a.val = b.val AND a.grp < b.grp
+          GROUP BY 1, 2)
+SELECT grp_a, grp_b,
+       CAST(floor(n_inter * 10000.0 / (sa.n + sb.n - n_inter))
+            AS BIGINT) AS jaccard_e4
+FROM inter
+JOIN sizes sa ON grp_a = sa.grp
+JOIN sizes sb ON grp_b = sb.grp
+"""
+
+    oracles["source_vocab_kmv"] = f"""
+WITH {_vocab_ctes},
+h AS (SELECT DISTINCT grp,
+        ('0x' || substr(md5(val), 1, 12))::BIGINT AS h FROM gv),
+kl AS (SELECT grp,
+         list_slice(list_sort(list(h)), 1, 256) AS hs
+       FROM h GROUP BY grp),
+pairs AS (SELECT a.grp AS grp_a, b.grp AS grp_b,
+                 a.hs AS ha, b.hs AS hb
+          FROM kl a JOIN kl b ON a.grp < b.grp),
+u AS (SELECT grp_a, grp_b, ha, hb,
+        list_slice(list_sort(list_distinct(ha || hb)), 1, 256) AS uk
+      FROM pairs)
+SELECT grp_a, grp_b,
+       CAST(floor(len(list_filter(uk,
+              x -> list_contains(ha, x) AND list_contains(hb, x)))
+            * 10000.0 / len(uk)) AS BIGINT) AS est_jaccard_e4
+FROM u
 """
 
     oracles["near_dup_eval"] = "WITH " + simhash_pair_ctes + """,

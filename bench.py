@@ -171,6 +171,8 @@ BENCH_QUERIES = [
     "near_dup_eval",
     "dedup_report",
     "mad_outlier_gate",
+    "source_vocab_jaccard",
+    "source_vocab_kmv",
 ]
 
 

@@ -152,3 +152,81 @@ def quantiles_sketch(df: DataFrame, *, group_col: str, value_col: str,
         group_col,
         F.floor(F.col("_p") * 100).cast("int").alias("p_pct"),
         F.floor(est * 100).cast("long").alias("est_e2"))
+
+
+def group_vocab_jaccard(df: DataFrame, *, group_col: str,
+                        value_col: str) -> DataFrame:
+    """EXACT distinct-value Jaccard between every pair of groups
+    (e.g. vocabulary overlap between sources — the corpus-composition
+    signal behind mixing/dedup decisions). One equijoin on the value
+    key (per-value pair fan-out is bounded by group count, so even
+    stopwords present in all groups cost |groups|² rows, not corpus²),
+    then a pair-count aggregate and broadcast size lookups."""
+    gv = (df.select(F.col(group_col).alias("grp"),
+                    F.col(value_col).alias("val"))
+          .distinct())
+    sizes = gv.groupBy("grp").agg(F.count("*").alias("n"))
+    a = gv.alias("a")
+    b = gv.alias("b")
+    inter = (a.join(b, (F.col("a.val") == F.col("b.val"))
+                    & (F.col("a.grp") < F.col("b.grp")))
+             .groupBy(F.col("a.grp").alias("grp_a"),
+                      F.col("b.grp").alias("grp_b"))
+             .agg(F.count("*").alias("n_inter")))
+    return (inter
+            .join(F.broadcast(sizes.alias("sa")),
+                  F.col("grp_a") == F.col("sa.grp"))
+            .join(F.broadcast(sizes.alias("sb")),
+                  F.col("grp_b") == F.col("sb.grp"))
+            .select("grp_a", "grp_b",
+                    F.floor(F.col("n_inter") * 10000
+                            / (F.col("sa.n") + F.col("sb.n")
+                               - F.col("n_inter")))
+                    .cast("long").alias("jaccard_e4")))
+
+
+def kmv_jaccard(df: DataFrame, *, group_col: str, value_col: str,
+                k: int = 256) -> DataFrame:
+    """KMV-sketch Jaccard between every pair of groups (Beyer et al.
+    2007): per group keep the k smallest 48-bit md5 hashes of the
+    distinct values; for a pair, the k smallest of the merged lists
+    form the union sketch and the fraction present in BOTH lists
+    estimates J. THE point at scale: after the one sketch build
+    (k rows per group), pair scoring touches k-element arrays only —
+    no join on the value key at all, so comparing two 10^12-token
+    sources costs the same as two tiny ones. Estimates are
+    deterministic (md5) and the oracle replays them exactly; groups
+    with < k distinct values get the exact answer by construction."""
+    from .retrieval import distributed_topk
+    hashed = (df.select(
+        F.col(group_col).alias("grp"),
+        F.conv(F.substring(F.md5(F.col(value_col).cast("string")),
+                           1, 12), 16, 10).cast("long").alias("h"))
+        .distinct())
+    kmin = distributed_topk(hashed, key="grp", order="h", tie="h",
+                            k=k, ascending=True)
+    lists = kmin.groupBy("grp").agg(
+        F.array_sort(F.collect_list("h")).alias("hs"))
+    spark = df.sparkSession
+    groups = [r[0] for r in
+              lists.select("grp").orderBy("grp").collect()]  # bounded
+    pairs = spark.createDataFrame(
+        [(x, y) for i, x in enumerate(groups) for y in groups[i + 1:]],
+        f"grp_a string, grp_b string")
+    j = (pairs
+         .join(F.broadcast(lists.select(F.col("grp").alias("grp_a"),
+                                        F.col("hs").alias("hs_a"))),
+               "grp_a")
+         .join(F.broadcast(lists.select(F.col("grp").alias("grp_b"),
+                                        F.col("hs").alias("hs_b"))),
+               "grp_b"))
+    union_k = F.slice(F.array_sort(
+        F.array_union(F.col("hs_a"), F.col("hs_b"))), 1, k)
+    denom = F.size(union_k)
+    inter = F.size(F.filter(
+        union_k,
+        lambda x: F.array_contains(F.col("hs_a"), x)
+        & F.array_contains(F.col("hs_b"), x)))
+    return j.select("grp_a", "grp_b",
+                    F.floor(inter * 10000 / denom).cast("long")
+                     .alias("est_jaccard_e4"))

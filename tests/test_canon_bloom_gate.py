@@ -248,3 +248,27 @@ def test_mad_gate_drops_only_outliers(spark):
             mad_outlier_gate(docs, score_col="score").collect()}
     assert 90 not in kept and 91 not in kept
     assert all(i in kept for i in range(40))
+
+
+def test_vocab_jaccard_exact_and_kmv_agree(spark):
+    from docling_spark.operators.sketch import (group_vocab_jaccard,
+                                                kmv_jaccard)
+    rows = ([("a", f"tok{i}") for i in range(200)]
+            + [("b", f"tok{i}") for i in range(100, 300)]   # J = 1/3
+            + [("c", f"tok{i}") for i in range(1000, 1100)])  # disjoint
+    df = spark.createDataFrame(rows, "src string, tok string")
+    exact = {(r["grp_a"], r["grp_b"]): r["jaccard_e4"]
+             for r in group_vocab_jaccard(
+                 df, group_col="src", value_col="tok").collect()}
+    assert exact == {("a", "b"): 3333}  # zero-overlap pairs omitted
+    est = {(r["grp_a"], r["grp_b"]): r["est_jaccard_e4"]
+           for r in kmv_jaccard(df, group_col="src", value_col="tok",
+                                k=512).collect()}
+    # k >= |union| → the sketch IS the exact answer
+    assert est[("a", "b")] == 3333
+    assert est[("a", "c")] == 0 and est[("b", "c")] == 0
+    # small k: unbiased estimate, loose tolerance
+    est64 = {(r["grp_a"], r["grp_b"]): r["est_jaccard_e4"]
+             for r in kmv_jaccard(df, group_col="src", value_col="tok",
+                                  k=64).collect()}
+    assert 1500 <= est64[("a", "b")] <= 5500
