@@ -504,6 +504,22 @@ def q_extract_pdf_raw_routed(spark, sf_dir):
                      F.col("s.text").alias("text"))
 
 
+def q_dedup_minhash_lsh_indep(spark, sf_dir):
+    """MinHash+LSH near-dup with the INDEPENDENT hash family
+    (minhash_signatures_indep): textbook P(band)=J^r recall, immune to
+    the a+s·b family's cross-component ordering correlation (an
+    outlier shingle can hijack every CW component, collapsing band
+    diversity). Same plan shape — band equijoin candidates, exact
+    Jaccard verify; only the signature arithmetic differs."""
+    from docling_spark.operators.dedup import minhash_dedup
+    corpus = _clone_corpus_near(_docs(spark, sf_dir))
+    out = minhash_dedup(corpus, n=3, num_hashes=16, bands=4,
+                        threshold=0.5, hash_family="indep")
+    return out.select(
+        "doc_a", "doc_b",
+        F.floor(F.col("jaccard") * 10000).cast("long").alias("jaccard_e4"))
+
+
 def q_source_vocab_jaccard(spark, sf_dir):
     """EXACT vocabulary Jaccard between every source pair
     (operators/sketch.py:group_vocab_jaccard) — the corpus-composition
@@ -2713,6 +2729,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "dedup_minhash_lsh_indep": q_dedup_minhash_lsh_indep,
         "source_vocab_jaccard": q_source_vocab_jaccard,
         "source_vocab_kmv": q_source_vocab_kmv,
         "near_dup_eval": q_near_dup_eval,
@@ -4475,6 +4492,48 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
     oracles["dedup_simhash_pairs"] = "WITH " + simhash_pair_ctes + """
 SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+    oracles["dedup_minhash_lsh_indep"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' extra trailing words appended here'
+  FROM documents WHERE doc_id < 30),
+{SHINGLE_CTE},
+mixed AS (SELECT doc_id, shingles,
+            list_transform(shingles,
+              x -> ('0x' || substr(md5(x), 1, 12))::BIGINT
+                   % 2147483647) AS vs
+          FROM sh),
+sigs AS (SELECT doc_id, shingles,
+           list_transform(generate_series(0, 15),
+             s -> list_min(list_transform(vs,
+                    v -> (v * (((2*s+1) * 2654435761) % 2147483647)
+                          + ((s * 1013904223 + 12345) % 2147483647))
+                         % 2147483647))) AS sig
+         FROM mixed),
+bands AS (SELECT doc_id, b.b AS band_id,
+            md5(array_to_string(sig[b.b*4+1 : b.b*4+4], '|')) AS band_hash
+          FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b) b),
+cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         FROM bands l JOIN bands r
+           ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+          AND l.doc_id < r.doc_id),
+shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shx GROUP BY doc_id),
+inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+          FROM cand p
+          JOIN shx a ON p.doc_a = a.doc_id
+          JOIN shx b ON p.doc_b = b.doc_id AND a.shingle = b.shingle
+          GROUP BY p.doc_a, p.doc_b),
+j AS (SELECT i.doc_a, i.doc_b,
+        CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS jac
+      FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id)
+SELECT doc_a, doc_b, CAST(floor(jac * 10000) AS BIGINT) AS jaccard_e4
+FROM j WHERE jac >= 0.5
 """
 
     _vocab_ctes = f"""

@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "mad_outlier_gate",
     "source_vocab_jaccard",
     "source_vocab_kmv",
+    "dedup_minhash_lsh_indep",
 ]
 
 

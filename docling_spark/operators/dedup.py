@@ -141,10 +141,16 @@ def banded_hashes(sigs: DataFrame, *, num_hashes: int = 16,
 
 
 def lsh_candidate_pairs(sh: DataFrame, *, num_hashes: int = 16,
-                        bands: int = 4) -> DataFrame:
+                        bands: int = 4,
+                        signatures=None) -> DataFrame:
     """Candidate near-dup pairs (doc_a < doc_b) from LSH band buckets.
-    Takes the exploded-shingle table (reuse it for the verify step)."""
-    banded = banded_hashes(minhash_signatures(sh, num_hashes=num_hashes),
+    Takes the exploded-shingle table (reuse it for the verify step).
+    ``signatures`` selects the minhash construction (default: the
+    cheap a + s·b family; pass minhash_signatures_indep for the
+    independent family with the textbook P(band) = J^r recall curve —
+    see that function's docstring for why they differ)."""
+    sig_fn = signatures or minhash_signatures
+    banded = banded_hashes(sig_fn(sh, num_hashes=num_hashes),
                            num_hashes=num_hashes, bands=bands)
     left = banded.alias("l")
     right = banded.alias("r")
@@ -396,7 +402,8 @@ def minhash_dedup(docs: DataFrame, *, n: int = 3, num_hashes: int = 16,
                   bands: int = 4, threshold: float = 0.7,
                   num_partitions: int = 0,
                   shingle_storage: str = "memory_and_disk",
-                  deterministic_output: bool = False) -> DataFrame:
+                  deterministic_output: bool = False,
+                  hash_family: str = "cw") -> DataFrame:
     """Full near-dup pipeline: shingle-explode once (reused by both the
     LSH candidate generation and the exact Jaccard verify), LSH
     candidates → exact Jaccard → pairs over threshold.
@@ -418,7 +425,10 @@ def minhash_dedup(docs: DataFrame, *, n: int = 3, num_hashes: int = 16,
     sh = exploded_shingles(docs, n=n)
     if shingle_storage != "none":
         sh = sh.persist(getattr(StorageLevel, shingle_storage.upper()))
-    pairs = lsh_candidate_pairs(sh, num_hashes=num_hashes, bands=bands)
+    sig_fn = (minhash_signatures_indep if hash_family == "indep"
+              else minhash_signatures)
+    pairs = lsh_candidate_pairs(sh, num_hashes=num_hashes, bands=bands,
+                                signatures=sig_fn)
     scored = ngram_jaccard(sh, pairs)
     out = scored.filter(F.col("jaccard") >= threshold)
     return out.orderBy("doc_a", "doc_b") if deterministic_output else out

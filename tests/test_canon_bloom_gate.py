@@ -272,3 +272,19 @@ def test_vocab_jaccard_exact_and_kmv_agree(spark):
              for r in kmv_jaccard(df, group_col="src", value_col="tok",
                                   k=64).collect()}
     assert 1500 <= est64[("a", "b")] <= 5500
+
+
+def test_minhash_lsh_indep_family_finds_planted_clones(spark):
+    from docling_spark.operators.dedup import minhash_dedup
+    docs = spark.createDataFrame(
+        [(i, f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} "
+             f"zeta{i} eta{i} theta{i} iota{i} kappa{i}")
+         for i in range(20)]
+        + [(i + 1000, f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} "
+                      f"zeta{i} eta{i} theta{i} iota{i} kappa{i} extra")
+           for i in range(20)],
+        "doc_id long, text string")
+    out = minhash_dedup(docs, n=3, num_hashes=16, bands=4,
+                        threshold=0.5, hash_family="indep")
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    assert all((i, i + 1000) in pairs for i in range(20))
