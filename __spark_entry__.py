@@ -1461,7 +1461,21 @@ def q_chunk_documents_hier(spark, sf_dir):
                                 -1, -1)])
     src = docs.select(d.alias("doc_id"), spans.alias("spans"),
                       hints.alias("hints"))
-    return chunk_documents_hier(src, max_tokens=16, hints_col="hints")
+    out = chunk_documents_hier(src, max_tokens=16, hints_col="hints")
+    # Driver-oracle surface: the driver's canonicalizer sorts/hashes
+    # scalar cells only (array cells raised `unhashable type: 'list'`
+    # in r3), so flatten the three array columns to delimited strings
+    # here while operators/hierchunk.py keeps the rich schema for
+    # library callers.  chr(31) (unit separator) cannot occur in the
+    # template's heading/caption text.
+    return out.select(
+        "doc_id", "chunk_id",
+        F.array_join("headings", "\x1f").alias("headings"),
+        F.array_join("captions", "\x1f").alias("captions"),
+        "text",
+        F.array_join(F.expr("transform(doc_items, x -> cast(x as string))"),
+                     ",").alias("doc_items"),
+        "n_tokens")
 
 
 def q_doc_token_stats(spark, sf_dir):
@@ -2729,6 +2743,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # Driver-sampling order: the driver checks the FIRST 50
+        # entries' worth of its per-round sample from this dict's
+        # insertion order.  Round 4 front-loads (a) the one red r3
+        # row (chunk_documents_hier, now scalar-flattened) and (b)
+        # the 34 registry entries that no round ever sampled, so
+        # every query gets a driver row at least once.
+        "chunk_documents_hier": q_chunk_documents_hier,
+        "bm25_topk": q_bm25_topk,
+        "kmeans_clusters": q_kmeans_clusters,
+        "doc_embed_hash": q_doc_embed_hash,
+        "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
+        "events_rollup": q_events_rollup,
+        "events_kmv_distinct": q_events_kmv_distinct,
+        "events_quantiles": q_events_quantiles,
+        "events_pivot": q_events_pivot,
+        "top_terms": q_top_terms,
+        "span_diff": q_span_diff,
+        "changed_docs": q_changed_docs,
+        "dedup_substrings": q_dedup_substrings,
+        "semdedup": q_semdedup,
+        "lm_quality": q_lm_quality,
+        "split_docs": q_split_docs,
+        "events_sliding": q_events_sliding,
+        "dedup_canonical": q_dedup_canonical,
+        "cap_per_source": q_cap_per_source,
+        "events_quantiles_sketch": q_events_quantiles_sketch,
+        "lm_quality_bigram": q_lm_quality_bigram,
+        "media_asset_dedup": q_media_asset_dedup,
+        "bpe_merge_candidates": q_bpe_merge_candidates,
+        "events_gap_fill": q_events_gap_fill,
+        "corpus_grep": q_corpus_grep,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "events_anomaly": q_events_anomaly,
+        "events_interpolate": q_events_interpolate,
+        "c4_line_filter": q_c4_line_filter,
+        "gopher_rules": q_gopher_rules,
+        "knn_classify": q_knn_classify,
+        "format_sniff_exact": q_format_sniff_exact,
+        "media_audio_meta": q_media_audio_meta,
         "dedup_minhash_lsh_indep": q_dedup_minhash_lsh_indep,
         "source_vocab_jaccard": q_source_vocab_jaccard,
         "source_vocab_kmv": q_source_vocab_kmv,
@@ -2773,46 +2828,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_native_roundtrip": q_pdf_native_roundtrip,
         "extract_pdf_native_paged": q_extract_pdf_native_paged,
         "extract_pdf_raw_routed": q_extract_pdf_raw_routed,
-        "chunk_documents_hier": q_chunk_documents_hier,
         "extract_pdf_page_limit": q_extract_pdf_page_limit,
         "pdf_real_cells": q_pdf_real_cells,
         "pdf_real_assembled": q_pdf_real_assembled,
         "knn_cosine_int8": q_knn_cosine_int8,
         "knn_cosine_pq": q_knn_cosine_pq,
-        "bm25_topk": q_bm25_topk,
-        "kmeans_clusters": q_kmeans_clusters,
-        "doc_embed_hash": q_doc_embed_hash,
-        "events_asof_join": q_events_asof_join,
-        "events_range_join": q_events_range_join,
-        "events_rollup": q_events_rollup,
-        "events_kmv_distinct": q_events_kmv_distinct,
-        "events_quantiles": q_events_quantiles,
-        "events_pivot": q_events_pivot,
-        "top_terms": q_top_terms,
-        "span_diff": q_span_diff,
-        "changed_docs": q_changed_docs,
-        "dedup_substrings": q_dedup_substrings,
-        "semdedup": q_semdedup,
-        "lm_quality": q_lm_quality,
-        "split_docs": q_split_docs,
-        "events_sliding": q_events_sliding,
-        "dedup_canonical": q_dedup_canonical,
-        "cap_per_source": q_cap_per_source,
-        "events_quantiles_sketch": q_events_quantiles_sketch,
-        "lm_quality_bigram": q_lm_quality_bigram,
-        "media_asset_dedup": q_media_asset_dedup,
-        "bpe_merge_candidates": q_bpe_merge_candidates,
-        "events_gap_fill": q_events_gap_fill,
-        "corpus_grep": q_corpus_grep,
-        "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
-        "events_anomaly": q_events_anomaly,
-        "events_interpolate": q_events_interpolate,
-        "c4_line_filter": q_c4_line_filter,
-        "gopher_rules": q_gopher_rules,
-        "knn_classify": q_knn_classify,
-        "format_sniff_exact": q_format_sniff_exact,
-        "media_audio_meta": q_media_audio_meta,
         "extract_html_spans": q_extract_html_spans,
         "extract_media_manifest": q_extract_media_manifest,
         "extract_uspto_spans": q_extract_uspto_spans,
@@ -3619,7 +3639,13 @@ allrows AS (
 SELECT doc_id,
        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY grp, k)
             - 1 AS INT) AS chunk_id,
-       headings, captions, text, doc_items, n_tokens
+       COALESCE(array_to_string(headings, chr(31)), '') AS headings,
+       COALESCE(array_to_string(captions, chr(31)), '') AS captions,
+       text,
+       COALESCE(array_to_string(list_transform(doc_items,
+                                               x -> CAST(x AS VARCHAR)),
+                                ','), '') AS doc_items,
+       n_tokens
 FROM allrows
 """
 
@@ -4619,7 +4645,8 @@ mad AS (SELECT source, quantile_cont(abs(n_tokens - med), 0.5) AS mad
         FROM j GROUP BY source)
 SELECT j.doc_id, j.source, j.n_tokens
 FROM j JOIN mad ON j.source = mad.source
-WHERE abs(j.n_tokens - j.med) * 10000 <= 35000 * mad.mad
+WHERE mad.mad = 0
+   OR abs(j.n_tokens - j.med) * 10000 <= 35000 * mad.mad
 """
 
     oracles["dedup_components"] = \

@@ -175,9 +175,20 @@ def mad_outlier_gate(docs: DataFrame, *, score_col: str,
     """Two-sided robust outlier gate: keep rows with |score − median|
     ≤ k·MAD per group (k_e4 = k·10⁴, default 3.5 — the robust z-score
     cut). Unlike a mean/stddev gate, one mega-document can't drag the
-    threshold. Same scale shape as adaptive_quality_gate: two tiny
-    grouped exact percentiles (swap in percentile_approx at 10^12
-    rows), broadcast back; the doc table never re-shuffles."""
+    threshold.
+
+    Degenerate groups: when ≥50% of a group shares the median score
+    the MAD collapses to 0 and the cut |score−med| ≤ k·0 would keep
+    only rows EXACTLY at the median — silently discarding most of a
+    homogeneous group (common for short boilerplate-heavy sources).
+    A zero MAD means the robust scale estimate carries no information,
+    not that everything off-median is an outlier, so the gate keeps
+    the whole group in that case (the standard robust-z fallback; the
+    oracle replays the same rule).
+
+    Same scale shape as adaptive_quality_gate: two tiny grouped exact
+    percentiles (swap in percentile_approx at 10^12 rows), broadcast
+    back; the doc table never re-shuffles."""
     med = (docs.groupBy(group_col)
            .agg(F.percentile(F.col(score_col), F.lit(0.5))
                 .alias("_med")))
@@ -186,8 +197,9 @@ def mad_outlier_gate(docs: DataFrame, *, score_col: str,
            .agg(F.percentile(F.abs(F.col(score_col) - F.col("_med")),
                              F.lit(0.5)).alias("_mad")))
     return (j.join(F.broadcast(mad), group_col)
-            .filter(F.abs(F.col(score_col) - F.col("_med")) * 10000
-                    <= F.lit(k_e4) * F.col("_mad"))
+            .filter((F.col("_mad") == 0)
+                    | (F.abs(F.col(score_col) - F.col("_med")) * 10000
+                       <= F.lit(k_e4) * F.col("_mad")))
             .drop("_med", "_mad"))
 
 

@@ -246,7 +246,16 @@ def minhash_jaccard_est(sigs: DataFrame, pairs: DataFrame, *,
     16-component signature is ~128 B/doc vs KBs of shingles, so the
     estimate join moves 10-100× less data than the exact verify.
     Plan shape: two equijoins of the pair list against the signature
-    table (broadcast when the pair list is small), zero recompute."""
+    table (broadcast when the pair list is small), zero recompute.
+
+    Dropped-pair semantics (deliberate): the joins are INNER, so a
+    candidate pair where either doc has no signature row (empty or
+    whitespace-only text produces no shingles, hence no signature) is
+    ABSENT from the output rather than scored 0 — absence means "not
+    evaluable", est_jaccard_e4=0 means "evaluated, no component
+    agreement". Callers needing one row per input pair should
+    left-join this result back to their pair list and treat NULL as
+    unsigned."""
     a = sigs.alias("a")
     b = sigs.alias("b")
     matches = None
@@ -393,9 +402,18 @@ def bloom_membership(seen: DataFrame, probes: DataFrame, *,
             .groupBy("doc_id")
             .agg(F.count(F.col("s.pos")).alias("n_hit"),
                  F.first("n_pos").alias("n_pos")))
-    return hits.select(
-        "doc_id",
-        (F.col("n_hit") == F.col("n_pos")).cast("int").alias("bloom_dup"))
+    # Every probe appears exactly once: a NULL-text probe produces a
+    # NULL position array, explode() emits no rows for it, and the doc
+    # would silently vanish — ambiguous to anti-join consumers. Join
+    # the hit aggregate back to the probe id set and report those rows
+    # as bloom_dup=0 (a NULL text was by construction never inserted).
+    return (probes.select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(
+                    (F.col("n_hit") == F.col("n_pos")).cast("int"),
+                    F.lit(0)).alias("bloom_dup")))
 
 
 def minhash_dedup(docs: DataFrame, *, n: int = 3, num_hashes: int = 16,

@@ -207,19 +207,17 @@ def kmv_jaccard(df: DataFrame, *, group_col: str, value_col: str,
                             k=k, ascending=True)
     lists = kmin.groupBy("grp").agg(
         F.array_sort(F.collect_list("h")).alias("hs"))
-    spark = df.sparkSession
-    groups = [r[0] for r in
-              lists.select("grp").orderBy("grp").collect()]  # bounded
-    pairs = spark.createDataFrame(
-        [(x, y) for i, x in enumerate(groups) for y in groups[i + 1:]],
-        f"grp_a string, grp_b string")
-    j = (pairs
-         .join(F.broadcast(lists.select(F.col("grp").alias("grp_a"),
-                                        F.col("hs").alias("hs_a"))),
-               "grp_a")
-         .join(F.broadcast(lists.select(F.col("grp").alias("grp_b"),
-                                        F.col("hs").alias("hs_b"))),
-               "grp_b"))
+    # Pair enumeration stays distributed: a broadcast self-join of the
+    # (tiny, |groups| rows) sketch table on grp_a < grp_b — no eager
+    # driver collect inside the plan builder, and the group key keeps
+    # its caller-declared type (string, int, …) instead of a hardcoded
+    # string schema.
+    j = (lists.select(F.col("grp").alias("grp_a"),
+                      F.col("hs").alias("hs_a"))
+         .join(F.broadcast(
+             lists.select(F.col("grp").alias("grp_b"),
+                          F.col("hs").alias("hs_b"))),
+             F.col("grp_a") < F.col("grp_b")))
     union_k = F.slice(F.array_sort(
         F.array_union(F.col("hs_a"), F.col("hs_b"))), 1, k)
     denom = F.size(union_k)

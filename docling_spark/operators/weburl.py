@@ -113,11 +113,18 @@ def host_col(url: Column) -> Column:
 
 def url_blocklist_gate(df: DataFrame, blocklist: DataFrame, *,
                        url_col: str = "url",
+                       id_col: str = "doc_id",
                        broadcast_hits: bool = True) -> DataFrame:
     """Domain-blocklist gate with UT1-style suffix semantics: a doc is
     dropped when ANY dot-suffix of its host (a.b.example.com →
     a.b.example.com, b.example.com, example.com, com) appears in the
     blocklist — blocking a registered domain blocks every subdomain.
+
+    ``id_col`` must name a UNIQUE row id (default ``doc_id``; falls
+    back to the first column only when no ``doc_id`` exists, preserving
+    the old positional contract). The final anti-join keys on this
+    value, so a non-unique id would drop every row sharing an id with
+    any blocked row.
 
     Scale shape: the host's ≤ ~6 suffixes are exploded doc-locally and
     anti-joined against the BROADCAST blocklist (blocklists are
@@ -132,7 +139,8 @@ def url_blocklist_gate(df: DataFrame, blocklist: DataFrame, *,
     probe = df.withColumn("_host", host) \
               .withColumn("_sfx", F.explode(suffixes))
     blocked = blocklist.select(F.col(blocklist.columns[0]).alias("_sfx"))
-    id_col = df.columns[0]
+    if id_col not in df.columns:
+        id_col = df.columns[0]
     hit = (probe.join(F.broadcast(blocked), "_sfx", "left_semi")
            .select(F.col(id_col).alias("_hit_id")).distinct())
     # blocked ids ≪ corpus for any real blocklist (gates drop a few %),

@@ -250,6 +250,22 @@ def test_mad_gate_drops_only_outliers(spark):
     assert all(i in kept for i in range(40))
 
 
+def test_mad_gate_zero_mad_keeps_whole_group(spark):
+    # >=50% of the group at the median → MAD = 0; the gate must keep
+    # the whole group (robust-z fallback), not just median-exact rows.
+    from docling_spark.operators.curate import mad_outlier_gate
+    rows = ([(i, "a", 50) for i in range(10)]      # all identical: MAD 0
+            + [(20, "a", 51), (21, "a", 9999)]     # off-median, still kept
+            + [(30, "b", 10), (31, "b", 12), (32, "b", 14),
+               (33, "b", 1000)])                   # normal group: MAD 2
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, score long")
+    kept = {r["doc_id"] for r in
+            mad_outlier_gate(docs, score_col="score").collect()}
+    assert all(i in kept for i in range(10)) and 20 in kept and 21 in kept
+    assert 30 in kept and 31 in kept and 32 in kept and 33 not in kept
+
+
 def test_vocab_jaccard_exact_and_kmv_agree(spark):
     from docling_spark.operators.sketch import (group_vocab_jaccard,
                                                 kmv_jaccard)
