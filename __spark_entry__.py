@@ -1478,6 +1478,81 @@ def q_chunk_documents_hier(spark, sf_dir):
         "n_tokens")
 
 
+def q_layout_post_clusters(spark, sf_dir):
+    """Stored-prediction layout postprocessing, end-to-end through the
+    full pipeline (parsers/layout_post.py; reference
+    utils/layout_postprocessor.py:159-670) on a deterministic per-doc
+    template whose outcome the oracle replays statically:
+
+    * cells: one per token i (first k=min(n,8) tokens) at
+      (10, 10+20i, 10+8·len, 20+20i), plus one ORPHAN cell at y=400
+      holding the doc's LAST token;
+    * predictions: a ``title`` 0.9 over cell 0 (confidence gate pass +
+      TITLE→SECTION_HEADER remap), a ``text`` 0.8 over cells 1..k-1,
+      a ``text`` 0.30 full-page (gated: < 0.5), a ``picture`` 0.95
+      full-page (dropped: area > 0.90 of the page), a ``table`` 0.40
+      (gated: < 0.5).
+
+    Surviving clusters: the remapped header (cell 0), the text block
+    (cells 1..k-1, bbox SHRUNK to the cell union so r = 10+8·maxlen),
+    and the orphan promoted to its own TEXT cluster — ordered by
+    (min cell index, top, left). Labels, bboxes, cell counts and cell
+    text are all checked."""
+    from docling_spark.operators.extract import page_clusters
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    k = F.least(n, F.lit(8))
+
+    def cell(i, text, l, t, r, b):
+        return F.struct(i.cast("int").alias("index"), text.alias("text"),
+                        l.cast("double").alias("l"),
+                        t.cast("double").alias("t"),
+                        r.cast("double").alias("r"),
+                        b.cast("double").alias("b"))
+
+    cells = F.concat(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: cell(i, F.element_at(toks, i + 1),
+                           F.lit(10), F.lit(10) + 20 * i,
+                           F.lit(10)
+                           + 8 * F.length(F.element_at(toks, i + 1)),
+                           F.lit(20) + 20 * i)),
+        F.array(cell(k, F.element_at(toks, n), F.lit(10), F.lit(400),
+                     F.lit(10) + 8 * F.length(F.element_at(toks, n)),
+                     F.lit(410))))
+
+    def clus(cid, label, conf, l, t, r, b):
+        return F.struct(
+            F.lit(cid).cast("int").alias("id"),
+            F.lit(label).alias("label"),
+            F.lit(conf).cast("double").alias("confidence"),
+            F.lit(l).cast("double").alias("l"),
+            F.lit(t).cast("double").alias("t"),
+            F.lit(r).cast("double").alias("r"),
+            F.lit(b).cast("double").alias("b"))
+
+    clusters = F.array(
+        clus(1, "title", 0.9, 5, 5, 300, 25),
+        clus(2, "text", 0.8, 5, 28, 300, 170),
+        clus(3, "text", 0.30, 0, 0, 612, 792),
+        clus(4, "picture", 0.95, 0, 0, 612, 792),
+        clus(5, "table", 0.40, 5, 28, 300, 200))
+
+    payload = F.to_json(F.struct(
+        F.lit(612.0).alias("width"), F.lit(792.0).alias("height"),
+        cells.alias("cells"), clusters.alias("clusters")))
+    src = docs.select(
+        d.alias("doc_id"),
+        F.array(F.struct(
+            F.lit("pdf_page").alias("kind"), payload.alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"))).alias("spans"))
+    return page_clusters(src, num_partitions=_par(spark))
+
+
 def q_doc_token_stats(spark, sf_dir):
     return with_token_stats(_docs(spark, sf_dir))
 
@@ -2784,6 +2859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_classify": q_knn_classify,
         "format_sniff_exact": q_format_sniff_exact,
         "media_audio_meta": q_media_audio_meta,
+        # --- new in round 4 (kept inside the driver's 50-sample) ---
+        "layout_post_clusters": q_layout_post_clusters,
         "dedup_minhash_lsh_indep": q_dedup_minhash_lsh_indep,
         "source_vocab_jaccard": q_source_vocab_jaccard,
         "source_vocab_kmv": q_source_vocab_kmv,
@@ -3647,6 +3724,45 @@ SELECT doc_id,
                                 ','), '') AS doc_items,
        n_tokens
 FROM allrows
+"""
+
+    # Replays q_layout_post_clusters' fixed template through the
+    # postprocessor's decisions (derived in that docstring): the 0.30
+    # text and 0.40 table predictions are confidence-gated, the
+    # full-page picture fails the 0.90-page-area filter, the title
+    # remaps to section_header keeping cell 0, the 0.8 text block
+    # keeps cells 1..k-1 with its bbox shrunk to the cell union, and
+    # the far-away orphan cell is promoted to its own text cluster;
+    # ordering is by minimum cell index.
+    oracles["layout_post_clusters"] = """
+WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                  string_split(text, ' ') AS toks
+           FROM documents),
+p AS (SELECT doc_id, toks, len(toks) AS n,
+             LEAST(len(toks), 8) AS k
+      FROM t)
+SELECT doc_id, CAST(0 AS INT) AS page_no,
+       CAST(0 AS INT) AS cluster_rank,
+       'section_header' AS label,
+       CAST(10 AS INT) AS l, CAST(10 AS INT) AS t,
+       CAST(10 + 8 * len(toks[1]) AS INT) AS r, CAST(20 AS INT) AS b,
+       CAST(1 AS INT) AS n_cells, toks[1] AS text
+FROM p
+UNION ALL
+SELECT doc_id, 0, 1, 'text',
+       10, 30,
+       CAST(10 + 8 * list_max(list_transform(toks[2:k], x -> len(x)))
+            AS INT),
+       CAST(20 * k AS INT),
+       CAST(k - 1 AS INT),
+       array_to_string(toks[2:k], ' ')
+FROM p WHERE k >= 2
+UNION ALL
+SELECT doc_id, 0, CAST(CASE WHEN k >= 2 THEN 2 ELSE 1 END AS INT),
+       'text',
+       10, 400, CAST(10 + 8 * len(toks[n]) AS INT), 410,
+       1, toks[n]
+FROM p WHERE len(toks[n]) > 0
 """
 
     # page 0 runs the model-driven layout path (title cluster over line

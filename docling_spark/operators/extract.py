@@ -555,6 +555,84 @@ def page_elements(
                              schema=PAGE_ELEMENTS_DDL)
 
 
+PAGE_CLUSTERS_DDL = ("doc_id string, page_no int, cluster_rank int, "
+                     "label string, l int, t int, r int, b int, "
+                     "n_cells int, text string")
+
+
+def _page_clusters_batches(batches: Iterator[pd.DataFrame]) \
+        -> Iterator[pd.DataFrame]:
+    import json
+
+    from ..parsers.layout_post import LayoutCluster, postprocess_layout
+    from ..parsers.pdf_page import Cell
+    cols = ("doc_id", "page_no", "cluster_rank", "label",
+            "l", "t", "r", "b", "n_cells", "text")
+    for pdf in batches:
+        out = {k: [] for k in cols}
+        for doc_id, off, payload in zip(
+                pdf["doc_id"], pdf["page_offset"], pdf["payload"]):
+            try:
+                page = json.loads(payload or "{}")
+                cells = [Cell(int(c.get("index", i)), c.get("text", ""),
+                              float(c["l"]), float(c["t"]),
+                              float(c["r"]), float(c["b"]))
+                         for i, c in enumerate(page.get("cells", []))]
+                preds = [LayoutCluster(
+                    id=int(cl.get("id", i)),
+                    label=str(cl.get("label", "text")),
+                    bbox=(float(cl["l"]), float(cl["t"]),
+                          float(cl["r"]), float(cl["b"])),
+                    confidence=float(cl.get("confidence", 1.0)))
+                    for i, cl in enumerate(page.get("clusters") or [])]
+                size = (float(page.get("width", 612.0)),
+                        float(page.get("height", 792.0)))
+                ordered = postprocess_layout(cells, preds, size)
+            except Exception:
+                ordered = []
+            for i, cl in enumerate(ordered):
+                out["doc_id"].append(doc_id)
+                out["page_no"].append(off)
+                out["cluster_rank"].append(i)
+                out["label"].append(cl.label)
+                out["l"].append(int(round(cl.bbox[0])))
+                out["t"].append(int(round(cl.bbox[1])))
+                out["r"].append(int(round(cl.bbox[2])))
+                out["b"].append(int(round(cl.bbox[3])))
+                out["n_cells"].append(len(cl.cells))
+                out["text"].append(" ".join(c.text for c in cl.cells))
+        yield pd.DataFrame(out)
+
+
+def page_clusters(
+    df: DataFrame,
+    *,
+    num_partitions: Optional[int] = None,
+    page_range: Optional[tuple] = None,
+) -> DataFrame:
+    """Cleaned layout clusters from STORED model predictions — the
+    direct observable surface of the full layout postprocessor
+    (parsers/layout_post.py; reference
+    utils/layout_postprocessor.py:159-670): per surviving cluster its
+    reading-order rank, post-gate/remap label, shrunk-to-cells bbox
+    (rounded to int — predictions and cells carry integral coords in
+    the stored-prediction format), cell count, and the raw cell text
+    in cell order. Unlike :func:`page_elements` this keeps the
+    geometry, so an oracle can replay confidence gating,
+    TITLE→SECTION_HEADER remap, cell assignment, orphan promotion,
+    bbox shrink, overlap dedup and the (min-cell-index, top, left)
+    ordering end-to-end.
+
+    Scale shape: identical to the other paged operators — explode to
+    page rows (narrow), ONE Arrow-batched ``mapInPandas`` over
+    page-local geometry (n≈10² clusters/page), zero shuffles beyond
+    the optional doc/page repartition; page-parallel at 10^12 pages.
+    """
+    pages = _page_rows(df, page_range, num_partitions)
+    return pages.mapInPandas(_page_clusters_batches,
+                             schema=PAGE_CLUSTERS_DDL)
+
+
 # ---------------------------------------------------------------------------
 
 def payload_chars_col():
