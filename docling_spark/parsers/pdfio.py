@@ -1019,7 +1019,17 @@ class ContentInterpreter:
             for code, uni in glyphs:
                 w0 = ts.font.width(code) / 1000.0
                 gw = w0 * ts.size * ts.h_scale
-                extra = (ts.char_spacing +
+                # Tc (char spacing) is applied to single-byte fonts
+                # only: docling-parse's cell dumps place Type0/CID
+                # glyphs at raw width+kern positions even when a
+                # stale Tc from an earlier BT block is in scope
+                # (measured on right_to_left_02: with Tc the x drift
+                # reaches ~5pt mid-line vs its groundtruth; without,
+                # positions match to 0.1pt). Mirrors the Tw rule one
+                # line down (ISO 32000-1 9.3.3 scopes word spacing to
+                # 1-byte code 32; we scope Tc the same way for parity).
+                extra = ((ts.char_spacing
+                          if not ts.font.two_byte else 0.0) +
                          (ts.word_spacing
                           if (code == 32 and not ts.font.two_byte)
                           else 0.0)) * ts.h_scale

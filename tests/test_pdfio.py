@@ -24,19 +24,27 @@ from docling_spark.sources.pdfsynth import synth_pdf  # noqa: E402
 from tools.pdf_parity import PDF_DIR, compare  # noqa: E402
 
 # measured floors (slightly below current, so real regressions trip
-# them but rounding noise does not); rtl word bags differ because
-# docling-parse segments RTL cells differently — char parity is the
-# meaningful signal there (content identical, grouping differs)
+# them but rounding noise does not). Two word granularities:
+# cell-level (docling-parse's own sub-line cells) and LINE-level
+# (both sides assembled into lines by the same rule,
+# tools/pdf_parity.py::gt_line_texts) — the line is the gate because
+# docling-parse's sub-line segmentation is provably not a function of
+# the content stream (see gt_line_texts docstring: identical
+# fragment/kern patterns merge at one x and split at another on the
+# SAME line of right_to_left_02), while nothing downstream consumes
+# sub-line boundaries (docling itself re-merges cells into lines).
+# Char parity stays cell-level: content completeness is
+# granularity-free.
 FLOORS = {
-    # name: (word_p, word_r, char_p, char_r)
-    "2305.03393v1-pg9": (0.98, 0.98, 0.99, 0.99),
-    "amt_handbook_sample": (0.98, 0.98, 0.99, 0.99),
-    "code_and_formula": (0.99, 0.99, 0.99, 0.99),
-    "picture_classification": (0.99, 0.99, 0.99, 0.99),
-    "redp5110_sampled": (0.96, 0.95, 0.97, 0.98),
-    "right_to_left_01": (0.90, 0.90, 0.99, 0.99),
-    "right_to_left_02": (0.55, 0.40, 0.99, 0.98),
-    "right_to_left_03": (0.95, 0.95, 0.99, 0.99),
+    # name: (word_p, word_r, line_word_p, line_word_r, char_p, char_r)
+    "2305.03393v1-pg9": (0.98, 0.98, 0.98, 0.98, 0.99, 0.99),
+    "amt_handbook_sample": (0.98, 0.98, 0.99, 0.99, 0.99, 0.99),
+    "code_and_formula": (0.99, 0.99, 0.99, 0.99, 0.99, 0.99),
+    "picture_classification": (0.99, 0.99, 0.99, 0.99, 0.99, 0.99),
+    "redp5110_sampled": (0.96, 0.95, 0.96, 0.96, 0.97, 0.98),
+    "right_to_left_01": (0.95, 0.94, 0.96, 0.97, 0.99, 0.99),
+    "right_to_left_02": (0.65, 0.45, 0.87, 0.91, 0.99, 0.98),
+    "right_to_left_03": (0.99, 0.99, 0.99, 0.99, 0.99, 0.99),
 }
 
 needs_corpus = pytest.mark.skipif(not PDF_DIR.exists(),
@@ -47,10 +55,12 @@ needs_corpus = pytest.mark.skipif(not PDF_DIR.exists(),
 @pytest.mark.parametrize("name", sorted(FLOORS))
 def test_real_pdf_parity(name):
     got = compare(name)
-    wp, wr, cp, cr = FLOORS[name]
+    wp, wr, lwp, lwr, cp, cr = FLOORS[name]
     assert got["pages"] == got["gt_pages"]
     assert got["word_p"] >= wp, got
     assert got["word_r"] >= wr, got
+    assert got["line_word_p"] >= lwp, got
+    assert got["line_word_r"] >= lwr, got
     assert got["char_p"] >= cp, got
     assert got["char_r"] >= cr, got
 

@@ -50,21 +50,73 @@ def _prf(mine: Counter, gt: Counter):
     return p, r
 
 
+def gt_line_texts(pg: dict, space_pt: float = 1.0) -> list:
+    """Reconstruct LINE texts from a groundtruth page's cells: group
+    by baseline (2pt band), sort by x, concatenate with a space
+    inserted at gaps > ``space_pt`` — the same assembly rule
+    pdfio.assemble_lines applies to its own runs.
+
+    Why lines: docling-parse's sub-line cell segmentation is not a
+    deterministic function of the content stream — on
+    right_to_left_02 the identical local fragment/kern pattern
+    ('م' [+4] 'لا ' [-10] …) is merged into one cell at x≈138 and
+    split into three cells at x≈314 on the SAME line, and the same
+    'لا ' fragment appears cell-final with its trailing space kept,
+    with it dropped, and cell-medial, all on one line. An independent
+    implementation cannot reproduce that from the PDF alone, and
+    nothing downstream depends on it: docling's own pipeline merges
+    cells back into lines (SanitizedPdfPage) before any text use. So
+    the word-level gate compares both sides at the granularity the
+    engines actually agree is meaningful — the line — while the
+    cell-level numbers stay reported for visibility."""
+    cells = [c for c in pg["cells"] if c["text"].strip()]
+    cells.sort(key=lambda c: (round(c["rect"]["r_y0"], 1),
+                              c["rect"]["r_x0"]))
+    lines, cur, cury = [], [], None
+    for c in cells:
+        y = c["rect"]["r_y0"]
+        if cury is None or abs(y - cury) <= 2.0:
+            cur.append(c)
+            cury = y
+        else:
+            lines.append(cur)
+            cur, cury = [c], y
+    if cur:
+        lines.append(cur)
+    out = []
+    for ln in lines:
+        ln.sort(key=lambda c: c["rect"]["r_x0"])
+        txt, prev = "", None
+        for c in ln:
+            if prev is not None:
+                gap = c["rect"]["r_x0"] - prev["rect"]["r_x1"]
+                if gap > space_pt and not txt.endswith(" ") \
+                        and not c["text"].startswith(" "):
+                    txt += " "
+            txt += c["text"]
+            prev = c
+        out.append(txt)
+    return out
+
+
 def compare(name: str) -> dict:
     pdf = PDF_DIR / f"{name}.pdf"
     gt_file = GT_DIR / f"{name}.pages.json"
     gt_pages = json.loads(gt_file.read_text())
     mine_pages = extract_pdf_cells(pdf.read_bytes())
-    gt_texts, my_texts = [], []
+    gt_texts, gt_lines, my_texts = [], [], []
     for pg in gt_pages:
         gt_texts += [c["text"] for c in pg["cells"]]
+        gt_lines += gt_line_texts(pg)
     for pg in mine_pages:
         my_texts += [c["text"] for c in pg["cells"]]
     wp, wr = _prf(_words(my_texts), _words(gt_texts))
+    lwp, lwr = _prf(_words(my_texts), _words(gt_lines))
     cp, cr = _prf(_chars(my_texts), _chars(gt_texts))
     return {"name": name, "pages": len(mine_pages),
             "gt_pages": len(gt_pages),
             "word_p": round(wp, 4), "word_r": round(wr, 4),
+            "line_word_p": round(lwp, 4), "line_word_r": round(lwr, 4),
             "char_p": round(cp, 4), "char_r": round(cr, 4),
             "my_cells": len(my_texts), "gt_cells": len(gt_texts)}
 
@@ -94,6 +146,7 @@ def main(argv):
         for r in rows:
             print("{name:32s} pages {pages}/{gt_pages}  "
                   "word P/R {word_p:.3f}/{word_r:.3f}  "
+                  "line-word P/R {line_word_p:.3f}/{line_word_r:.3f}  "
                   "char P/R {char_p:.3f}/{char_r:.3f}  "
                   "cells {my_cells}/{gt_cells}".format(**r))
     return 0
