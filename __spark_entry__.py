@@ -1553,6 +1553,145 @@ def q_layout_post_clusters(spark, sf_dir):
     return page_clusters(src, num_partitions=_par(spark))
 
 
+def q_html_table_cells(spark, sf_dir):
+    """RAW-HTML table grids → the full docling-core TableCell relation
+    (html_backend.py:374-465 parity: span expansion anchors, all-th
+    column-header rows, th-in-body row headers), via the real DOM +
+    parse_table_data path inside one Arrow batch. Template per doc: a
+    3×3 grid with a colspan=2 header cell and a rowspan=2 body cell,
+    so col_idx skipping past occupied grid slots is exercised."""
+    from docling_spark.operators.tables import html_table_cells
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    toks = F.split(F.col("text"), " ")
+    payload = F.concat(
+        F.lit("<html><body><table>"
+              "<tr><th>H1</th><th colspan=\"2\">H2</th></tr>"
+              "<tr><td rowspan=\"2\">A"), d,
+        F.lit("</td><td>"), F.element_at(toks, 1),
+        F.lit("</td><td>"), F.element_at(toks, 2),
+        F.lit("</td></tr><tr><td>"), F.element_at(toks, 3),
+        F.lit("</td><td>"), F.col("n_chars").cast("string"),
+        F.lit("</td></tr></table></body></html>"))
+    src = docs.select(
+        d.alias("doc_id"),
+        F.array(F.struct(
+            F.lit("html").alias("kind"), payload.alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"))).alias("spans"))
+    return html_table_cells(src)
+
+
+def q_pdf_text_in_rect(spark, sf_dir):
+    """Distributed get_text_in_rect (docling_parse_v4_backend.py:33-56
+    / parsers/pdf_page.py:204-219): >half-area cell overlap against a
+    broadcast rect table, text joined in cell order — pure Catalyst,
+    no UDF. Rect 0 covers page 0's first three lines; rect 1 covers
+    all of page 1; rect 2 is an empty region (returns '')."""
+    from docling_spark.operators.extract import page_cells, text_in_rect
+    from docling_spark.sources.corpus import corpus_pdf_pages
+    corpus = corpus_pdf_pages(spark, sf_dir)
+    cells = page_cells(corpus, num_partitions=_par(spark), merge=False)
+    d = F.col("doc_id").cast("string")
+    base = _docs(spark, sf_dir).select(d.alias("doc_id"))
+
+    def rect(rid, page, l, t, r, b):
+        return base.select(
+            F.lit(rid).cast("int").alias("rect_id"), "doc_id",
+            F.lit(page).cast("int").alias("page_no"),
+            F.lit(float(l)).alias("l"), F.lit(float(t)).alias("t"),
+            F.lit(float(r)).alias("r"), F.lit(float(b)).alias("b"))
+
+    # lines sit at t = 50 + 12i, b = t + 10 (sources/corpus.py)
+    rects = (rect(0, 0, 0, 45, 612, 85)      # lines 0..2 of page 0
+             .unionByName(rect(1, 1, 0, 0, 612, 792))   # all of page 1
+             .unionByName(rect(2, 0, 450, 700, 600, 780)))  # empty
+    return text_in_rect(cells, rects)
+
+
+def q_doc_outline(spark, sf_dir):
+    """Relational document outline (heading trail per heading span —
+    the reference's body-tree outline, html_backend.py:204-248 level
+    stack) over the REAL extraction output: windowed
+    nearest-preceding-heading per level, no UDF, no tree."""
+    from docling_spark.operators.outline import heading_outline
+    corpus = corpus_from_documents(spark, sf_dir)
+    out = extract_spans(corpus, num_partitions=_par(spark))
+    return heading_outline(out)
+
+
+def q_reservoir_sample(spark, sf_dir):
+    """Weighted per-source reservoir sample (Efraimidis-Spirakis 2006
+    exact top-k by u^(1/w), spelled as integer-quantized ln(u)/w —
+    operators/sampling.py): k=5 docs per source, weight = n_chars, so
+    long docs are proportionally likelier. Salted two-phase top-k; the
+    oracle replays the md5 unit hash and the quantized key."""
+    from docling_spark.operators.sampling import \
+        reservoir_sample_per_source
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source",
+        F.col("n_chars").cast("long").alias("n_chars"))
+    out = reservoir_sample_per_source(docs, k=5, weight_col="n_chars")
+    return out.select("source", "doc_id", "n_chars", "key_e6",
+                      F.col("rank").cast("int").alias("rank"))
+
+
+def q_stratified_split(spark, sf_dir):
+    """Hash-bucket train/val/test assignment (operators/sampling.py):
+    split = pure function of (doc_id, salt), so the carve is
+    reproducible across runs/clusters and stable under corpus growth.
+    98/1/1 over 10000 md5 buckets; zero shuffle."""
+    from docling_spark.operators.sampling import stratified_split
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source")
+    return stratified_split(docs)
+
+
+def q_robots_gate(spark, sf_dir):
+    """robots.txt-style longest-match gate (RFC 9309 core,
+    operators/weburl.py::robots_gate): hosts h0..h9 disallow /p but
+    re-allow /p/1* (longest prefix wins); other hosts are unruled →
+    default-allow. Messy URL variants exercise host normalization;
+    the duplicate-slash variant ('//p//…') matches no rule and
+    stays by default-allow."""
+    from docling_spark.operators.weburl import robots_gate
+    urls = _messy_urls(spark, sf_dir)
+    k = F.explode(F.sequence(F.lit(0), F.lit(9))).alias("k")
+    hosts = spark.range(1).select(k).select(
+        F.concat(F.lit("h"), F.col("k").cast("string"),
+                 F.lit(".example.com")).alias("host"))
+    rules = (hosts.select("host", F.lit("/p").alias("path_prefix"),
+                          F.lit(0).alias("allow"))
+             .unionByName(
+                 hosts.select("host", F.lit("/p/1").alias("path_prefix"),
+                              F.lit(1).alias("allow"))))
+    return robots_gate(urls, rules).select("doc_id", "url")
+
+
+def q_domain_mix_report(spark, sf_dir):
+    """Corpus-composition report per registered domain
+    (operators/weburl.py::domain_mix_report): docs, tokens, and e4
+    token share — the release table mixture decisions read. One
+    shuffle on the tiny domain key; the share denominator is a
+    broadcast scalar."""
+    from docling_spark.operators.weburl import domain_mix_report
+    urls = _messy_urls(spark, sf_dir)
+    docs = urls.join(
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id"), F.col("text")), "doc_id")
+    return domain_mix_report(docs)
+
+
+def q_source_bigram_entropy(spark, sf_dir):
+    """Per-source conditional bigram entropy H(next|prev)
+    (operators/textstats.py::source_bigram_entropy) — the
+    templated-content audit signal. Integer-exact: per-bigram floored
+    1e6·c_ab·ln(c_ab/c_a) terms summed, so the distributed sum equals
+    the oracle's explode+group spelling bit-for-bit."""
+    from docling_spark.operators.textstats import source_bigram_entropy
+    return source_bigram_entropy(_docs(spark, sf_dir))
+
+
 def q_doc_token_stats(spark, sf_dir):
     return with_token_stats(_docs(spark, sf_dir))
 
@@ -2861,6 +3000,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_meta": q_media_audio_meta,
         # --- new in round 4 (kept inside the driver's 50-sample) ---
         "layout_post_clusters": q_layout_post_clusters,
+        "html_table_cells": q_html_table_cells,
+        "pdf_text_in_rect": q_pdf_text_in_rect,
+        "doc_outline": q_doc_outline,
+        "reservoir_sample": q_reservoir_sample,
+        "stratified_split": q_stratified_split,
+        "robots_gate": q_robots_gate,
+        "domain_mix_report": q_domain_mix_report,
+        "source_bigram_entropy": q_source_bigram_entropy,
         "dedup_minhash_lsh_indep": q_dedup_minhash_lsh_indep,
         "source_vocab_jaccard": q_source_vocab_jaccard,
         "source_vocab_kmv": q_source_vocab_kmv,
@@ -3763,6 +3910,164 @@ SELECT doc_id, 0, CAST(CASE WHEN k >= 2 THEN 2 ELSE 1 END AS INT),
        10, 400, CAST(10 + 8 * len(toks[n]) AS INT), 410,
        1, toks[n]
 FROM p WHERE len(toks[n]) > 0
+"""
+
+    # Replays q_html_table_cells' static 3x3 template: header row
+    # H1 | H2(colspan 2); body rows A{d}(rowspan 2) | tok1 | tok2 and
+    # (rowspan-occupied) | tok3 | n_chars. start_col of the row-2
+    # cells skips col 0 because the rowspan fills the grid slot.
+    oracles["html_table_cells"] = """
+WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                  string_split(text, ' ') AS toks, n_chars
+           FROM documents)
+SELECT doc_id, CAST(0 AS INT) AS table_idx,
+       CAST(3 AS INT) AS num_rows, CAST(3 AS INT) AS num_cols,
+       CAST(r AS INT) AS start_row, CAST(c AS INT) AS start_col,
+       CAST(rs AS INT) AS row_span, CAST(cs AS INT) AS col_span,
+       CAST(ch AS INT) AS column_header, CAST(0 AS INT) AS row_header,
+       txt AS text
+FROM t, (VALUES (0, 0, 1, 1, 1, 'H1'), (0, 1, 1, 2, 1, 'H2'))
+     AS hdr(r, c, rs, cs, ch, txt)
+UNION ALL
+SELECT doc_id, 0, 3, 3, 1, 0, 2, 1, 0, 0, 'A' || doc_id FROM t
+UNION ALL
+SELECT doc_id, 0, 3, 3, 1, 1, 1, 1, 0, 0, toks[1] FROM t
+UNION ALL
+SELECT doc_id, 0, 3, 3, 1, 2, 1, 1, 0, 0, toks[2] FROM t
+UNION ALL
+SELECT doc_id, 0, 3, 3, 2, 1, 1, 1, 0, 0, toks[3] FROM t
+UNION ALL
+SELECT doc_id, 0, 3, 3, 2, 2, 1, 1, 0, 0,
+       CAST(n_chars AS VARCHAR) FROM t
+"""
+
+    # q_pdf_text_in_rect: rect 0 = page 0 lines 0-2 (t=45..85 covers
+    # line bboxes 50+12i .. +10 for i=0,1,2), rect 1 = all of page 1
+    # (tokens h+1..n), rect 2 = empty region.
+    oracles["pdf_text_in_rect"] = """
+WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                  string_split(text, ' ') AS toks
+           FROM documents),
+p AS (SELECT doc_id, toks, len(toks) AS n,
+             CAST(ceil(len(toks) / 2.0) AS INT) AS h
+      FROM t)
+SELECT CAST(0 AS INT) AS rect_id, doc_id, CAST(0 AS INT) AS page_no,
+       array_to_string(toks[1:3], ' ') AS text
+FROM p
+UNION ALL
+SELECT 1, doc_id, 1, array_to_string(toks[h+1:n], ' ') FROM p
+UNION ALL
+SELECT 2, doc_id, 0, '' FROM p
+"""
+
+    # q_doc_outline over the extracted HTML template: heading spans at
+    # offsets 0 (title 'Doc N', level 0) and 2 ('Stats', level 1).
+    oracles["doc_outline"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(0 AS INT) AS span_offset, CAST(0 AS INT) AS level,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS path
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(2 AS INT), CAST(1 AS INT),
+       'Stats', 'Doc ' || CAST(doc_id AS VARCHAR) || ' > Stats'
+FROM documents
+"""
+
+    # q_reservoir_sample: Efraimidis-Spirakis key replay — u from the
+    # 48-bit md5 prefix (+1), key_e6 = floor(1e6·ln(u)/w), top 5 per
+    # source by (key desc, doc_id asc).
+    oracles["reservoir_sample"] = """
+WITH scored AS (
+  SELECT source, CAST(doc_id AS VARCHAR) AS doc_id, n_chars,
+         CAST(floor(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 12))::BIGINT + 1.0)
+                       / 281474976710656.0)
+                    / greatest(n_chars, 1e-12) * 1000000.0)
+              AS BIGINT) AS key_e6
+  FROM documents),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY key_e6 DESC, doc_id ASC)
+            AS rank
+  FROM scored)
+SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars, key_e6,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+    # q_stratified_split: bucket = floor(u(doc_id||'v1')·10000);
+    # train < 9800, val < 9900, else test.
+    oracles["stratified_split"] = """
+WITH b AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         CAST(floor(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                          || 'v1'), 1, 12))::BIGINT
+                      + 1.0) / 281474976710656.0) * 10000) AS INT)
+           AS bkt
+  FROM documents)
+SELECT doc_id, source,
+       CASE WHEN bkt < 9800 THEN 'train'
+            WHEN bkt < 9900 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+    # q_robots_gate: hosts h0..h9 disallow /p, re-allow /p/1 (longest
+    # match wins). Canonical path of the messy variants: v∈{0,1,3} →
+    # /p/{gid}; v=2 → /p/{gid}/ (still matches both prefixes
+    # identically); v=4 → //p//{gid} (matches neither → default
+    # allow). So on ruled hosts only gid beginning '1' (or the v=4
+    # variant) survives; unruled hosts (k>=10) keep everything.
+    oracles["robots_gate"] = f"""
+WITH u AS ({_MESSY_URLS_SQL}),
+x AS (SELECT doc_id, url,
+             'h' || CAST((doc_id // 5) % 50 AS VARCHAR) AS hk,
+             CAST(doc_id // 5 AS VARCHAR) AS g,
+             doc_id % 5 AS v
+      FROM u)
+SELECT doc_id, url FROM x
+WHERE CAST(substr(hk, 2, 10) AS BIGINT) >= 10
+   OR v = 4
+   OR g LIKE '1%'
+"""
+
+    # q_domain_mix_report: every messy URL lands on *.example.com, so
+    # one domain row carries the whole corpus.
+    oracles["domain_mix_report"] = """
+SELECT 'example.com' AS domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+         AS n_tokens,
+       CAST(10000 AS BIGINT) AS token_share_e4
+FROM documents
+"""
+
+    # q_source_bigram_entropy: explode+group replay of the integer-
+    # exact conditional-entropy spelling over the canonical tokens.
+    oracles["source_bigram_entropy"] = f"""
+WITH n AS (SELECT source, {NORM_SQL} AS nt FROM documents),
+tok AS (SELECT source, string_split(nt, ' ') AS ts FROM n),
+bg AS (SELECT source,
+              unnest(list_transform(
+                  range(1, greatest(len(ts), 1)),
+                  i -> ts[i] || chr(31) || ts[i+1])) AS ab
+       FROM tok),
+cab AS (SELECT source, ab, count(*) AS c_ab FROM bg
+        GROUP BY source, ab),
+ca AS (SELECT source, string_split(ab, chr(31))[1] AS a,
+              sum(c_ab) AS c_a
+       FROM cab GROUP BY source, string_split(ab, chr(31))[1]),
+terms AS (
+  SELECT cab.source, cab.c_ab,
+         CAST(floor(1000000.0 * cab.c_ab * ln(cab.c_ab / ca.c_a))
+              AS BIGINT) AS t
+  FROM cab JOIN ca ON cab.source = ca.source
+       AND string_split(cab.ab, chr(31))[1] = ca.a)
+SELECT source, CAST(sum(c_ab) AS BIGINT) AS n_bigrams,
+       CAST(floor(-CAST(sum(t) AS DOUBLE) / sum(c_ab)) AS BIGINT)
+         AS cond_entropy_e6
+FROM terms GROUP BY source
 """
 
     # page 0 runs the model-driven layout path (title cluster over line

@@ -474,6 +474,50 @@ def page_cells(
                              schema=PAGE_CELLS_DDL)
 
 
+def text_in_rect(cells: DataFrame, rects: DataFrame) -> DataFrame:
+    """Distributed spelling of the reference's page-local range join
+    (``get_text_in_rect``, docling_parse_v4_backend.py:33-56 /
+    parsers/pdf_page.py:204-219): for every query rect, the text of
+    the page's cells whose bbox overlaps the rect by MORE THAN HALF
+    the cell's own area, joined by single spaces in cell-index order.
+
+    ``cells`` is the :func:`page_cells` relation (doc_id, page_no,
+    cell_index, text, l, t, r, b); ``rects`` is (rect_id, doc_id,
+    page_no, l, t, r, b). Output: (rect_id, doc_id, page_no, text) —
+    one row per rect, empty string when nothing qualifies.
+
+    Scale shape: pure Catalyst — the rect table is query-sized (tiny
+    vs the corpus) so the equi-join on (doc_id, page_no) broadcasts
+    and the 10^12-cell relation never shuffles for the probe; the
+    only shuffle is the groupBy(rect) reassembly, keyed on the tiny
+    rect id. The overlap predicate stays inside whole-stage codegen.
+    """
+    c = cells.alias("c")
+    q = rects.alias("q")
+    inter_w = F.least(F.col("c.r"), F.col("q.r")) \
+        - F.greatest(F.col("c.l"), F.col("q.l"))
+    inter_h = F.least(F.col("c.b"), F.col("q.b")) \
+        - F.greatest(F.col("c.t"), F.col("q.t"))
+    inter = F.when((inter_w > 0) & (inter_h > 0),
+                   inter_w * inter_h).otherwise(F.lit(0.0))
+    area = (F.col("c.r") - F.col("c.l")) * (F.col("c.b") - F.col("c.t"))
+    hit = (c.join(F.broadcast(q),
+                  (F.col("q.doc_id") == F.col("c.doc_id"))
+                  & (F.col("q.page_no") == F.col("c.page_no")))
+           .where((area > 0) & (inter / area > 0.5)))
+    agg = (hit.groupBy("q.rect_id", "q.doc_id", "q.page_no")
+           .agg(F.array_join(
+               F.transform(
+                   F.array_sort(F.collect_list(
+                       F.struct(F.col("c.cell_index").alias("i"),
+                                F.col("c.text").alias("txt")))),
+                   lambda s: s["txt"]), " ").alias("text")))
+    return (rects.select("rect_id", "doc_id", "page_no")
+            .join(agg, ["rect_id", "doc_id", "page_no"], "left")
+            .select("rect_id", "doc_id", "page_no",
+                    F.coalesce(F.col("text"), F.lit("")).alias("text")))
+
+
 PAGE_ELEMENTS_DDL = ("doc_id string, page_no int, elem_index int, "
                      "label string, text string")
 

@@ -65,3 +65,73 @@ def table_cells(extracted: DataFrame, *,
                     F.col("_c.col_idx").alias("col_idx"),
                     F.col("_c.is_header").cast("int").alias("is_header"),
                     F.col("_c.text").alias("text")))
+
+
+HTML_TABLE_CELLS_DDL = (
+    "doc_id string, table_idx int, num_rows int, num_cols int, "
+    "start_row int, start_col int, row_span int, col_span int, "
+    "column_header int, row_header int, text string")
+
+
+def _html_table_cells_batches(batches):
+    import pandas as pd
+
+    from ..parsers.dom import parse_html
+    from ..parsers.html_parser import parse_table_data
+    cols = ("doc_id", "table_idx", "num_rows", "num_cols", "start_row",
+            "start_col", "row_span", "col_span", "column_header",
+            "row_header", "text")
+    for pdf in batches:
+        out = {k: [] for k in cols}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            try:
+                root = parse_html(payload or "")
+                tables = root.find_all("table")
+            except Exception:
+                tables = []
+            ti = 0
+            for el in tables:
+                try:
+                    data = parse_table_data(el)
+                except Exception:
+                    data = None
+                if data is None:    # nested table → skipped, like the
+                    continue        # reference (html_backend.py:376-379)
+                for c in data.cells:
+                    out["doc_id"].append(doc_id)
+                    out["table_idx"].append(ti)
+                    out["num_rows"].append(data.num_rows)
+                    out["num_cols"].append(data.num_cols)
+                    out["start_row"].append(c.start_row)
+                    out["start_col"].append(c.start_col)
+                    out["row_span"].append(c.row_span)
+                    out["col_span"].append(c.col_span)
+                    out["column_header"].append(int(c.column_header))
+                    out["row_header"].append(int(c.row_header))
+                    out["text"].append(c.text)
+                ti += 1
+        yield pd.DataFrame(out)
+
+
+def html_table_cells(df: DataFrame, *,
+                     spans_col: str = "spans") -> DataFrame:
+    """RAW-HTML table grids → the full docling-core ``TableCell``
+    relation (html_backend.py:374-465 semantics): per cell its
+    anchor (start_row, start_col), row/col spans, and the
+    column-header (all-``th`` row) / row-header (``th`` in a body
+    row) flags — structure :func:`table_cells` cannot recover from
+    the serialized grid because span expansion has already flattened
+    it there.
+
+    Scale shape: one narrow explode of html spans to (doc_id,
+    payload) rows, then a single Arrow-batched ``mapInPandas`` doing
+    page-local DOM work — zero shuffles; embarrassingly parallel at
+    10^12 documents like the extraction UDF it mirrors."""
+    pages = (df.select(
+        "doc_id",
+        F.explode(F.filter(F.col(spans_col),
+                           lambda s: s["kind"] == F.lit("html")))
+        .alias("_s"))
+        .select("doc_id", F.col("_s.text").alias("payload")))
+    return pages.mapInPandas(_html_table_cells_batches,
+                             schema=HTML_TABLE_CELLS_DDL)

@@ -567,3 +567,51 @@ def doc_sentences(docs: DataFrame) -> DataFrame:
         "sentence",
         F.size(F.split(F.col("sentence"), " ")).cast("int")
         .alias("n_tokens"))
+
+
+def source_bigram_entropy(docs: DataFrame, *,
+                          group_col: str = "source") -> DataFrame:
+    """Per-group conditional bigram entropy H(next|prev) over the
+    canonical token stream — the corpus-diversity signal behind
+    repetition audits: boilerplate-heavy or templated sources score
+    near 0 (next token is predictable), diverse prose scores high.
+
+    Integer-exact spelling (the with_char_entropy discipline): the
+    numerator is Σ_{ab} floor(1e6 · c_ab · ln(c_ab / c_a)), one
+    floored integer per DISTINCT bigram summed exactly, and
+    ent_e6 = floor(−numerator / N_bigrams) — order-independent, so
+    the distributed sum matches the SQL oracle bit-for-bit.
+
+    Scale shape: one narrow doc-local bigram explode, ONE shuffle on
+    (group, prev, next) with map-side partial counts, a window-free
+    second aggregate on (group, prev) joined back (both tables are
+    vocab²-bounded, ≪ corpus), then a tiny groupBy(group). The
+    corpus itself is never re-shuffled."""
+    toks = tokens_col()
+    # guard: F.sequence(1, 0) would generate a DESCENDING [1, 0] for
+    # single-token docs, so gate the bigram expansion on size >= 2
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(F.element_at(toks, i).alias("a"),
+                               F.element_at(toks, i + 1).alias("b")))
+    ).otherwise(F.array().cast("array<struct<a string, b string>>"))
+    ab = (docs.select(F.col(group_col).alias("grp"),
+                      F.explode(pairs).alias("p"))
+          .groupBy("grp", F.col("p.a").alias("a"),
+                   F.col("p.b").alias("b"))
+          .agg(F.count("*").alias("c_ab")))
+    a = ab.groupBy("grp", "a").agg(F.sum("c_ab").alias("c_a"))
+    terms = (ab.join(a, ["grp", "a"])
+             .select("grp", "c_ab",
+                     F.floor(F.lit(1_000_000.0) * F.col("c_ab")
+                             * F.log(F.col("c_ab") / F.col("c_a")))
+                     .cast("long").alias("t")))
+    return (terms.groupBy("grp")
+            .agg(F.sum("t").alias("_num"),
+                 F.sum("c_ab").alias("n_bigrams"))
+            .select(F.col("grp").alias("source"),
+                    F.col("n_bigrams").cast("long").alias("n_bigrams"),
+                    F.floor(-F.col("_num") / F.col("n_bigrams"))
+                    .cast("long").alias("cond_entropy_e6")))

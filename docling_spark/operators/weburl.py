@@ -149,3 +149,79 @@ def url_blocklist_gate(df: DataFrame, blocklist: DataFrame, *,
     if broadcast_hits:
         hit = F.broadcast(hit)
     return (df.join(hit, F.col(id_col) == F.col("_hit_id"), "left_anti"))
+
+
+def path_col(url: Column) -> Column:
+    """URL path ('/' when absent), query/fragment stripped — pure
+    Catalyst."""
+    rest = F.regexp_replace(F.trim(url),
+                            r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    path = F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1)
+    return F.when(path == "", F.lit("/")).otherwise(path)
+
+
+def robots_gate(df: DataFrame, rules: DataFrame, *,
+                url_col: str = "url",
+                id_col: str = "doc_id") -> DataFrame:
+    """robots.txt-style crawl-permission gate (the RFC 9309 core:
+    longest-match path rules per host, Allow beats Disallow on equal
+    length). ``rules`` is (host, path_prefix, allow∈{0,1}); a doc is
+    DROPPED only when the LONGEST rule prefix matching its (host,
+    path) has allow=0 — no matching rule means default-allow (the
+    RFC rule), and ties at equal prefix length break toward allow.
+
+    Scale shape: the rule table is crawl-config-sized (≪ corpus), so
+    the host equijoin BROADCASTS and the doc table never shuffles; the
+    longest-match argmax is a per-doc max_by over the handful of
+    matching rules (grouped on the unique doc id, map-side
+    combinable), and the final pass is an anti-join against the
+    (small) drop-list. The startswith predicate stays in codegen."""
+    if id_col not in df.columns:
+        id_col = df.columns[0]
+    host = host_col(F.col(url_col))
+    path = path_col(F.col(url_col))
+    probe = df.withColumn("_host", host).withColumn("_path", path)
+    r = rules.select(F.col("host").alias("_host"),
+                     F.col("path_prefix").alias("_pfx"),
+                     F.col("allow").cast("int").alias("_allow"))
+    matched = (probe.select(id_col, "_host", "_path")
+               .join(F.broadcast(r), "_host")
+               .where(F.col("_path").startswith(F.col("_pfx"))))
+    verdict = (matched.groupBy(id_col)
+               .agg(F.max_by(
+                   F.col("_allow"),
+                   # longest prefix wins; allow beats disallow on ties
+                   F.struct(F.length("_pfx").alias("n"),
+                            F.col("_allow").alias("a")))
+                   .alias("_keep")))
+    dropped = verdict.where(F.col("_keep") == 0).select(id_col)
+    return df.join(F.broadcast(dropped), id_col, "left_anti")
+
+
+def domain_mix_report(df: DataFrame, *, url_col: str = "url",
+                      text_col: str = "text") -> DataFrame:
+    """Corpus-composition report per registered-ish domain (last two
+    host labels): doc count, token count, and each domain's share of
+    corpus tokens in e4 — the table every corpus release publishes
+    and the input mixture_weights consumes.
+
+    ONE shuffle on the (tiny) domain key with map-side partial sums;
+    the share denominator rides a scalar subtotal joined broadcast —
+    the corpus is never re-shuffled."""
+    host = host_col(F.col(url_col))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    domain = F.when(n >= 2, F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1))) \
+        .otherwise(host)
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    per = (df.select(domain.alias("domain"), toks.alias("_t"))
+           .groupBy("domain")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("_t").alias("n_tokens")))
+    total = per.groupBy().agg(F.sum("n_tokens").alias("_total"))
+    return (per.crossJoin(F.broadcast(total))
+            .select("domain", "n_docs",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.floor(F.col("n_tokens") * 10000 / F.col("_total"))
+                    .cast("long").alias("token_share_e4")))
