@@ -513,7 +513,11 @@ def text_in_rect(cells: DataFrame, rects: DataFrame) -> DataFrame:
                                 F.col("c.text").alias("txt")))),
                    lambda s: s["txt"]), " ").alias("text")))
     return (rects.select("rect_id", "doc_id", "page_no")
-            .join(agg, ["rect_id", "doc_id", "page_no"], "left")
+            # agg has at most one row per rect — broadcast it so the
+            # final reattach (which restores empty-rect rows) never
+            # sort-merges
+            .join(F.broadcast(agg), ["rect_id", "doc_id", "page_no"],
+                  "left")
             .select("rect_id", "doc_id", "page_no",
                     F.coalesce(F.col("text"), F.lit("")).alias("text")))
 

@@ -187,13 +187,13 @@ def robots_gate(df: DataFrame, rules: DataFrame, *,
     matched = (probe.select(id_col, "_host", "_path")
                .join(F.broadcast(r), "_host")
                .where(F.col("_path").startswith(F.col("_pfx"))))
+    # longest prefix wins, allow beats disallow on equal length —
+    # encoded as ONE long (len·2 + allow) so the argmax is a plain
+    # max() and the aggregate stays a hash aggregate (max_by over a
+    # struct falls back to SortAggregate)
     verdict = (matched.groupBy(id_col)
-               .agg(F.max_by(
-                   F.col("_allow"),
-                   # longest prefix wins; allow beats disallow on ties
-                   F.struct(F.length("_pfx").alias("n"),
-                            F.col("_allow").alias("a")))
-                   .alias("_keep")))
+               .agg((F.max(F.length("_pfx") * 2 + F.col("_allow"))
+                     % 2).alias("_keep")))
     dropped = verdict.where(F.col("_keep") == 0).select(id_col)
     return df.join(F.broadcast(dropped), id_col, "left_anti")
 

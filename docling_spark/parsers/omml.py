@@ -1,4 +1,4 @@
-"""OMML (Office Math Markup) → LaTeX, stdlib-only.
+r"""OMML (Office Math Markup) → LaTeX, stdlib-only.
 
 Clean-room implementation of the conversion the reference performs with
 its dwml-derived module + pylatexenc

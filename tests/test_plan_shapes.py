@@ -387,3 +387,83 @@ def test_dedup_components_truncates_lineage(spark):
     # at most 2 rounds back, so the plan holds ≤2 rounds of joins, not 11
     assert plan.count("Join") <= 4
     assert "ExistingRDD" in plan
+
+
+def test_text_in_rect_broadcasts_rects(spark):
+    """The rect table (query-sized) broadcasts into the cell scan; the
+    only exchange left is the groupBy(rect) reassembly — the cell
+    relation itself is never hash-repartitioned before the probe."""
+    from docling_spark.operators.extract import text_in_rect
+    cells = spark.createDataFrame(
+        [("d", 0, 0, "x", 0.0, 0.0, 1.0, 1.0)],
+        "doc_id string, page_no int, cell_index int, text string, "
+        "l double, t double, r double, b double")
+    rects = spark.createDataFrame(
+        [(0, "d", 0, 0.0, 0.0, 2.0, 2.0)],
+        "rect_id int, doc_id string, page_no int, "
+        "l double, t double, r double, b double")
+    plan = _plan(text_in_rect(cells, rects))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_robots_gate_is_broadcast_hash_agg(spark):
+    """Rules broadcast; the longest-match argmax is a HASH aggregate
+    (the len·2+allow long encoding — max_by over a struct would fall
+    back to SortAggregate), and the drop-list anti-join broadcasts."""
+    from docling_spark.operators.weburl import robots_gate
+    docs = spark.createDataFrame(
+        [("1", "https://a.com/p")], "doc_id string, url string")
+    rules = spark.createDataFrame(
+        [("a.com", "/p", 0)], "host string, path_prefix string, allow int")
+    plan = _plan(robots_gate(docs, rules))
+    assert "SortAggregate" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stratified_split_is_zero_shuffle(spark):
+    from docling_spark.operators.sampling import stratified_split
+    docs = spark.createDataFrame(
+        [("1", "s")], "doc_id string, source string")
+    plan = _plan(stratified_split(docs))
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
+
+
+def test_reservoir_sample_has_partial_topk(spark):
+    """Two-phase top-k: the salted window prunes per (source, salt)
+    bucket before the final per-source ranking — no single task ever
+    sorts one source's whole score table."""
+    from docling_spark.operators.sampling import \
+        reservoir_sample_per_source
+    docs = spark.createDataFrame(
+        [(f"d{i}", "s") for i in range(20)],
+        "doc_id string, source string")
+    plan = _plan(reservoir_sample_per_source(docs, k=3))
+    assert plan.count("RunningWindowFunction") >= 1 \
+        or plan.count("Window") >= 2
+
+
+def test_html_table_cells_shuffle_free(spark):
+    from docling_spark.operators.tables import html_table_cells
+    df = spark.createDataFrame(
+        [("d", [{"kind": "html", "text": "<table></table>",
+                 "media_ref": "", "offset": 0}])],
+        "doc_id string, spans array<struct<kind string, text string, "
+        "media_ref string, offset int>>")
+    plan = _plan(html_table_cells(df))
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_bigram_entropy_partial_aggregation(spark):
+    """The (grp, a, b) count has a map-side partial phase, and the
+    vocab²-bounded join back to (grp, a) totals never touches the
+    corpus again."""
+    from docling_spark.operators.textstats import source_bigram_entropy
+    docs = spark.createDataFrame(
+        [(1, "s", "a b c")], "doc_id long, source string, text string")
+    plan = _plan(source_bigram_entropy(docs))
+    assert "partial_count" in plan or "partial_sum" in plan \
+        or plan.count("HashAggregate") >= 4
