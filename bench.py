@@ -174,6 +174,16 @@ BENCH_QUERIES = [
     "source_vocab_jaccard",
     "source_vocab_kmv",
     "dedup_minhash_lsh_indep",
+    # round 4
+    "layout_post_clusters",
+    "html_table_cells",
+    "pdf_text_in_rect",
+    "doc_outline",
+    "reservoir_sample",
+    "stratified_split",
+    "robots_gate",
+    "domain_mix_report",
+    "source_bigram_entropy",
 ]
 
 

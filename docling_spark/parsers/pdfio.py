@@ -1285,9 +1285,30 @@ def assemble_lines(runs: List[dict], space_em: float = 0.15,
             cur = [r]
     lines.append(cur)
 
-    out: List[dict] = []
+    # split each baseline group at COLUMN-scale x gaps (> 2 em of the
+    # smaller neighbor) BEFORE script detection: a sidebar or second
+    # column sharing the baseline would otherwise set main_size for
+    # the whole line and demote the body text to "subscripts"
+    # (observed on redp5110's cover page); docling-parse keeps such
+    # segments as separate cells too
+    segments: List[List[dict]] = []
     for group in lines:
         group.sort(key=lambda r: r["x0"])
+        seg: List[dict] = [group[0]]
+        for r in group[1:]:
+            gap = r["x0"] - seg[-1]["x1"]
+            em = max(min(r.get("size") or 4.0,
+                         seg[-1].get("size") or 4.0), 1.0)
+            if gap > 2.0 * em:
+                segments.append(seg)
+                seg = [r]
+            else:
+                seg.append(r)
+        segments.append(seg)
+    lines = segments
+
+    out: List[dict] = []
+    for group in lines:
         # dominant size + baseline: sub/superscripts are smaller runs
         # shifted off it (docling-parse marks them $_{..}$ / $^{..}$)
         main_size = max((r.get("size") or 0.0) for r in group)
@@ -1299,10 +1320,13 @@ def assemble_lines(runs: List[dict], space_em: float = 0.15,
         for r in group:
             size_r = r.get("size") or 0.0
             script = ""
-            if size_r < 0.85 * main_size and main_size > 0:
-                # scripts attach to adjacent text only — a small run
-                # far along the line is a sidebar/other column, not a
-                # super/subscript
+            if size_r < 0.85 * main_size and main_size > 0 \
+                    and len(r["text"].strip()) <= 4 \
+                    and " " not in r["text"].strip():
+                # scripts attach to adjacent text only and are SHORT
+                # (footnote markers, ordinals, ™): a long or
+                # multi-word small run is body text in a smaller face,
+                # not a super/subscript
                 gap_prev = (r["x0"] - prev["x1"]) if prev is not None \
                     else 0.0
                 if gap_prev <= 0.8 * main_size:

@@ -41,7 +41,7 @@ FLOORS = {
     "amt_handbook_sample": (0.98, 0.98, 0.99, 0.99, 0.99, 0.99),
     "code_and_formula": (0.99, 0.99, 0.99, 0.99, 0.99, 0.99),
     "picture_classification": (0.99, 0.99, 0.99, 0.99, 0.99, 0.99),
-    "redp5110_sampled": (0.96, 0.95, 0.96, 0.96, 0.97, 0.98),
+    "redp5110_sampled": (0.97, 0.96, 0.97, 0.97, 0.985, 0.985),
     "right_to_left_01": (0.95, 0.94, 0.96, 0.97, 0.99, 0.99),
     "right_to_left_02": (0.65, 0.45, 0.87, 0.91, 0.99, 0.98),
     "right_to_left_03": (0.99, 0.99, 0.99, 0.99, 0.99, 0.99),
