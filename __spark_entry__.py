@@ -2945,6 +2945,149 @@ def q_tpch_q5_local_supplier(spark, sf_dir):
             .orderBy(F.col("revenue_e4").desc(), "n_name"))
 
 
+def q_ocr_region_plan(spark, sf_dir):
+    """OCR region planning (SURVEY §2.4; parsers/ocr_plan.py —
+    reference models/base_ocr_model.py:36-106: rasterize bitmap rects,
+    dilate by the 20×20 box, label connected components, then decide
+    full-page OCR / component boxes / no OCR by coverage thresholds).
+    Deterministic per-doc template on a 300×200 page, three modes by
+    ``n_chars % 3``:
+
+    * mode 0 — four rects: (40,40,40+a,50) with a = the first token's
+      length clamped to [1,30]; (40,90,60,100); and the close pair
+      (150,40,170,50)+(175,40,195,50) whose 5-px gap the 20×20
+      dilation bridges. Expected plan: three components in label
+      order — (30,30,49+a,59), the merged (140,30,204,59), and
+      (30,80,69,109); dilated coverage is exactly (30a+3750)/60000,
+      so coverage_e4 = 625+5a (integer-exact).
+    * mode 1 — one full-page rect → coverage 1.0 > 0.75 → the single
+      full-page box (0,0,300,200), coverage_e4 = 10000.
+    * mode 2 — one tiny rect (40,40,44,44) → 24×24 dilated px =
+      coverage_e4 96 < the 500 threshold → NO OCR: one region_id=-1
+      sentinel row.
+
+    The oracle replays all three decisions statically — a hash match
+    pins rasterization, integral-image dilation, component labeling
+    AND the coverage thresholds."""
+    from docling_spark.operators.render import plan_ocr
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    a = F.greatest(
+        F.least(F.length(F.element_at(F.split("text", " "), 1)),
+                F.lit(30)), F.lit(1))
+    mode = F.col("n_chars") % 3
+
+    def rect(l, t, r, b):
+        return F.struct(
+            F.lit(l).cast("double").alias("l") if isinstance(l, int)
+            else l.cast("double").alias("l"),
+            F.lit(t).cast("double").alias("t"),
+            F.lit(r).cast("double").alias("r") if isinstance(r, int)
+            else r.cast("double").alias("r"),
+            F.lit(b).cast("double").alias("b"))
+
+    rects = (F.when(mode == 0, F.array(
+                 rect(40, 40, F.lit(40) + a, 50), rect(40, 90, 60, 100),
+                 rect(150, 40, 170, 50), rect(175, 40, 195, 50)))
+             .when(mode == 1, F.array(rect(0, 0, 299, 199)))
+             .otherwise(F.array(rect(40, 40, 44, 44))))
+    src = docs.select(d.alias("doc_id"),
+                      F.lit(300.0).alias("width"),
+                      F.lit(200.0).alias("height"),
+                      rects.alias("rects"))
+    return plan_ocr(src)
+
+
+def q_ocr_reconcile(spark, sf_dir):
+    """OCR/programmatic cell reconciliation (SURVEY §2.4;
+    parsers/ocr_plan.reconcile_cells — reference
+    base_ocr_model.py:109-144: drop every OCR cell whose bbox
+    intersects any programmatic cell, append survivors after the
+    programmatic cells). Deterministic template per doc: programmatic
+    cells P0=(10,10,10+8a,20)→token 1 (a = len clamped to [1,16]) and
+    P1=(10,40,50,50)→token 2; OCR cells (12,12,30,18) [hits P0 —
+    dropped], (10,70,40,80) ['x'+token1 — kept], (45,45,80,55) [hits
+    P1 — dropped], (200,10,240,20) ['y'+token2 — kept]. Final order:
+    P0, P1, then the two survivors."""
+    from docling_spark.operators.render import reconcile_ocr
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    toks = F.split("text", " ")
+    tok1 = F.element_at(toks, 1)
+    tok2 = F.coalesce(F.element_at(toks, 2), F.lit(""))
+    a = F.greatest(F.least(F.length(tok1), F.lit(16)), F.lit(1))
+
+    def cell(l, t, r, b, text):
+        return F.struct(
+            (F.lit(l) if isinstance(l, int) else l)
+            .cast("double").alias("l"),
+            F.lit(t).cast("double").alias("t"),
+            (F.lit(r) if isinstance(r, int) else r)
+            .cast("double").alias("r"),
+            F.lit(b).cast("double").alias("b"),
+            text.alias("text"))
+
+    prog = F.array(cell(10, 10, F.lit(10) + 8 * a, 20, tok1),
+                   cell(10, 40, 50, 50, tok2))
+    ocr = F.array(cell(12, 12, 30, 18, F.lit("oA")),
+                  cell(10, 70, 40, 80, F.concat(F.lit("x"), tok1)),
+                  cell(45, 45, 80, 55, F.lit("oC")),
+                  cell(200, 10, 240, 20, F.concat(F.lit("y"), tok2)))
+    src = docs.select(d.alias("doc_id"), prog.alias("prog"),
+                      ocr.alias("ocr"))
+    return reconcile_ocr(src)
+
+
+def q_omml_equations(spark, sf_dir):
+    """OMML equations → LaTeX (SURVEY §2.2 #17; parsers/omml.py —
+    reference backend/docx/latex/omml.py via the DOCX backend).
+    Deterministic per-doc Office Math XML built from sanitized tokens
+    (A/B/C = 'v' + the token's [a-zA-Z0-9] chars, N = n_chars): an
+    oMathPara with two oMath elements —
+
+    * eq 0: fraction, superscript, n-ary sum with limits, radical →
+      ``\\frac{A}{B}x^{N}\\sum_{i=0}^{N}C\\sqrt{A}``
+    * eq 1: delimiter, subscript, function → ``\\left(A\\right)y_{B}\\cos(C)``
+
+    The oracle replays both strings; a hash match pins the converter's
+    construct handlers, run-text rendering and spacing model through
+    the real Arrow stage."""
+    from docling_spark.operators.enrich import omml_equations
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    toks = F.split("text", " ")
+
+    def clean(i):
+        return F.concat(F.lit("v"), F.regexp_replace(
+            F.coalesce(F.element_at(toks, i), F.lit("")),
+            "[^a-zA-Z0-9]", ""))
+
+    A, B, C = clean(1), clean(2), clean(3)
+    N = F.col("n_chars").cast("string")
+
+    def run(x):
+        return F.concat(F.lit("<m:r><m:t>"), x, F.lit("</m:t></m:r>"))
+
+    xml = F.concat(
+        F.lit('<m:oMathPara xmlns:m="http://schemas.openxmlformats.org'
+              '/officeDocument/2006/math"><m:oMath>'
+              "<m:f><m:num>"), run(A), F.lit("</m:num><m:den>"), run(B),
+        F.lit("</m:den></m:f><m:sSup><m:e>"), run(F.lit("x")),
+        F.lit("</m:e><m:sup>"), run(N),
+        F.lit('</m:sup></m:sSup><m:nary><m:naryPr><m:chr m:val="∑"/>'
+              "</m:naryPr><m:sub>"), run(F.lit("i=0")),
+        F.lit("</m:sub><m:sup>"), run(N), F.lit("</m:sup><m:e>"), run(C),
+        F.lit("</m:e></m:nary><m:rad><m:e>"), run(A),
+        F.lit("</m:e></m:rad></m:oMath><m:oMath><m:d><m:e>"), run(A),
+        F.lit("</m:e></m:d><m:sSub><m:e>"), run(F.lit("y")),
+        F.lit("</m:e><m:sub>"), run(B),
+        F.lit("</m:sub></m:sSub><m:func><m:fName>"), run(F.lit("cos")),
+        F.lit("</m:fName><m:e>"), run(C),
+        F.lit("</m:e></m:func></m:oMath></m:oMathPara>"))
+    src = docs.select(d.alias("doc_id"), xml.alias("omml"))
+    return omml_equations(src)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 
@@ -3008,6 +3151,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": q_robots_gate,
         "domain_mix_report": q_domain_mix_report,
         "source_bigram_entropy": q_source_bigram_entropy,
+        "ocr_region_plan": q_ocr_region_plan,
+        "ocr_reconcile": q_ocr_reconcile,
+        "omml_equations": q_omml_equations,
         "dedup_minhash_lsh_indep": q_dedup_minhash_lsh_indep,
         "source_vocab_jaccard": q_source_vocab_jaccard,
         "source_vocab_kmv": q_source_vocab_kmv,
@@ -4125,6 +4271,99 @@ SELECT doc_id, CAST(page_no AS INT) AS page_no,
        CAST(len(pt) AS INT) AS n_cells,
        array_to_string(pt, ' ') AS text
 FROM pages
+"""
+
+    # static replay of q_ocr_region_plan's three per-doc modes: the
+    # dilated geometry and coverage are integer-exact (see the query
+    # docstring for the derivation; validated against
+    # parsers/ocr_plan.py directly in tests)
+    oracles["ocr_region_plan"] = """
+WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                  n_chars % 3 AS mode,
+                  greatest(least(length(string_split(text, ' ')[1]),
+                                 30), 1) AS a
+           FROM documents)
+SELECT doc_id, CAST(0 AS INT) AS region_id,
+       CAST(30 AS INT) AS l, CAST(30 AS INT) AS t,
+       CAST(49 + a AS INT) AS r, CAST(59 AS INT) AS b,
+       CAST(3 AS INT) AS n_regions,
+       CAST(625 + 5 * a AS INT) AS coverage_e4
+FROM t WHERE mode = 0
+UNION ALL
+SELECT doc_id, CAST(1 AS INT), CAST(140 AS INT), CAST(30 AS INT),
+       CAST(204 AS INT), CAST(59 AS INT), CAST(3 AS INT),
+       CAST(625 + 5 * a AS INT)
+FROM t WHERE mode = 0
+UNION ALL
+SELECT doc_id, CAST(2 AS INT), CAST(30 AS INT), CAST(80 AS INT),
+       CAST(69 AS INT), CAST(109 AS INT), CAST(3 AS INT),
+       CAST(625 + 5 * a AS INT)
+FROM t WHERE mode = 0
+UNION ALL
+SELECT doc_id, CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT),
+       CAST(300 AS INT), CAST(200 AS INT), CAST(1 AS INT),
+       CAST(10000 AS INT)
+FROM t WHERE mode = 1
+UNION ALL
+SELECT doc_id, CAST(-1 AS INT), CAST(0 AS INT), CAST(0 AS INT),
+       CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT),
+       CAST(96 AS INT)
+FROM t WHERE mode = 2
+"""
+
+    # static replay of q_ocr_reconcile: P0/P1 then the two OCR
+    # survivors, in reconcile_cells' append order
+    oracles["ocr_reconcile"] = """
+WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                  string_split(text, ' ')[1] AS tok1,
+                  coalesce(string_split(text, ' ')[2], '') AS tok2
+           FROM documents),
+s AS (SELECT doc_id, tok1, tok2,
+             greatest(least(length(tok1), 16), 1) AS a FROM t)
+SELECT doc_id, CAST(0 AS INT) AS cell_rank, 'prog' AS origin,
+       CAST(10 AS INT) AS l, CAST(10 AS INT) AS t,
+       CAST(10 + 8 * a AS INT) AS r, CAST(20 AS INT) AS b,
+       tok1 AS text
+FROM s
+UNION ALL
+SELECT doc_id, CAST(1 AS INT), 'prog', CAST(10 AS INT),
+       CAST(40 AS INT), CAST(50 AS INT), CAST(50 AS INT), tok2
+FROM s
+UNION ALL
+SELECT doc_id, CAST(2 AS INT), 'ocr', CAST(10 AS INT),
+       CAST(70 AS INT), CAST(40 AS INT), CAST(80 AS INT),
+       'x' || tok1
+FROM s
+UNION ALL
+SELECT doc_id, CAST(3 AS INT), 'ocr', CAST(200 AS INT),
+       CAST(10 AS INT), CAST(240 AS INT), CAST(20 AS INT),
+       'y' || tok2
+FROM s
+"""
+
+    # static replay of q_omml_equations' two converter outputs
+    oracles["omml_equations"] = """
+WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                  CAST(n_chars AS VARCHAR) AS n,
+                  string_split(text, ' ') AS toks
+           FROM documents),
+v AS (SELECT doc_id, n,
+             'v' || regexp_replace(coalesce(toks[1], ''),
+                                   '[^a-zA-Z0-9]', '', 'g') AS a,
+             'v' || regexp_replace(coalesce(toks[2], ''),
+                                   '[^a-zA-Z0-9]', '', 'g') AS b,
+             'v' || regexp_replace(coalesce(toks[3], ''),
+                                   '[^a-zA-Z0-9]', '', 'g') AS c
+      FROM t)
+SELECT doc_id, CAST(0 AS INT) AS eq_no,
+       '\\frac{' || a || '}{' || b || '}x^{' || n
+       || '}\\sum_{i=0}^{' || n || '}' || c
+       || '\\sqrt{' || a || '}' AS latex
+FROM v
+UNION ALL
+SELECT doc_id, CAST(1 AS INT),
+       '\\left(' || a || '\\right)y_{' || b || '}\\cos(' || c || ')'
+FROM v
 """
 
     oracles["pdf_native_roundtrip"] = """

@@ -132,6 +132,39 @@ def enrich_spans(
     return items.mapInPandas(run, schema=ENRICH_OUT_DDL)
 
 
+OMML_DDL = "doc_id string, eq_no int, latex string"
+
+
+def omml_equations(df: DataFrame, *, xml_col: str = "omml") -> DataFrame:
+    """(doc_id, omml: string) → (doc_id, eq_no, latex): run the
+    from-scratch OMML→LaTeX converter (parsers/omml.py; reference
+    backend/docx/latex/omml.py) over each document's Office Math XML.
+    Every ``m:oMath`` element in the payload yields one row, in
+    document order. Zero-shuffle Arrow stage — the same converter the
+    DOCX backend calls inline (parsers/docx_parser.py:92-102), exposed
+    here as a standalone stage so stored equation XML (e.g. a column
+    of equations mined out of a 100 TB DOCX corpus) can be batch-
+    converted without re-parsing whole documents."""
+    import xml.etree.ElementTree as ET
+
+    from docling_spark.parsers.omml import MNS, omml_to_latex
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "eq_no": [], "latex": []}
+            for doc_id, xml in zip(pdf["doc_id"], pdf[xml_col]):
+                root = ET.fromstring(xml)
+                maths = ([root] if root.tag == f"{MNS}oMath"
+                         else list(root.iter(f"{MNS}oMath")))
+                for i, m in enumerate(maths):
+                    out["doc_id"].append(doc_id)
+                    out["eq_no"].append(i)
+                    out["latex"].append(omml_to_latex(m))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=OMML_DDL)
+
+
 def apply_enrichment(extracted: DataFrame, enriched: DataFrame) -> DataFrame:
     """Join the enrichment side-table back onto exploded spans — the
     columnar analogue of the reference writing predictions onto items.
