@@ -3154,12 +3154,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_region_plan": q_ocr_region_plan,
         "ocr_reconcile": q_ocr_reconcile,
         "omml_equations": q_omml_equations,
-        "dedup_minhash_lsh_indep": q_dedup_minhash_lsh_indep,
-        "source_vocab_jaccard": q_source_vocab_jaccard,
+        "mad_outlier_gate": q_mad_outlier_gate,
+        "bloom_dedup": q_bloom_dedup,
         "source_vocab_kmv": q_source_vocab_kmv,
         "near_dup_eval": q_near_dup_eval,
         "dedup_report": q_dedup_report,
-        "mad_outlier_gate": q_mad_outlier_gate,
+        "dedup_minhash_lsh_indep": q_dedup_minhash_lsh_indep,
+        "source_vocab_jaccard": q_source_vocab_jaccard,
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "script_mix": q_script_mix,
         "winnow_overlap_pairs": q_winnow_overlap_pairs,
@@ -3167,7 +3168,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idf_rarity": q_idf_rarity,
         "url_blocklist_gate": q_url_blocklist_gate,
         "ngram_containment_pairs": q_ngram_containment_pairs,
-        "bloom_dedup": q_bloom_dedup,
         "quality_percentile_gate": q_quality_percentile_gate,
         "doc_normalize": q_doc_normalize,
         "doc_sentences": q_doc_sentences,
