@@ -3088,6 +3088,61 @@ def q_omml_equations(spark, sf_dir):
     return omml_equations(src)
 
 
+def q_pdf_table_structure(spark, sf_dir):
+    """Span-aware PDF table structure (SURVEY §2.4 #33;
+    parsers/pdf_page.table_grid_with_spans — the geometric stand-in
+    for TableFormer's OTSL output incl. merged cells,
+    models/table_structure_model.py:171-297). Deterministic per-doc
+    cell template on a 3×3 anchor grid (columns 0/35/70, rows
+    0/20/40), two modes by ``n_chars % 2``:
+
+    * both modes — header cell (0,0,100,10)="h" spanning all 3
+      columns; body cells (0,20,30,30)=w1 and (35,20,65,30)=w2 with
+      w = 'w' + the token's [a-zA-Z0-9] chars; the bottom-left cell
+      (0,40,65,50)="d" spanning columns 0-1.
+    * mode 0 adds (70,20,100,30)="c" and (70,40,100,50)="e" — six
+      logical cells, all single-row.
+    * mode 1 instead adds ONE cell (70,20,100,50)="v" bridging the
+      row-1/row-2 gutter → row_span 2; five logical cells. The
+      bridged gutter is exactly the case a projection-gap row rule
+      loses — the anchor grid keeps 3 rows.
+
+    The oracle replays both layouts statically — a hash match pins
+    anchor clustering, span counting and header flagging through the
+    real Arrow stage."""
+    from docling_spark.operators.tables import pdf_table_structure
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    toks = F.split("text", " ")
+
+    def wtok(i):
+        return F.concat(F.lit("w"), F.regexp_replace(
+            F.coalesce(F.element_at(toks, i), F.lit("")),
+            "[^a-zA-Z0-9]", ""))
+
+    mode = F.col("n_chars") % 2
+
+    def cell(l, t, r, b, text):
+        return F.struct(
+            F.lit(l).cast("double").alias("l"),
+            F.lit(t).cast("double").alias("t"),
+            F.lit(r).cast("double").alias("r"),
+            F.lit(b).cast("double").alias("b"),
+            (text if not isinstance(text, str) else F.lit(text))
+            .alias("text"))
+
+    base = [cell(0, 0, 100, 10, "h"),
+            cell(0, 20, 30, 30, wtok(1)),
+            cell(35, 20, 65, 30, wtok(2)),
+            cell(0, 40, 65, 50, "d")]
+    cells = (F.when(mode == 0, F.array(
+                 *base, cell(70, 20, 100, 30, "c"),
+                 cell(70, 40, 100, 50, "e")))
+             .otherwise(F.array(*base, cell(70, 20, 100, 50, "v"))))
+    src = docs.select(d.alias("doc_id"), cells.alias("cells"))
+    return pdf_table_structure(src)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 
@@ -3154,6 +3209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_region_plan": q_ocr_region_plan,
         "ocr_reconcile": q_ocr_reconcile,
         "omml_equations": q_omml_equations,
+        "pdf_table_structure": q_pdf_table_structure,
         "mad_outlier_gate": q_mad_outlier_gate,
         "bloom_dedup": q_bloom_dedup,
         "source_vocab_kmv": q_source_vocab_kmv,
@@ -4364,6 +4420,38 @@ UNION ALL
 SELECT doc_id, CAST(1 AS INT),
        '\\left(' || a || '\\right)y_{' || b || '}\\cos(' || c || ')'
 FROM v
+"""
+
+    # static replay of q_pdf_table_structure's two per-doc layouts
+    # (see the query docstring for the anchor-grid derivation)
+    oracles["pdf_table_structure"] = """
+WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                  n_chars % 2 AS mode,
+                  'w' || regexp_replace(
+                      coalesce(string_split(text, ' ')[1], ''),
+                      '[^a-zA-Z0-9]', '', 'g') AS w1,
+                  'w' || regexp_replace(
+                      coalesce(string_split(text, ' ')[2], ''),
+                      '[^a-zA-Z0-9]', '', 'g') AS w2
+           FROM documents)
+SELECT doc_id, CAST(0 AS INT) AS table_idx,
+       CAST(3 AS INT) AS num_rows, CAST(3 AS INT) AS num_cols,
+       CAST(0 AS INT) AS start_row, CAST(0 AS INT) AS start_col,
+       CAST(1 AS INT) AS row_span, CAST(3 AS INT) AS col_span,
+       CAST(1 AS INT) AS column_header, 'h' AS text
+FROM t
+UNION ALL
+SELECT doc_id, 0, 3, 3, 1, 0, 1, 1, 0, w1 FROM t
+UNION ALL
+SELECT doc_id, 0, 3, 3, 1, 1, 1, 1, 0, w2 FROM t
+UNION ALL
+SELECT doc_id, 0, 3, 3, 2, 0, 1, 2, 0, 'd' FROM t
+UNION ALL
+SELECT doc_id, 0, 3, 3, 1, 2, 1, 1, 0, 'c' FROM t WHERE mode = 0
+UNION ALL
+SELECT doc_id, 0, 3, 3, 2, 2, 1, 1, 0, 'e' FROM t WHERE mode = 0
+UNION ALL
+SELECT doc_id, 0, 3, 3, 1, 2, 2, 1, 0, 'v' FROM t WHERE mode = 1
 """
 
     oracles["pdf_native_roundtrip"] = """

@@ -135,3 +135,59 @@ def html_table_cells(df: DataFrame, *,
         .select("doc_id", F.col("_s.text").alias("payload")))
     return pages.mapInPandas(_html_table_cells_batches,
                              schema=HTML_TABLE_CELLS_DDL)
+
+
+PDF_TABLE_STRUCTURE_DDL = (
+    "doc_id string, table_idx int, num_rows int, num_cols int, "
+    "start_row int, start_col int, row_span int, col_span int, "
+    "column_header int, text string")
+
+
+def pdf_table_structure(df: DataFrame, *,
+                        cells_col: str = "cells") -> DataFrame:
+    """(doc_id, cells: array<struct l,t,r,b,text>) → the span-aware
+    table-structure relation (parsers/pdf_page.table_grid_with_spans;
+    the geometric stand-in for TableFormer's OTSL output,
+    models/table_structure_model.py:171-297): each input row is one
+    table's text cells with page-coordinate bboxes; each output row is
+    one LOGICAL cell with its grid anchor, row/col span inferred from
+    which anchor bands the bbox covers, and the row-0 column-header
+    flag. ``table_idx`` is carried through when present, else 0.
+
+    Scale shape: zero-shuffle Arrow stage — tables are independent and
+    small (a page fits thousands of cells at most), so the stage
+    scales with input splits; no geometry ever leaves its partition."""
+    import pandas as pd
+
+    from ..parsers.pdf_page import Cell, table_grid_with_spans
+
+    has_idx = "table_idx" in df.columns
+    cols = ("doc_id", "table_idx", "num_rows", "num_cols", "start_row",
+            "start_col", "row_span", "col_span", "column_header",
+            "text")
+
+    def batches(it):
+        for pdf in it:
+            out = {k: [] for k in cols}
+            idxs = pdf["table_idx"] if has_idx else [0] * len(pdf)
+            for doc_id, ti, arr in zip(pdf["doc_id"], idxs,
+                                       pdf[cells_col]):
+                cells = [Cell(index=i, text=str(c["text"]),
+                              l=float(c["l"]), t=float(c["t"]),
+                              r=float(c["r"]), b=float(c["b"]))
+                         for i, c in enumerate(arr)]
+                data = table_grid_with_spans(cells)
+                for c in data.cells:
+                    out["doc_id"].append(doc_id)
+                    out["table_idx"].append(int(ti))
+                    out["num_rows"].append(data.num_rows)
+                    out["num_cols"].append(data.num_cols)
+                    out["start_row"].append(c.start_row)
+                    out["start_col"].append(c.start_col)
+                    out["row_span"].append(c.row_span)
+                    out["col_span"].append(c.col_span)
+                    out["column_header"].append(int(c.column_header))
+                    out["text"].append(c.text)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=PDF_TABLE_STRUCTURE_DDL)

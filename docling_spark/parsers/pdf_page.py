@@ -275,6 +275,72 @@ def table_grid_from_cells(cells: List[Cell]) -> TableData:
     return data
 
 
+def _anchors(values: List[float], eps: float = 2.0) -> List[float]:
+    """Cluster 1-D edge coordinates into grid anchors: sorted distinct
+    values, merging runs closer than ``eps`` px (first value of each
+    run wins — deterministic)."""
+    out: List[float] = []
+    for v in sorted(values):
+        if not out or v - out[-1] > eps:
+            out.append(v)
+    return out
+
+
+def table_grid_with_spans(cells: List[Cell],
+                          tol: float = 1.0) -> TableData:
+    """Span-aware heuristic table structure — the model-free stand-in
+    for TableFormer's merged-cell output
+    (models/table_structure_model.py:171-297 predicts OTSL structure
+    tokens including row/col spans; here spans are inferred from pure
+    geometry). Grid anchors are the clustered LEFT edges (columns) and
+    TOP edges (rows) of the text cells — a merged cell never starts a
+    new anchor band in the middle of itself, so anchor counting is
+    robust to cells that bridge the gutters ``table_grid_from_cells``'s
+    projection-gap rule would lose. A cell starts at the last anchor
+    ≤ its own edge (+``tol``) and spans every further anchor strictly
+    inside its extent (−``tol``); cells landing on the same
+    (start_row, start_col) merge left-to-right. Row 0 cells are column
+    headers, matching the plain-grid builder."""
+    if not cells:
+        return TableData(num_rows=0, num_cols=0)
+    row_anchors = _anchors([c.t for c in cells])
+    col_anchors = _anchors([c.l for c in cells])
+
+    def place(anchors: List[float], lo: float, hi: float):
+        start = 0
+        for j, a in enumerate(anchors):
+            if a <= lo + tol:
+                start = j
+        span = 1
+        for a in anchors[start + 1:]:
+            if a < hi - tol:
+                span += 1
+            else:
+                break
+        return start, span
+
+    by_pos: Dict[tuple, List[Cell]] = {}
+    spans: Dict[tuple, tuple] = {}
+    for c in sorted(cells, key=lambda c: (c.t, c.l)):
+        ri, rs = place(row_anchors, c.t, c.b)
+        ci, cs = place(col_anchors, c.l, c.r)
+        key = (ri, ci)
+        by_pos.setdefault(key, []).append(c)
+        prev = spans.get(key, (1, 1))
+        spans[key] = (max(prev[0], rs), max(prev[1], cs))
+    data = TableData(num_rows=len(row_anchors),
+                     num_cols=len(col_anchors))
+    for (ri, ci), group in sorted(by_pos.items()):
+        rs, cs = spans[(ri, ci)]
+        text = " ".join(g.text.strip() for g in
+                        sorted(group, key=lambda g: (g.t, g.l))
+                        if g.text.strip())
+        data.cells.append(TableCell(
+            text=text, start_row=ri, start_col=ci,
+            row_span=rs, col_span=cs, column_header=(ri == 0)))
+    return data
+
+
 def _cluster_reading_order(clusters: List) -> List:
     """Column-aware reading order over labeled clusters: split into
     columns by x-gutters, read columns left-to-right, each top-to-

@@ -301,3 +301,59 @@ def test_omml_equations_bare_root_and_order(spark):
         ("b", 0, "first"),
         ("b", 1, "z^{2}"),
     ]
+
+
+# --- span-aware table structure (TableFormer stand-in) --------------
+
+
+def _tcell(l, t, r, b, text):
+    return (float(l), float(t), float(r), float(b), text)
+
+
+def _struct_src(spark, rows):
+    cell_t = ("array<struct<l double, t double, r double, b double, "
+              "text string>>")
+    return spark.createDataFrame(rows, f"doc_id string, cells {cell_t}")
+
+
+def test_table_grid_with_spans_merged_header():
+    from docling_spark.parsers.pdf_page import Cell, table_grid_with_spans
+    cells = [Cell(0, "H", 0, 0, 100, 10),
+             Cell(1, "a", 0, 20, 30, 30), Cell(2, "b", 35, 20, 65, 30),
+             Cell(3, "c", 70, 20, 100, 30),
+             Cell(4, "d", 0, 40, 65, 50), Cell(5, "e", 70, 40, 100, 50)]
+    data = table_grid_with_spans(cells)
+    assert (data.num_rows, data.num_cols) == (3, 3)
+    by = {(c.start_row, c.start_col): c for c in data.cells}
+    assert by[(0, 0)].col_span == 3 and by[(0, 0)].column_header
+    assert by[(2, 0)].col_span == 2 and by[(2, 0)].row_span == 1
+    assert by[(1, 1)].col_span == 1
+    assert (2, 1) not in by          # covered by the d span
+
+
+def test_table_grid_with_spans_vertical_merge():
+    from docling_spark.parsers.pdf_page import Cell, table_grid_with_spans
+    # V bridges rows 1-2 on the right; anchor-based rows survive the
+    # bridged gutter (projection-gap rows would collapse to one row)
+    cells = [Cell(0, "a", 0, 20, 30, 30), Cell(1, "v", 70, 20, 100, 50),
+             Cell(2, "d", 0, 40, 30, 50)]
+    data = table_grid_with_spans(cells)
+    assert data.num_rows == 2
+    by = {(c.start_row, c.start_col): c for c in data.cells}
+    assert by[(0, 1)].row_span == 2
+    assert by[(1, 0)].row_span == 1
+
+
+def test_pdf_table_structure_operator(spark):
+    from docling_spark.operators.tables import pdf_table_structure
+    rows = [("d", [_tcell(0, 0, 100, 10, "H"),
+                   _tcell(0, 20, 30, 30, "a"),
+                   _tcell(35, 20, 65, 30, "b")])]
+    out = pdf_table_structure(_struct_src(spark, rows)).collect()
+    got = {(r["start_row"], r["start_col"]):
+           (r["row_span"], r["col_span"], r["column_header"], r["text"])
+           for r in out}
+    assert got[(0, 0)] == (1, 2, 1, "H")
+    assert got[(1, 0)] == (1, 1, 0, "a")
+    assert got[(1, 1)] == (1, 1, 0, "b")
+    assert all(r["num_rows"] == 2 and r["num_cols"] == 2 for r in out)
