@@ -3143,6 +3143,32 @@ def q_pdf_table_structure(spark, sf_dir):
     return pdf_table_structure(src)
 
 
+def q_bpe_train_merges(spark, sf_dir):
+    """Iterative distributed BPE training (operators/bpe.py; Sennrich
+    2016 — the full merge-LIST learner, vs ``bpe_merge_candidates``'s
+    single-round mining). Deterministic template: each doc's symbol
+    stream is ``[a, b] × k`` with k = 2 + n_chars%2, so with N docs
+    and ``odd`` of them odd-length the merge sequence is provable:
+
+    * round 1 merges ``a b`` (count 2N+odd; the rival ``b a`` has
+      only N+odd) → streams become ``[ab] × k``;
+    * round 2 merges ``ab ab`` (count Σ(k−1) = N+odd); the GREEDY
+      disjoint rule turns k=3 streams into ``[abab, ab]`` — never
+      ``[ab, abab]`` — which the next round's count pins;
+    * round 3 merges ``abab ab`` (count = odd, the k=3 docs);
+    * round 4 finds no pairs → early stop, exactly 3 rows.
+
+    A hash match therefore verifies the iterative recount loop, the
+    global argmax, AND the left-to-right merge application — an
+    iterative algorithm with a complete closed-form SQL oracle."""
+    from docling_spark.operators.bpe import bpe_train_df
+    docs = _docs(spark, sf_dir)
+    ab = [F.lit("a"), F.lit("b")]
+    toks = (F.when(F.col("n_chars") % 2 == 0, F.array(*ab, *ab))
+            .otherwise(F.array(*ab, *ab, *ab)))
+    return bpe_train_df(docs.select(toks.alias("tokens")), rounds=4)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 
@@ -3210,6 +3236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_reconcile": q_ocr_reconcile,
         "omml_equations": q_omml_equations,
         "pdf_table_structure": q_pdf_table_structure,
+        "bpe_train_merges": q_bpe_train_merges,
         "mad_outlier_gate": q_mad_outlier_gate,
         "bloom_dedup": q_bloom_dedup,
         "source_vocab_kmv": q_source_vocab_kmv,
@@ -4452,6 +4479,23 @@ UNION ALL
 SELECT doc_id, 0, 3, 3, 2, 2, 1, 1, 0, 'e' FROM t WHERE mode = 0
 UNION ALL
 SELECT doc_id, 0, 3, 3, 1, 2, 2, 1, 0, 'v' FROM t WHERE mode = 1
+"""
+
+    # closed-form replay of q_bpe_train_merges (derivation in the
+    # query docstring: counts are linear in N and the odd-length count)
+    oracles["bpe_train_merges"] = """
+WITH s AS (SELECT count(*) AS cnt,
+                  sum(CASE WHEN n_chars % 2 = 1 THEN 1 ELSE 0 END)
+                      AS odd
+           FROM documents)
+SELECT CAST(1 AS INT) AS merge_rank, 'a b' AS pair,
+       CAST(2 * cnt + odd AS BIGINT) AS n
+FROM s
+UNION ALL
+SELECT CAST(2 AS INT), 'ab ab', CAST(cnt + odd AS BIGINT) FROM s
+UNION ALL
+SELECT CAST(3 AS INT), 'abab ab', CAST(odd AS BIGINT) FROM s
+WHERE odd > 0
 """
 
     oracles["pdf_native_roundtrip"] = """

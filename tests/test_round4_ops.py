@@ -357,3 +357,32 @@ def test_pdf_table_structure_operator(spark):
     assert got[(1, 0)] == (1, 1, 0, "a")
     assert got[(1, 1)] == (1, 1, 0, "b")
     assert all(r["num_rows"] == 2 and r["num_cols"] == 2 for r in out)
+
+
+# --- iterative BPE trainer ------------------------------------------
+
+
+def test_bpe_train_greedy_disjoint_and_order(spark):
+    from docling_spark.operators.bpe import bpe_train
+    df = spark.createDataFrame(
+        [(["a", "b", "a", "b"],), (["a", "b", "a", "b", "a", "b"],)],
+        "tokens array<string>")
+    merges = bpe_train(df, rounds=5)
+    # r1: "a b" count 2+3=5 ; r2: "ab ab" 1+2=3 (greedy: [ab]*3 →
+    # [abab, ab], never [ab, abab]) ; r3: "abab ab" on the odd doc;
+    # r4: no adjacent pairs remain → early stop
+    assert merges == [("a b", 5), ("ab ab", 3), ("abab ab", 1)]
+
+
+def test_bpe_train_tie_breaks_lexicographic(spark):
+    from docling_spark.operators.bpe import bpe_train
+    df = spark.createDataFrame([(["b", "c"],), (["a", "b"],)],
+                               "tokens array<string>")
+    merges = bpe_train(df, rounds=1)
+    assert merges == [("a b", 1)]
+
+
+def test_bpe_train_stops_when_no_pairs(spark):
+    from docling_spark.operators.bpe import bpe_train
+    df = spark.createDataFrame([(["x"],), ([],)], "tokens array<string>")
+    assert bpe_train(df, rounds=3) == []
