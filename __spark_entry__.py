@@ -3169,6 +3169,29 @@ def q_bpe_train_merges(spark, sf_dir):
     return bpe_train_df(docs.select(toks.alias("tokens")), rounds=4)
 
 
+def q_bpe_encode_tokens(spark, sf_dir):
+    """BPE encode under a trained merge list (operators/bpe.py;
+    Sennrich 2016 §3 — apply merges in learned order). Trains TWO
+    rounds on the same provable ``[a, b] × k`` template as
+    ``bpe_train_merges`` (learning ``a b`` then ``ab ab``), then
+    encodes the corpus: k=2 docs collapse to ``[abab]``, k=3 docs to
+    ``[abab, ab]`` — the greedy disjoint leftover stays VISIBLE in
+    the output, pinning left-to-right application through the
+    composed Catalyst folds. Output (doc_id, n_bpe, bpe_text)."""
+    from docling_spark.operators.bpe import bpe_encode, bpe_train
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    ab = [F.lit("a"), F.lit("b")]
+    toks = (F.when(F.col("n_chars") % 2 == 0, F.array(*ab, *ab))
+            .otherwise(F.array(*ab, *ab, *ab)))
+    src = docs.select(d.alias("doc_id"), toks.alias("tokens"))
+    merges = bpe_train(src, rounds=2)
+    out = bpe_encode(src, merges)
+    return out.select(
+        "doc_id", F.size("bpe_tokens").cast("int").alias("n_bpe"),
+        F.array_join("bpe_tokens", " ").alias("bpe_text"))
+
+
 # ---------------------------------------------------------------------------
 # driver API
 
@@ -3237,6 +3260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "omml_equations": q_omml_equations,
         "pdf_table_structure": q_pdf_table_structure,
         "bpe_train_merges": q_bpe_train_merges,
+        "bpe_encode_tokens": q_bpe_encode_tokens,
         "mad_outlier_gate": q_mad_outlier_gate,
         "bloom_dedup": q_bloom_dedup,
         "source_vocab_kmv": q_source_vocab_kmv,
@@ -4496,6 +4520,17 @@ SELECT CAST(2 AS INT), 'ab ab', CAST(cnt + odd AS BIGINT) FROM s
 UNION ALL
 SELECT CAST(3 AS INT), 'abab ab', CAST(odd AS BIGINT) FROM s
 WHERE odd > 0
+"""
+
+    # closed-form replay of q_bpe_encode_tokens (2 trained merges
+    # applied: k=2 → [abab], k=3 → [abab, ab])
+    oracles["bpe_encode_tokens"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(CASE WHEN n_chars % 2 = 0 THEN 1 ELSE 2 END AS INT)
+           AS n_bpe,
+       CASE WHEN n_chars % 2 = 0 THEN 'abab' ELSE 'abab ab' END
+           AS bpe_text
+FROM documents
 """
 
     oracles["pdf_native_roundtrip"] = """

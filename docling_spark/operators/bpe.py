@@ -108,3 +108,22 @@ def bpe_train_df(toks: DataFrame, *, rounds: int,
     return spark.createDataFrame(
         [(i + 1, p, n) for i, (p, n) in enumerate(merges)],
         "merge_rank int, pair string, n long")
+
+
+def bpe_encode(df: DataFrame, merges: List[Tuple[str, int]] | List[str],
+               *, tokens_col: str = "tokens",
+               out_col: str = "bpe_tokens") -> DataFrame:
+    """Apply a learned merge list to a token-array column, in merge
+    order — the encode half of the tokenizer (Sennrich 2016 §3:
+    "apply the learned operations in the order they were learned").
+    ``merges`` accepts :func:`bpe_train` output or bare pair strings.
+    Pure Catalyst: one fold per merge, composed in a single projection
+    — the whole encode is ONE zero-shuffle stage regardless of merge
+    count, and Catalyst folds the constant pair literals into codegen.
+    Adds ``out_col``; keeps every input column."""
+    t: Column = F.col(tokens_col)
+    for m in merges:
+        pair = m[0] if isinstance(m, tuple) else m
+        pa, pb = pair.split(SEP, 1)
+        t = _apply_merge(t, pa, pb, pa + pb)
+    return df.withColumn(out_col, t)

@@ -386,3 +386,19 @@ def test_bpe_train_stops_when_no_pairs(spark):
     from docling_spark.operators.bpe import bpe_train
     df = spark.createDataFrame([(["x"],), ([],)], "tokens array<string>")
     assert bpe_train(df, rounds=3) == []
+
+
+def test_bpe_encode_applies_in_rank_order(spark):
+    from docling_spark.operators.bpe import bpe_encode, bpe_train
+    df = spark.createDataFrame(
+        [(["a", "b", "a", "b"],), (["a", "b", "a", "b", "a", "b"],),
+         (["a", "c", "b"],)],
+        "tokens array<string>")
+    merges = bpe_train(df.limit(2), rounds=3)
+    out = {tuple(r["tokens"]): r["bpe_tokens"]
+           for r in bpe_encode(df, merges).collect()}
+    assert out[("a", "b", "a", "b")] == ["abab"]
+    # merge 3 ("abab ab") then coalesces the greedy leftover
+    assert out[("a", "b", "a", "b", "a", "b")] == ["ababab"]
+    # merges only fire on ADJACENT learned pairs — 'c' blocks them
+    assert out[("a", "c", "b")] == ["a", "c", "b"]
