@@ -117,9 +117,15 @@ def bpe_encode(df: DataFrame, merges: List[Tuple[str, int]] | List[str],
     order — the encode half of the tokenizer (Sennrich 2016 §3:
     "apply the learned operations in the order they were learned").
     ``merges`` accepts :func:`bpe_train` output or bare pair strings.
-    Pure Catalyst: one fold per merge, composed in a single projection
-    — the whole encode is ONE zero-shuffle stage regardless of merge
-    count, and Catalyst folds the constant pair literals into codegen.
+    Pure Catalyst: one fold per merge composed into a single
+    zero-shuffle projection. The expression tree grows linearly with
+    the merge count — fine for the hundreds-of-merges regime this
+    engine trains (and Catalyst constant-folds the pair literals);
+    a full 30k-merge production vocabulary should instead broadcast
+    the merge table into ONE Arrow stage applying all merges per
+    batch (the standard trick), with ``localCheckpoint`` chunking as
+    the pure-Catalyst fallback — adjacent projections alone don't
+    bound the tree, CollapseProject re-merges them.
     Adds ``out_col``; keeps every input column."""
     t: Column = F.col(tokens_col)
     for m in merges:

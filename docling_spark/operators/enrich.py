@@ -153,7 +153,17 @@ def omml_equations(df: DataFrame, *, xml_col: str = "omml") -> DataFrame:
         for pdf in it:
             out = {"doc_id": [], "eq_no": [], "latex": []}
             for doc_id, xml in zip(pdf["doc_id"], pdf[xml_col]):
-                root = ET.fromstring(xml)
+                try:
+                    root = ET.fromstring(xml)
+                except ET.ParseError:
+                    # malformed payload: emit a positive sentinel row
+                    # (eq_no=-1, latex NULL) instead of vanishing —
+                    # absence must never be ambiguous with "no
+                    # equations" for downstream anti-joins
+                    out["doc_id"].append(doc_id)
+                    out["eq_no"].append(-1)
+                    out["latex"].append(None)
+                    continue
                 maths = ([root] if root.tag == f"{MNS}oMath"
                          else list(root.iter(f"{MNS}oMath")))
                 for i, m in enumerate(maths):

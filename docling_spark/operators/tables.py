@@ -153,6 +153,10 @@ def pdf_table_structure(df: DataFrame, *,
     one LOGICAL cell with its grid anchor, row/col span inferred from
     which anchor bands the bbox covers, and the row-0 column-header
     flag. ``table_idx`` is carried through when present, else 0.
+    An input row with an empty cell array emits NO output rows (there
+    is no table to structure) — callers that must distinguish
+    "tableless" from "dropped" should left-join the result back on
+    doc_id, same contract as the extraction span relation.
 
     Scale shape: zero-shuffle Arrow stage — tables are independent and
     small (a page fits thousands of cells at most), so the stage

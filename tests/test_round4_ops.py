@@ -402,3 +402,12 @@ def test_bpe_encode_applies_in_rank_order(spark):
     assert out[("a", "b", "a", "b", "a", "b")] == ["ababab"]
     # merges only fire on ADJACENT learned pairs — 'c' blocks them
     assert out[("a", "c", "b")] == ["a", "c", "b"]
+
+
+def test_omml_equations_malformed_xml_sentinel(spark):
+    from docling_spark.operators.enrich import omml_equations
+    df = spark.createDataFrame([("bad", "<m:oMath><unclosed")],
+                               "doc_id string, omml string")
+    rows = omml_equations(df).collect()
+    assert [(r["doc_id"], r["eq_no"], r["latex"]) for r in rows] == [
+        ("bad", -1, None)]
