@@ -2978,13 +2978,12 @@ def q_ocr_region_plan(spark, sf_dir):
     mode = F.col("n_chars") % 3
 
     def rect(l, t, r, b):
-        return F.struct(
-            F.lit(l).cast("double").alias("l") if isinstance(l, int)
-            else l.cast("double").alias("l"),
-            F.lit(t).cast("double").alias("t"),
-            F.lit(r).cast("double").alias("r") if isinstance(r, int)
-            else r.cast("double").alias("r"),
-            F.lit(b).cast("double").alias("b"))
+        # F.lit passes Columns through unchanged, so int and Column
+        # operands take the same path
+        return F.struct(F.lit(l).cast("double").alias("l"),
+                        F.lit(t).cast("double").alias("t"),
+                        F.lit(r).cast("double").alias("r"),
+                        F.lit(b).cast("double").alias("b"))
 
     rects = (F.when(mode == 0, F.array(
                  rect(40, 40, F.lit(40) + a, 50), rect(40, 90, 60, 100),
@@ -3018,14 +3017,12 @@ def q_ocr_reconcile(spark, sf_dir):
     a = F.greatest(F.least(F.length(tok1), F.lit(16)), F.lit(1))
 
     def cell(l, t, r, b, text):
-        return F.struct(
-            (F.lit(l) if isinstance(l, int) else l)
-            .cast("double").alias("l"),
-            F.lit(t).cast("double").alias("t"),
-            (F.lit(r) if isinstance(r, int) else r)
-            .cast("double").alias("r"),
-            F.lit(b).cast("double").alias("b"),
-            text.alias("text"))
+        # F.lit passes Columns through unchanged
+        return F.struct(F.lit(l).cast("double").alias("l"),
+                        F.lit(t).cast("double").alias("t"),
+                        F.lit(r).cast("double").alias("r"),
+                        F.lit(b).cast("double").alias("b"),
+                        text.alias("text"))
 
     prog = F.array(cell(10, 10, F.lit(10) + 8 * a, 20, tok1),
                    cell(10, 40, 50, 50, tok2))
@@ -3123,13 +3120,12 @@ def q_pdf_table_structure(spark, sf_dir):
     mode = F.col("n_chars") % 2
 
     def cell(l, t, r, b, text):
-        return F.struct(
-            F.lit(l).cast("double").alias("l"),
-            F.lit(t).cast("double").alias("t"),
-            F.lit(r).cast("double").alias("r"),
-            F.lit(b).cast("double").alias("b"),
-            (text if not isinstance(text, str) else F.lit(text))
-            .alias("text"))
+        # F.lit passes Columns through unchanged
+        return F.struct(F.lit(l).cast("double").alias("l"),
+                        F.lit(t).cast("double").alias("t"),
+                        F.lit(r).cast("double").alias("r"),
+                        F.lit(b).cast("double").alias("b"),
+                        F.lit(text).alias("text"))
 
     base = [cell(0, 0, 100, 10, "h"),
             cell(0, 20, 30, 30, wtok(1)),
@@ -3209,7 +3205,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # insertion order.  Round 4 front-loads (a) the one red r3
         # row (chunk_documents_hier, now scalar-flattened) and (b)
         # the 34 registry entries that no round ever sampled, so
-        # every query gets a driver row at least once.
+        # every query gets a driver row at least once.  The window
+        # holds exactly the 35 + the 15 round-4-new operators;
+        # mad_outlier_gate and bloom_dedup (behavior changed in r4,
+        # full-sweep-green, r3-driver-green on the prior behavior)
+        # sit first PAST the window — round 5 should rotate them in.
         "chunk_documents_hier": q_chunk_documents_hier,
         "bm25_topk": q_bm25_topk,
         "kmeans_clusters": q_kmeans_clusters,

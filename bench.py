@@ -184,6 +184,12 @@ BENCH_QUERIES = [
     "robots_gate",
     "domain_mix_report",
     "source_bigram_entropy",
+    "ocr_region_plan",
+    "ocr_reconcile",
+    "omml_equations",
+    "pdf_table_structure",
+    "bpe_train_merges",
+    "bpe_encode_tokens",
 ]
 
 

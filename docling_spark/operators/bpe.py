@@ -75,8 +75,17 @@ def bpe_train(toks: DataFrame, *, rounds: int,
     """(…, tokens: array<string>) → ordered merge list
     [(pair, count), …], at most ``rounds`` long — stops early when no
     adjacent pair remains. The input frame is persisted; each round's
-    merged frame replaces it (previous cache released)."""
-    cur = toks.select(F.col(tokens_col).alias("_t")).persist()
+    merged frame replaces it (previous cache released).
+
+    NULL and empty-string symbols are dropped at ingest: neither is a
+    valid BPE symbol, and both poison the loop — a NULL pair key can
+    win the argmax (then ``pair.split`` crashes the driver), and a
+    learned ('x', '') pair makes ``merged == pa`` so the fold
+    chain-merges instead of staying greedy-disjoint."""
+    cur = toks.select(
+        F.filter(F.col(tokens_col),
+                 lambda x: x.isNotNull() & (x != F.lit("")))
+        .alias("_t")).persist()
     merges: List[Tuple[str, int]] = []
     try:
         for _ in range(rounds):

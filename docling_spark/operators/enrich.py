@@ -154,18 +154,22 @@ def omml_equations(df: DataFrame, *, xml_col: str = "omml") -> DataFrame:
             out = {"doc_id": [], "eq_no": [], "latex": []}
             for doc_id, xml in zip(pdf["doc_id"], pdf[xml_col]):
                 try:
+                    # None raises TypeError, bad XML raises ParseError
                     root = ET.fromstring(xml)
-                except ET.ParseError:
-                    # malformed payload: emit a positive sentinel row
-                    # (eq_no=-1, latex NULL) instead of vanishing —
-                    # absence must never be ambiguous with "no
-                    # equations" for downstream anti-joins
+                except (ET.ParseError, TypeError, ValueError):
+                    # NULL/malformed payload: emit a positive sentinel
+                    # row (eq_no=-1, latex NULL) instead of vanishing
+                    # or killing the Arrow task — absence must never
+                    # be ambiguous with "no equations" for downstream
+                    # anti-joins
                     out["doc_id"].append(doc_id)
                     out["eq_no"].append(-1)
                     out["latex"].append(None)
                     continue
-                maths = ([root] if root.tag == f"{MNS}oMath"
-                         else list(root.iter(f"{MNS}oMath")))
+                # Element.iter(tag) yields the element itself when it
+                # matches, so a bare <m:oMath> root needs no special
+                # case
+                maths = list(root.iter(f"{MNS}oMath"))
                 for i, m in enumerate(maths):
                     out["doc_id"].append(doc_id)
                     out["eq_no"].append(i)

@@ -103,8 +103,7 @@ def plan_ocr(df: DataFrame) -> DataFrame:
     just an absence. Zero-shuffle Arrow stage: pages are independent,
     the mask work is per-row NumPy, and at 100 TB the stage scales
     with input splits exactly like render_pages above."""
-    from docling_spark.parsers.ocr_plan import _dilate_box, \
-        _rasterize, plan_ocr_regions
+    from docling_spark.parsers.ocr_plan import plan_ocr_regions_cov
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -118,10 +117,7 @@ def plan_ocr(df: DataFrame) -> DataFrame:
                 boxes = [(float(rc["l"]), float(rc["t"]),
                           float(rc["r"]), float(rc["b"]))
                          for rc in rects]
-                regions = plan_ocr_regions(w, h, boxes)
-                mask = _dilate_box(_rasterize(w, h, boxes)) \
-                    if boxes else None
-                cov = float(mask.sum()) / (w * h) if boxes else 0.0
+                regions, cov = plan_ocr_regions_cov(w, h, boxes)
                 rows = regions or [(0.0, 0.0, 0.0, 0.0)]
                 for i, (l, t, r, b) in enumerate(rows):
                     out["doc_id"].append(doc_id)

@@ -121,6 +121,32 @@ def _label_components(mask: np.ndarray) -> List[Box]:
     return [tuple(map(float, boxes[r])) for r in order]
 
 
+def plan_ocr_regions_cov(
+    width: float,
+    height: float,
+    bitmap_rects: Sequence[Box],
+    *,
+    area_threshold: float = DEFAULT_AREA_THRESHOLD,
+    force_full_page: bool = False,
+) -> Tuple[List[Box], float]:
+    """Bitmap rects → (OCR query rects, dilated-mask coverage)
+    (base_ocr_model.py:36-106). The coverage ride-along lets callers
+    that report it (operators/render.plan_ocr) avoid rasterizing and
+    dilating the page a second time — the mask pass is the stage's
+    dominant cost on large pages."""
+    if force_full_page:
+        return [(0.0, 0.0, width, height)], 1.0
+    if not bitmap_rects:
+        return [], 0.0
+    mask = _dilate_box(_rasterize(width, height, bitmap_rects))
+    coverage = float(mask.sum()) / (width * height)
+    if coverage > max(BITMAP_COVERAGE_THRESHOLD, area_threshold):
+        return [(0.0, 0.0, width, height)], coverage
+    if coverage > area_threshold:
+        return _label_components(mask), coverage
+    return [], coverage
+
+
 def plan_ocr_regions(
     width: float,
     height: float,
@@ -130,17 +156,10 @@ def plan_ocr_regions(
     force_full_page: bool = False,
 ) -> List[Box]:
     """Bitmap rects → OCR query rects (base_ocr_model.py:36-106)."""
-    if force_full_page:
-        return [(0.0, 0.0, width, height)]
-    if not bitmap_rects:
-        return []
-    mask = _dilate_box(_rasterize(width, height, bitmap_rects))
-    coverage = float(mask.sum()) / (width * height)
-    if coverage > max(BITMAP_COVERAGE_THRESHOLD, area_threshold):
-        return [(0.0, 0.0, width, height)]
-    if coverage > area_threshold:
-        return _label_components(mask)
-    return []
+    return plan_ocr_regions_cov(
+        width, height, bitmap_rects,
+        area_threshold=area_threshold,
+        force_full_page=force_full_page)[0]
 
 
 def reconcile_cells(ocr_cells: Sequence, programmatic_cells: Sequence,

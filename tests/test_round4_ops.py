@@ -411,3 +411,13 @@ def test_omml_equations_malformed_xml_sentinel(spark):
     rows = omml_equations(df).collect()
     assert [(r["doc_id"], r["eq_no"], r["latex"]) for r in rows] == [
         ("bad", -1, None)]
+
+
+def test_bpe_train_drops_null_and_empty_symbols(spark):
+    from docling_spark.operators.bpe import bpe_train
+    df = spark.createDataFrame(
+        [(["a", None, "", "b"],), (["a", "b"],)],
+        "tokens array<string>")
+    # post-filter both docs are [a, b]: one merge, count 2 — a NULL
+    # pair key must never win the argmax and crash pair.split
+    assert bpe_train(df, rounds=2) == [("a b", 2)]
