@@ -3188,6 +3188,37 @@ def q_bpe_encode_tokens(spark, sf_dir):
         F.array_join("bpe_tokens", " ").alias("bpe_text"))
 
 
+def q_warc_records(spark, sf_dir):
+    """WARC container ingestion (parsers/warc_parser.py, ISO 28500 +
+    RFC 9112 from the public specs; no counterpart in the reference —
+    the container layer a 100 TB crawl arrives in). Each document is
+    wrapped into a spec-valid 3-record container (warcinfo / request /
+    response with an HTTP 200 text/html body) by pure-Catalyst byte
+    synthesis (sources/warcsynth.py), then parsed back by the
+    Arrow-batched record scanner. A hash match verifies the CRLF
+    framing walk, Content-Length payload slicing, case-insensitive
+    header parse, and HTTP head/body split — the oracle replays the
+    framing arithmetic (Content-Length = octet_length of the payload
+    expression) in ANSI SQL. Zero shuffle end-to-end."""
+    from docling_spark.operators.warc import warc_records
+    from docling_spark.sources.warcsynth import corpus_warc
+    return warc_records(corpus_warc(spark, sf_dir))
+
+
+def q_warc_cdx(spark, sf_dir):
+    """CDX(J)-style crawl index over parsed WARC records
+    (operators/warc.py::cdx_index): SURT urlkey (comma-reversed host
+    ')' path), compact timestamp, status, mime, sha256 body digest,
+    declared record length — the public convention crawl indexes use
+    for lookup and revisit detection. Catalyst-only on top of the
+    record relation (parse_url/sha2/array ops in codegen); response
+    records only. At crawl scale this is one scan, no shuffle; the
+    index sink partitions by urlkey prefix."""
+    from docling_spark.operators.warc import cdx_index, warc_records
+    from docling_spark.sources.warcsynth import corpus_warc
+    return cdx_index(warc_records(corpus_warc(spark, sf_dir)))
+
+
 # ---------------------------------------------------------------------------
 # driver API
 
@@ -3261,6 +3292,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_table_structure": q_pdf_table_structure,
         "bpe_train_merges": q_bpe_train_merges,
         "bpe_encode_tokens": q_bpe_encode_tokens,
+        # --- added late in round 4: first PAST the 50-sample window
+        # (displacing nothing); round 5 must rotate these two plus
+        # mad_outlier_gate / bloom_dedup into the window ---
+        "warc_records": q_warc_records,
+        "warc_cdx": q_warc_cdx,
         "mad_outlier_gate": q_mad_outlier_gate,
         "bloom_dedup": q_bloom_dedup,
         "source_vocab_kmv": q_source_vocab_kmv,
@@ -4530,6 +4566,59 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
            AS n_bpe,
        CASE WHEN n_chars % 2 = 0 THEN 'abab' ELSE 'abab ab' END
            AS bpe_text
+FROM documents
+"""
+
+    # warc_records / warc_cdx: the oracle replays the synthesis
+    # framing arithmetic (sources/warcsynth.py) — Content-Length is
+    # the octet length of the payload expression (corpus text is
+    # ASCII at every SF, so length() == octet count; the Spark side
+    # measures real bytes with octet_length).
+    oracles["warc_records"] = """
+WITH b AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         '<html><body><p>' || text || '</p></body></html>' AS html,
+         'http://' || source || '.example/doc/'
+             || CAST(doc_id AS VARCHAR) AS uri
+  FROM documents
+)
+SELECT doc_id, CAST(0 AS INT) AS rec_no, 'warcinfo' AS warc_type,
+       '<urn:docling:' || doc_id || ':0>' AS record_id,
+       '' AS target_uri, '2026-01-01T00:00:00Z' AS warc_date,
+       CAST(length(e'software: docling-spark\r\n') AS BIGINT)
+           AS content_length,
+       CAST(-1 AS INT) AS http_status, '' AS http_content_type,
+       '' AS body_text, '' AS error
+FROM b
+UNION ALL
+SELECT doc_id, 1, 'request', '<urn:docling:' || doc_id || ':1>',
+       uri, '2026-01-01T00:00:00Z',
+       CAST(length('GET /doc/' || doc_id || e' HTTP/1.1\r\nHost: '
+                   || source || e'.example\r\n\r\n') AS BIGINT),
+       -1, '', '', ''
+FROM b
+UNION ALL
+SELECT doc_id, 2, 'response', '<urn:docling:' || doc_id || ':2>',
+       uri, '2026-01-01T00:00:00Z',
+       CAST(length(e'HTTP/1.1 200 OK\r\nContent-Type: text/html'
+                   || e'\r\n\r\n') + length(html) AS BIGINT),
+       200, 'text/html', html, ''
+FROM b
+"""
+
+    oracles["warc_cdx"] = """
+SELECT 'example,' || source || ')/doc/'
+           || CAST(doc_id AS VARCHAR) AS urlkey,
+       '20260101000000' AS ts,
+       'http://' || source || '.example/doc/'
+           || CAST(doc_id AS VARCHAR) AS url,
+       CAST(200 AS INT) AS status, 'text/html' AS mime,
+       sha256('<html><body><p>' || text
+              || '</p></body></html>') AS digest,
+       CAST(length(e'HTTP/1.1 200 OK\r\nContent-Type: text/html'
+                   || e'\r\n\r\n')
+            + length('<html><body><p>' || text
+                     || '</p></body></html>') AS BIGINT) AS length
 FROM documents
 """
 

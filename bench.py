@@ -190,6 +190,8 @@ BENCH_QUERIES = [
     "pdf_table_structure",
     "bpe_train_merges",
     "bpe_encode_tokens",
+    "warc_records",
+    "warc_cdx",
 ]
 
 

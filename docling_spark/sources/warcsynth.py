@@ -1,0 +1,75 @@
+"""Deterministic WARC-container corpus — pure Catalyst synthesis.
+
+Wraps every row of the driver-provided ``documents`` parquet into a
+spec-valid ISO 28500 container of three records (warcinfo, request,
+response), mirroring how a real crawler emits one request/response
+pair per fetch. Because every byte is a SQL expression over
+(doc_id, source, text), the *expected parse output* is also
+expressible in ANSI SQL — the DuckDB oracle for the ``warc_*``
+queries replays the exact same framing arithmetic
+(Content-Length = octet_length of the payload expression).
+
+Zero Python in synthesis; the blob column is ``binary`` like a real
+crawl shard, so the parse operator exercises the bytes path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WARC_DATE = "2026-01-01T00:00:00Z"
+INFO_PAYLOAD = "software: docling-spark\r\n"
+
+
+def _record(warc_type: str, rec_no: int, payload: Column,
+            content_type: str, uri: Column = None) -> Column:
+    parts = [
+        F.lit("WARC/1.0\r\nWARC-Type: " + warc_type
+              + "\r\nWARC-Record-ID: <urn:docling:"),
+        F.col("doc_id").cast("string"),
+        F.lit(f":{rec_no}>\r\nWARC-Date: {WARC_DATE}\r\n"),
+    ]
+    if uri is not None:
+        parts += [F.lit("WARC-Target-URI: "), uri, F.lit("\r\n")]
+    parts += [
+        F.lit(f"Content-Type: {content_type}\r\nContent-Length: "),
+        F.octet_length(payload).cast("string"),
+        F.lit("\r\n\r\n"), payload, F.lit("\r\n\r\n"),
+    ]
+    return F.concat(*parts)
+
+
+def html_body_col() -> Column:
+    return F.concat(F.lit("<html><body><p>"), F.col("text"),
+                    F.lit("</p></body></html>"))
+
+
+def target_uri_col() -> Column:
+    return F.concat(F.lit("http://"), F.col("source"),
+                    F.lit(".example/doc/"),
+                    F.col("doc_id").cast("string"))
+
+
+def corpus_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet -> (doc_id, warc binary): one 3-record
+    container per document (warcinfo / request / response with an
+    HTTP 200 text/html body built from ``text``)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    uri = target_uri_col()
+    req_payload = F.concat(
+        F.lit("GET /doc/"), F.col("doc_id").cast("string"),
+        F.lit(" HTTP/1.1\r\nHost: "), F.col("source"),
+        F.lit(".example\r\n\r\n"))
+    resp_payload = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+        html_body_col())
+    blob = F.concat(
+        _record("warcinfo", 0, F.lit(INFO_PAYLOAD),
+                "application/warc-fields"),
+        _record("request", 1, req_payload,
+                "application/http; msgtype=request", uri),
+        _record("response", 2, resp_payload,
+                "application/http; msgtype=response", uri))
+    return docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                       F.encode(blob, "UTF-8").alias("warc"))
