@@ -3234,13 +3234,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Driver-sampling order: the driver checks the FIRST 50
         # entries' worth of its per-round sample from this dict's
         # insertion order.  Round 4 front-loads (a) the one red r3
-        # row (chunk_documents_hier, now scalar-flattened) and (b)
-        # the 34 registry entries that no round ever sampled, so
-        # every query gets a driver row at least once.  The window
-        # holds exactly the 35 + the 15 round-4-new operators;
-        # mad_outlier_gate and bloom_dedup (behavior changed in r4,
-        # full-sweep-green, r3-driver-green on the prior behavior)
-        # sit first PAST the window — round 5 should rotate them in.
+        # row (chunk_documents_hier, now scalar-flattened), (b) the
+        # never-driver-sampled registry entries, and (c) all
+        # round-4-new operator families (incl. WARC).  Two
+        # intra-family variants (events_quantiles_sketch,
+        # lm_quality_bigram) are deferred past the window — their
+        # base queries are inside it — see the rotation note below.
         "chunk_documents_hier": q_chunk_documents_hier,
         "bm25_topk": q_bm25_topk,
         "kmeans_clusters": q_kmeans_clusters,
@@ -3261,8 +3260,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "dedup_canonical": q_dedup_canonical,
         "cap_per_source": q_cap_per_source,
-        "events_quantiles_sketch": q_events_quantiles_sketch,
-        "lm_quality_bigram": q_lm_quality_bigram,
         "media_asset_dedup": q_media_asset_dedup,
         "bpe_merge_candidates": q_bpe_merge_candidates,
         "events_gap_fill": q_events_gap_fill,
@@ -3292,11 +3289,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_table_structure": q_pdf_table_structure,
         "bpe_train_merges": q_bpe_train_merges,
         "bpe_encode_tokens": q_bpe_encode_tokens,
-        # --- added late in round 4: first PAST the 50-sample window
-        # (displacing nothing); round 5 must rotate these two plus
-        # mad_outlier_gate / bloom_dedup into the window ---
         "warc_records": q_warc_records,
         "warc_cdx": q_warc_cdx,
+        # --- first PAST the 50-sample window; round 5 must rotate
+        # these into it: the two intra-family variants displaced by
+        # the WARC queries (their BASE queries lm_quality /
+        # events_quantiles are inside the window this round), plus
+        # mad_outlier_gate / bloom_dedup (behavior changed in r4,
+        # full-sweep-green, r3-driver-green on the prior behavior)
+        # and any queries added later in round 4. ---
+        "events_quantiles_sketch": q_events_quantiles_sketch,
+        "lm_quality_bigram": q_lm_quality_bigram,
         "mad_outlier_gate": q_mad_outlier_gate,
         "bloom_dedup": q_bloom_dedup,
         "source_vocab_kmv": q_source_vocab_kmv,

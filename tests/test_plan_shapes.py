@@ -383,9 +383,11 @@ def test_dedup_components_truncates_lineage(spark):
     got = {r["doc_id"]: r["component"] for r in labels.collect()}
     assert got == {i: 0 for i in range(12)}  # one component, min id 0
     plan = _plan(labels)
-    # converged round count (11) ≫ interval (2): the last checkpoint is
-    # at most 2 rounds back, so the plan holds ≤2 rounds of joins, not 11
-    assert plan.count("Join") <= 4
+    # converged round count (~11) ≫ interval (2): the last checkpoint
+    # is at most 2 rounds back, so the plan holds ≤2 rounds of joins
+    # (2 joins each, AQE prints final+initial sections → ≤8 "Join"
+    # tokens), not the ~22 an un-truncated 11-round tower would show
+    assert plan.count("Join") <= 8
     assert "ExistingRDD" in plan
 
 
