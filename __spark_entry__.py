@@ -3219,6 +3219,50 @@ def q_warc_cdx(spark, sf_dir):
     return cdx_index(warc_records(corpus_warc(spark, sf_dir)))
 
 
+def q_wordpiece_encode(spark, sf_dir):
+    """WordPiece greedy longest-match-first encode (operators/
+    subword.py; Wu 2016 §4.1 — the BERT tokenizer's apply half) over a
+    provable template: word₁ = ``abab``/``ababab`` by n_chars parity,
+    word₂ = ``zz`` (out of vocab). Vocab {abab, ##ab}: even docs →
+    ``abab [UNK]``, odd → ``abab ##ab [UNK]`` — pinning longest-prefix
+    priority, ``##`` continuation matching, and the whole-word [UNK]
+    fallback through the Arrow stage. Zero shuffle."""
+    from docling_spark.operators.subword import wordpiece_encode
+    docs = _docs(spark, sf_dir)
+    w1 = (F.when(F.col("n_chars") % 2 == 0, F.lit("abab"))
+          .otherwise(F.lit("ababab")))
+    src = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                      F.array(w1, F.lit("zz")).alias("tokens"))
+    out = wordpiece_encode(src, ["abab", "##ab"])
+    return out.select(
+        "doc_id", F.size("wp_tokens").cast("int").alias("n_wp"),
+        F.array_join("wp_tokens", " ").alias("wp_text"))
+
+
+def q_unigram_encode(spark, sf_dir):
+    """Unigram-LM Viterbi encode (operators/subword.py; Kudo 2018 §3)
+    over a provable template: word₁ = ``abab``/``ababb`` by n_chars
+    parity, word₂ = ``abb``, word₃ = ``zq`` (uncoverable). Integer
+    lp_e6 vocab {ab:-1.5M, abab:-2.5M, b:-2.0M} makes every DP compare
+    exact and every optimum strict: ``abab``(-2.5M) beats
+    ``ab ab``(-3.0M); ``ababb`` → ``abab b``(-4.5M); ``abb`` →
+    ``ab b``(-3.5M); ``zq`` → ``[UNK]`` — pinning max-prob
+    segmentation, multi-piece backtrace, and the no-path fallback.
+    Zero shuffle."""
+    from docling_spark.operators.subword import unigram_encode
+    docs = _docs(spark, sf_dir)
+    w1 = (F.when(F.col("n_chars") % 2 == 0, F.lit("abab"))
+          .otherwise(F.lit("ababb")))
+    src = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                      F.array(w1, F.lit("abb"), F.lit("zq"))
+                      .alias("tokens"))
+    out = unigram_encode(src, {"ab": -1_500_000, "abab": -2_500_000,
+                               "b": -2_000_000})
+    return out.select(
+        "doc_id", F.size("ug_tokens").cast("int").alias("n_ug"),
+        F.array_join("ug_tokens", " ").alias("ug_text"))
+
+
 # ---------------------------------------------------------------------------
 # driver API
 
@@ -3302,6 +3346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality_bigram": q_lm_quality_bigram,
         "mad_outlier_gate": q_mad_outlier_gate,
         "bloom_dedup": q_bloom_dedup,
+        "wordpiece_encode": q_wordpiece_encode,
+        "unigram_encode": q_unigram_encode,
         "source_vocab_kmv": q_source_vocab_kmv,
         "near_dup_eval": q_near_dup_eval,
         "dedup_report": q_dedup_report,
@@ -4569,6 +4615,28 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
            AS n_bpe,
        CASE WHEN n_chars % 2 = 0 THEN 'abab' ELSE 'abab ab' END
            AS bpe_text
+FROM documents
+"""
+
+    # wordpiece / unigram encode: the template words are pure
+    # functions of n_chars parity and the vocabs make every optimum
+    # strict (q_* docstrings carry the arithmetic), so the oracle is
+    # the closed form itself.
+    oracles["wordpiece_encode"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(CASE WHEN n_chars % 2 = 0 THEN 2 ELSE 3 END AS INT)
+           AS n_wp,
+       CASE WHEN n_chars % 2 = 0 THEN 'abab [UNK]'
+            ELSE 'abab ##ab [UNK]' END AS wp_text
+FROM documents
+"""
+
+    oracles["unigram_encode"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(CASE WHEN n_chars % 2 = 0 THEN 4 ELSE 5 END AS INT)
+           AS n_ug,
+       CASE WHEN n_chars % 2 = 0 THEN 'abab ab b [UNK]'
+            ELSE 'abab b ab b [UNK]' END AS ug_text
 FROM documents
 """
 
