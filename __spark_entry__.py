@@ -3219,6 +3219,17 @@ def q_warc_cdx(spark, sf_dir):
     return cdx_index(warc_records(corpus_warc(spark, sf_dir)))
 
 
+def q_oov_rate(spark, sf_dir):
+    """Vocabulary-coverage screen (operators/textstats.py::oov_rate):
+    per-source share of token occurrences outside the corpus's own
+    top-1000 vocabulary — the report run before fixing a tokenizer
+    vocab size. Deterministic count-desc/token-asc top-k, vocab
+    broadcast back, one tiny group agg; the oracle replays the exact
+    selection with a window rank."""
+    from docling_spark.operators.textstats import oov_rate
+    return oov_rate(_docs(spark, sf_dir), vocab_k=1000)
+
+
 def q_wordpiece_encode(spark, sf_dir):
     """WordPiece greedy longest-match-first encode (operators/
     subword.py; Wu 2016 §4.1 — the BERT tokenizer's apply half) over a
@@ -3348,6 +3359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": q_bloom_dedup,
         "wordpiece_encode": q_wordpiece_encode,
         "unigram_encode": q_unigram_encode,
+        "oov_rate": q_oov_rate,
         "source_vocab_kmv": q_source_vocab_kmv,
         "near_dup_eval": q_near_dup_eval,
         "dedup_report": q_dedup_report,
@@ -4616,6 +4628,26 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CASE WHEN n_chars % 2 = 0 THEN 'abab' ELSE 'abab ab' END
            AS bpe_text
 FROM documents
+"""
+
+    oracles["oov_rate"] = f"""
+WITH w AS (SELECT source,
+                  unnest(string_split({NORM_SQL}, ' ')) AS token
+           FROM documents),
+w2 AS (SELECT source, token FROM w WHERE token <> ''),
+c AS (SELECT token, COUNT(*) AS n FROM w2 GROUP BY token),
+v AS (SELECT token FROM
+        (SELECT token,
+                ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS r
+         FROM c) WHERE r <= 1000)
+SELECT w2.source AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_oov,
+       CAST(floor(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                  * 1000000.0 / COUNT(*)) AS BIGINT) AS oov_e6
+FROM w2 LEFT JOIN v ON w2.token = v.token
+GROUP BY w2.source
 """
 
     # wordpiece / unigram encode: the template words are pure

@@ -615,3 +615,39 @@ def source_bigram_entropy(docs: DataFrame, *,
                     F.col("n_bigrams").cast("long").alias("n_bigrams"),
                     F.floor(-F.col("_num") / F.col("n_bigrams"))
                     .cast("long").alias("cond_entropy_e6")))
+
+
+def oov_rate(docs: DataFrame, *, vocab_k: int = 1000,
+             group_col: str = "source") -> DataFrame:
+    """Vocabulary-coverage report: per group, the fraction of token
+    occurrences falling outside the corpus's own top-``vocab_k``
+    vocabulary — the coverage/OOV screen run before committing to a
+    tokenizer vocab size (sources with high OOV under the candidate
+    vocab will fragment into [UNK]/byte fallbacks at training time).
+    Output (group, n_tokens, n_oov, oov_e6 = floor(1e6·oov/tokens)).
+
+    Vocabulary selection is deterministic: count-desc then token-asc.
+    Pure Catalyst. Scale shape: one map-side-combined groupBy(token)
+    (vocab-bounded output), a TakeOrderedAndProject top-k (never a
+    global sort — k is bounded), the vocab BROADCAST back against the
+    token stream, and one tiny groupBy(group). The corpus re-shuffles
+    only for the token count, keyed on token, where the partial
+    aggregation has already collapsed each partition to its distinct
+    tokens."""
+    words = (docs.select(F.col(group_col).alias("grp"),
+                         F.explode(tokens_col()).alias("token"))
+             .filter(F.col("token") != ""))
+    vocab = (words.groupBy("token").agg(F.count("*").alias("n"))
+             .orderBy(F.col("n").desc(), "token").limit(vocab_k)
+             .select("token", F.lit(1).alias("_inv")))
+    j = words.join(F.broadcast(vocab), "token", "left")
+    return (j.groupBy("grp")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
+                 .alias("n_oov"))
+            .select(F.col("grp").alias(group_col),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("n_oov").cast("long").alias("n_oov"),
+                    F.floor(F.col("n_oov") * 1_000_000
+                            / F.col("n_tokens"))
+                    .cast("long").alias("oov_e6")))
