@@ -23,6 +23,8 @@ behaviors:
 
 from __future__ import annotations
 
+import re
+from html import unescape
 from html.parser import HTMLParser
 from typing import Iterator, List, Optional, Sequence, Union
 
@@ -168,7 +170,137 @@ class _TreeBuilder(HTMLParser):
         self.top.append(TextNode(data, preformatted=True))
 
 
+# ---------------------------------------------------------------------------
+# fast tokenizer
+#
+# html.parser spends most of its time in position bookkeeping and
+# tolerant-recovery regexes (~75% of a large-document parse). The
+# tokenizer below handles the WELL-FORMED subset with plain find()/one
+# regex per tag and emits the exact same _TreeBuilder event stream; any
+# construct outside that subset (unclosed comment, malformed tag,
+# doctype with internal subset, stray '<') aborts the whole document
+# to the stdlib parser, so output is identical by construction —
+# tests/test_dom_fast.py re-parses every reference HTML fixture both
+# ways and asserts tree equality.
+
+_FAST_STARTTAG = re.compile(
+    r"<([a-zA-Z][-.:\w]*)"                       # tag name
+    r"((?:\s+[^\s/>=]+"                          # attr name
+    r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|(?![\"'=])[^\s>]*))?"  # opt value
+    r")*)\s*(/?)>")
+_FAST_ATTR = re.compile(
+    r"\s+([^\s/>=]+)"
+    r"(?:\s*=\s*(\"([^\"]*)\"|'([^']*)'|((?![\"'=])[^\s>]*)))?")
+_FAST_ENDTAG = re.compile(r"</\s*([a-zA-Z][-.:\w]*)\s*>")
+_FAST_RAWTEXT = {t: re.compile(r"</\s*%s" % t, re.I)
+                 for t in ("script", "style")}
+_FAST_MSCLOSE = re.compile(r"]\s*]\s*>")
+
+
+class _Bail(Exception):
+    """Construct outside the fast subset — reparse with html.parser."""
+
+
+def _fast_feed(builder: _TreeBuilder, s: str) -> None:
+    handle_data = builder.handle_data
+    pos, n = 0, len(s)
+    while pos < n:
+        lt = s.find("<", pos)
+        if lt < 0:
+            text = s[pos:]
+            handle_data(unescape(text) if "&" in text else text)
+            break
+        if lt > pos:
+            text = s[pos:lt]
+            handle_data(unescape(text) if "&" in text else text)
+        nxt = s[lt + 1:lt + 2]
+        if nxt == "!":
+            if s.startswith("<!--", lt):
+                end = s.find("-->", lt + 4)
+                if end < 0:
+                    raise _Bail
+                builder.handle_comment(s[lt + 4:end])
+                pos = end + 3
+            elif s.startswith("<![", lt):
+                # marked section: only the CDATA[...]]> form (closed by
+                # ']]>' with optional internal whitespace, content
+                # excludes both brackets — _markupbase semantics);
+                # conditional-section forms go to the stdlib path
+                if not s.startswith("CDATA[", lt + 3):
+                    raise _Bail
+                m = _FAST_MSCLOSE.search(s, lt + 3)
+                if not m:
+                    raise _Bail
+                builder.unknown_decl(s[lt + 3:m.start()])
+                pos = m.end()
+            else:
+                end = s.find(">", lt)
+                decl = s[lt + 2:end] if end > 0 else ""
+                if end < 0 or "[" in decl:
+                    raise _Bail          # internal subset / unclosed
+                builder.handle_decl(decl)
+                pos = end + 1
+        elif nxt == "/":
+            m = _FAST_ENDTAG.match(s, lt)
+            if not m:
+                raise _Bail
+            builder.handle_endtag(m.group(1).lower())
+            pos = m.end()
+        elif nxt == "?":
+            end = s.find(">", lt)
+            if end < 0:
+                raise _Bail
+            pos = end + 1                # handle_pi: default no-op
+        elif nxt.isalpha():
+            m = _FAST_STARTTAG.match(s, lt)
+            if not m:
+                raise _Bail
+            tag = m.group(1).lower()
+            body, selfclosing = m.group(2), bool(m.group(3))
+            attrs = []
+            if body:
+                consumed = 0
+                for am in _FAST_ATTR.finditer(body):
+                    if am.start() != consumed:
+                        raise _Bail
+                    consumed = am.end()
+                    name, whole, dq, sq, uq = am.groups()
+                    if whole is None:
+                        attrs.append((name.lower(), None))
+                    else:
+                        v = dq if dq is not None else (
+                            sq if sq is not None else uq)
+                        attrs.append((name.lower(),
+                                      unescape(v) if "&" in v else v))
+                if consumed != len(body):
+                    raise _Bail
+            if selfclosing:
+                builder.handle_startendtag(tag, attrs)
+            else:
+                builder.handle_starttag(tag, attrs)
+            pos = m.end()
+            if not selfclosing and tag in ("script", "style"):
+                # raw-text mode: everything until the matching end tag
+                # is one preformatted data node, charrefs untouched
+                m2 = _FAST_RAWTEXT[tag].search(s, pos)
+                if not m2:
+                    raise _Bail
+                if m2.start() > pos:
+                    handle_data(s[pos:m2.start()])
+                pos = m2.start()
+        else:
+            # '<' before a non-tag char (or at EOF): stdlib recovery
+            # territory — not worth replicating, bail
+            raise _Bail
+
+
 def parse_html(payload: str) -> Element:
+    builder = _TreeBuilder()
+    try:
+        _fast_feed(builder, payload)
+        return builder.root
+    except _Bail:
+        pass
     builder = _TreeBuilder()
     builder.feed(payload)
     builder.close()
