@@ -68,10 +68,15 @@ class Element:
         self.children.append(node)
 
     def descendants(self) -> Iterator[Union["Element", TextNode]]:
-        for child in self.children:
-            yield child
-            if isinstance(child, Element):
-                yield from child.descendants()
+        # iterative pre-order DFS: recursive `yield from` makes every
+        # yielded node bubble through depth-many generator frames,
+        # which dominates tree-walk cost on large documents
+        stack = self.children[::-1]
+        while stack:
+            node = stack.pop()
+            yield node
+            if node.__class__ is Element and node.children:
+                stack.extend(node.children[::-1])
 
     def find(self, names: Union[str, Sequence[str]]) -> Optional["Element"]:
         if isinstance(names, str):
@@ -95,9 +100,14 @@ class Element:
     @property
     def text(self) -> str:
         parts: List[str] = []
-        for node in self.descendants():
-            if isinstance(node, TextNode) and not node.preformatted:
-                parts.append(node.data)
+        stack = self.children[::-1]
+        while stack:
+            node = stack.pop()
+            if node.__class__ is TextNode:
+                if not node.preformatted:
+                    parts.append(node.data)
+            elif node.children:
+                stack.extend(node.children[::-1])
         return "".join(parts)
 
     def next_tag_siblings(self) -> List["Element"]:
