@@ -3219,6 +3219,67 @@ def q_warc_cdx(spark, sf_dir):
     return cdx_index(warc_records(corpus_warc(spark, sf_dir)))
 
 
+def q_charset_sniff(spark, sf_dir):
+    """Charset detection over raw payload bytes
+    (operators/sniff_exact.py::detect_charset — the WHATWG Encoding
+    precedence: BOM > <meta charset> in the first 1024 bytes > strict
+    UTF-8 validity > windows-1252 legacy fallback). Payload synthesis
+    is pure Catalyst over binary (BOM literals + F.encode in five
+    charset modes keyed on doc_id%5), so the oracle is the closed-form
+    mode table. Corpus text is ASCII at every SF, which keeps each
+    mode's byte stream exactly the charset it claims."""
+    from docling_spark.operators.sniff_exact import with_charset
+    docs = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 5
+    u8 = F.encode(F.col("text"), "UTF-8")
+    payload = (
+        F.when(m == 0, F.concat(F.lit(b"\xef\xbb\xbf"), u8))
+        .when(m == 1, F.concat(F.lit(b"\xff\xfe"),
+                               F.encode(F.col("text"), "UTF-16LE")))
+        .when(m == 2, F.encode(F.concat(
+            F.lit('<html><head><meta charset="ISO-8859-7"></head>'),
+            F.col("text")), "UTF-8"))
+        .when(m == 3, F.encode(F.concat(F.col("text"), F.lit("é")),
+                               "UTF-8"))
+        .otherwise(F.encode(F.concat(F.col("text"), F.lit("é")),
+                            "ISO-8859-1")))
+    src = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                      payload.alias("payload_bin"))
+    out = with_charset(src)
+    return out.select("doc_id", "charset", "method")
+
+
+def q_warc_extract_spans(spark, sf_dir):
+    """The crawl-to-spans path end-to-end in ONE plan: WARC container
+    bytes (sources/warcsynth.py) → Arrow record scan
+    (operators/warc.py) → HTTP 200 response bodies → extraction
+    (operators/extract.py) → exploded span rows. Each synthetic body
+    is <html><body><p>text</p></body></html>, so extraction emits
+    exactly one 'text' span carrying the document text — the oracle
+    states the whole pipeline in closed form. This is the production
+    ingestion shape: no intermediate materialization between the
+    container parse and the span table."""
+    from docling_spark.operators.extract import extract_spans
+    from docling_spark.operators.warc import warc_records
+    from docling_spark.sources.warcsynth import corpus_warc
+    recs = warc_records(corpus_warc(spark, sf_dir))
+    resp = recs.filter(F.col("warc_type") == "response")
+    corpus = resp.select(
+        "doc_id",
+        F.array(F.struct(
+            F.lit("html").alias("kind"),
+            F.col("body_text").alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).alias("offset"))).alias("spans"))
+    out = extract_spans(corpus)
+    s = F.explode("spans").alias("s")
+    return (out.select("doc_id", "status", s)
+            .select("doc_id", "status",
+                    F.col("s.kind").alias("kind"),
+                    F.col("s.text").alias("text"),
+                    F.col("s.offset").alias("offset")))
+
+
 def q_oov_rate(spark, sf_dir):
     """Vocabulary-coverage screen (operators/textstats.py::oov_rate):
     per-source share of token occurrences outside the corpus's own
@@ -3360,6 +3421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_encode": q_wordpiece_encode,
         "unigram_encode": q_unigram_encode,
         "oov_rate": q_oov_rate,
+        "charset_sniff": q_charset_sniff,
+        "warc_extract_spans": q_warc_extract_spans,
         "source_vocab_kmv": q_source_vocab_kmv,
         "near_dup_eval": q_near_dup_eval,
         "dedup_report": q_dedup_report,
@@ -4627,6 +4690,26 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
            AS n_bpe,
        CASE WHEN n_chars % 2 = 0 THEN 'abab' ELSE 'abab ab' END
            AS bpe_text
+FROM documents
+"""
+
+    oracles["charset_sniff"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CASE doc_id % 5
+         WHEN 0 THEN 'utf-8'    WHEN 1 THEN 'utf-16le'
+         WHEN 2 THEN 'iso-8859-7'
+         WHEN 3 THEN 'utf-8'    ELSE 'windows-1252' END AS charset,
+       CASE doc_id % 5
+         WHEN 0 THEN 'bom'      WHEN 1 THEN 'bom'
+         WHEN 2 THEN 'meta'
+         WHEN 3 THEN 'utf8_valid' ELSE 'fallback' END AS method
+FROM documents
+"""
+
+    oracles["warc_extract_spans"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       'success' AS status, 'text' AS kind, text,
+       CAST(0 AS INT) AS offset
 FROM documents
 """
 

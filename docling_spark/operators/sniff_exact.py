@@ -246,3 +246,73 @@ def with_exact_format(df: DataFrame, payload_col: str = "payload_bin",
             .withColumn("mime", F.col("_sniff.mime"))
             .withColumn("format", F.col("_sniff.format"))
             .drop("_sniff"))
+
+
+# ---------------------------------------------------------------------------
+# charset sniffing (WHATWG Encoding §6 "determine the encoding" subset)
+
+_BOMS = (
+    (b"\xef\xbb\xbf", "utf-8"),
+    (b"\xff\xfe\x00\x00", "utf-32le"),
+    (b"\x00\x00\xfe\xff", "utf-32be"),
+    (b"\xff\xfe", "utf-16le"),
+    (b"\xfe\xff", "utf-16be"),
+)
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]+charset\s*=\s*[\"']?([A-Za-z0-9._-]+)", re.I)
+
+
+def detect_charset(data: bytes) -> Tuple[str, str]:
+    """(charset, method) for a raw document payload, in the WHATWG
+    Encoding precedence a browser/crawler applies when the transport
+    layer declares nothing: BOM first (authoritative), then an HTML
+    ``<meta charset>`` scan over the first 1024 bytes, then a strict
+    UTF-8 validity pass, then the windows-1252 legacy fallback (the
+    WHATWG default for unlabeled non-UTF-8 bytes; never fails —
+    every byte maps). Method ∈ {bom, meta, utf8_valid, fallback}."""
+    for bom, cs in _BOMS:
+        if data.startswith(bom):
+            return cs, "bom"
+    m = _META_CHARSET_RE.search(data[:1024])
+    if m:
+        return m.group(1).decode("ascii").lower(), "meta"
+    try:
+        data.decode("utf-8", "strict")
+        return "utf-8", "utf8_valid"
+    except UnicodeDecodeError:
+        return "windows-1252", "fallback"
+
+
+_CHARSET_SCHEMA = "struct<charset: string, method: string>"
+_CHARSET_UDF = None
+
+
+def charset_col(payload: Column) -> Column:
+    """struct(charset, method) for a binary payload column."""
+    global _CHARSET_UDF
+    if _CHARSET_UDF is None:
+        @F.pandas_udf(_CHARSET_SCHEMA)
+        def _sniff_charset(payload: pd.Series) -> pd.DataFrame:
+            cs, how = [], []
+            for data in payload:
+                c, h = detect_charset(bytes(data or b""))
+                cs.append(c)
+                how.append(h)
+            return pd.DataFrame({"charset": cs, "method": how})
+        _CHARSET_UDF = _sniff_charset
+    return _CHARSET_UDF(payload)
+
+
+def with_charset(df: DataFrame,
+                 payload_col: str = "payload_bin") -> DataFrame:
+    """Adds ``charset`` and ``method`` columns for a binary payload —
+    the decode-planning step between container ingestion
+    (operators/warc.py) and text extraction: at crawl scale the
+    result keys a dictionary-encoded partition-friendly column, and
+    the actual decode happens once, inside the extraction UDF, with
+    the charset pinned instead of re-guessed."""
+    probed = df.withColumn("_cs", charset_col(F.col(payload_col)))
+    return (probed
+            .withColumn("charset", F.col("_cs.charset"))
+            .withColumn("method", F.col("_cs.method"))
+            .drop("_cs"))

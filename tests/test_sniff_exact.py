@@ -145,3 +145,23 @@ def test_guess_format_reference_fixtures():
     # acknowledges no deeper validation at sniff time)
     assert g(b'{"name": ""}', "test.json")[1] == "docling_json"
     assert g(b"{}", "test.json")[1] == "docling_json"
+
+
+def test_detect_charset_precedence_and_edges():
+    from docling_spark.operators.sniff_exact import detect_charset
+    # BOM beats a contradicting meta tag
+    assert detect_charset(
+        b"\xef\xbb\xbf<meta charset='koi8-r'>") == ("utf-8", "bom")
+    # utf-32le BOM is not mistaken for the utf-16le prefix it contains
+    assert detect_charset(b"\xff\xfe\x00\x00rest") == ("utf-32le", "bom")
+    assert detect_charset(b"\xff\xfeab") == ("utf-16le", "bom")
+    # meta only scanned within the first 1024 bytes
+    near = b"<html>" + b" " * 900 + b"<meta charset=latin2><body>"
+    far = b"<html>" + b" " * 1100 + b"<meta charset=latin2><body>"
+    assert detect_charset(near) == ("latin2", "meta")
+    assert detect_charset(far) == ("utf-8", "utf8_valid")
+    # strict utf-8 pass vs legacy fallback
+    assert detect_charset("héllo".encode()) == ("utf-8", "utf8_valid")
+    assert detect_charset("héllo".encode("latin-1")) == (
+        "windows-1252", "fallback")
+    assert detect_charset(b"") == ("utf-8", "utf8_valid")
