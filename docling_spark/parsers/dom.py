@@ -290,11 +290,26 @@ def _fast_feed(builder: _TreeBuilder, s: str) -> None:
                 builder.handle_starttag(tag, attrs)
             pos = m.end()
             if not selfclosing and tag in ("script", "style"):
-                # raw-text mode: everything until the matching end tag
-                # is one preformatted data node, charrefs untouched
-                m2 = _FAST_RAWTEXT[tag].search(s, pos)
-                if not m2:
-                    raise _Bail
+                # raw-text mode: everything until the MATCHING end tag
+                # is one preformatted data node, charrefs untouched.
+                # html.parser stays in cdata mode when the '</tag'
+                # prefix belongs to a longer/other tag name
+                # (`</scriptx>` inside <script> is data), so require a
+                # full end-tag match with the same name; a prefix that
+                # is not a clean end tag at all is stdlib-recovery
+                # territory — bail.
+                search = _FAST_RAWTEXT[tag].search
+                scan = pos
+                while True:
+                    m2 = search(s, scan)
+                    if not m2:
+                        raise _Bail
+                    m3 = _FAST_ENDTAG.match(s, m2.start())
+                    if m3 is None:
+                        raise _Bail
+                    if m3.group(1).lower() == tag:
+                        break
+                    scan = m2.start() + 1
                 if m2.start() > pos:
                     handle_data(s[pos:m2.start()])
                 pos = m2.start()

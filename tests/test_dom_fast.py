@@ -66,6 +66,15 @@ NASTY = [
     "<img src=x />",
     "<p a='1'b='2'>x</p>",
     "<a href=\"unterminated>x</a>",
+    # raw-text (cdata) mode: a '</tag'-prefixed NON-matching end tag
+    # is data, not an exit (html.parser checks the tag name)
+    "<script>var a='</scriptx>'</script><p>t</p>",
+    "<script>a</SCRIPT>b",
+    "<script></style></script>x",
+    "<style>s{content:'</styles>'}</style>q",
+    "<script>x</script >y",
+    "<script>x</ script>y",
+    "<script>x</script x>y",
     "<p 'loose'>x</p>",
     "<!-- unterminated comment",
     "<script>never closed",
@@ -100,6 +109,7 @@ def test_fuzz_fragments_differential():
         "<", ">", "'", '"', "<a href=x>", "</a>", "=", "/", "&#65;",
         "<style>p{}</style>", "<!DOCTYPE html>", "<img src='a&b'>",
         "\n", "]]>", "<![CDATA[x]]>", "<?pi?>", "</>", "<>",
+        "</scriptx>", "</script>", "<script>", "</script x>",
     ]
     rng = random.Random(42)
     for _ in range(400):
