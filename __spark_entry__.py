@@ -3335,6 +3335,73 @@ def q_unigram_encode(spark, sf_dir):
         F.array_join("ug_tokens", " ").alias("ug_text"))
 
 
+def q_mojibake_repair(spark, sf_dir):
+    """Mojibake detection + repair (operators/encoding.py — the ftfy
+    fix_encoding core: sloppy-cp1252 re-encode → strict UTF-8 decode,
+    accepted only when the text strictly shrinks, iterated for nested
+    mojibake). Payload synthesis keys four encoding-health modes on
+    doc_id%4 over the ASCII corpus text — clean / single mojibake
+    'Ã©' / cp1252 punctuation 'â€™' / DOUBLE mojibake 'ÃƒÂ©' — so the
+    oracle is the closed-form mode table: the repair provably unwinds
+    each marker back to 'é' / '’' in exactly 0/1/1/2 passes."""
+    from docling_spark.operators.encoding import repair_mojibake
+    docs = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 4
+    marker = (F.when(m == 1, F.lit(" Ã©"))
+              .when(m == 2, F.lit(" â€™"))
+              .when(m == 3, F.lit(" ÃƒÂ©"))
+              .otherwise(F.lit("")))
+    src = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                      F.concat(F.col("text"), marker).alias("text"))
+    out = repair_mojibake(src)
+    return out.select("doc_id", "mojibake_passes", "text_fixed",
+                      "n_chars_fixed")
+
+
+def q_pack_interleaved(spark, sf_dir):
+    """Multimodal concat-and-chunk packing (operators/packing.py::
+    pack_interleaved): per-doc cost = text tokens + 16 tokens per
+    image (n_images keyed on doc_id%3), hash-shard + one window cumsum
+    per shard, emitting sequence spans and the media token share."""
+    from docling_spark.operators.packing import pack_interleaved
+    docs = _docs(spark, sf_dir)
+    src = docs.select(
+        "doc_id", F.size(tokens_col()).alias("n_tokens"),
+        (F.col("doc_id") % 3).cast("long").alias("n_images"))
+    return pack_interleaved(src, seq_len=64, n_shards=8,
+                            image_tokens=16)
+
+
+def q_interleave_stats(spark, sf_dir):
+    """Modality-interleaving profile (operators/multimodal.py::
+    interleave_stats): span-walk switch count, media ratio and first
+    media position per document, one groupBy. Span synthesis keys
+    four layout modes on doc_id%4 (text-only / caption-style single
+    figure / alternating / segregated appendix), so every output
+    column is the closed-form mode table."""
+    from docling_spark.operators.multimodal import interleave_stats
+    docs = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 4
+
+    def s(kind, off):
+        return F.struct(F.lit(kind).alias("kind"),
+                        F.lit(off).cast("int").alias("offset"))
+
+    spans = (
+        F.when(m == 0, F.array(s("text", 0), s("text", 1)))
+        .when(m == 1, F.array(s("text", 0), s("picture", 1),
+                              s("text", 2)))
+        .when(m == 2, F.array(s("picture", 0), s("text", 1),
+                              s("picture", 2), s("text", 3)))
+        .otherwise(F.array(s("text", 0), s("text", 1),
+                           s("picture", 2), s("picture", 3))))
+    rows = (docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                        F.explode(spans).alias("s"))
+            .select("doc_id", F.col("s.kind").alias("kind"),
+                    F.col("s.offset").alias("offset")))
+    return interleave_stats(rows)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 
@@ -3534,6 +3601,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+        "mojibake_repair": q_mojibake_repair,
+        "pack_interleaved": q_pack_interleaved,
+        "interleave_stats": q_interleave_stats,
     }
 
 
@@ -7350,6 +7420,69 @@ WHERE r_name = 'ASIA'
   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n_name
 ORDER BY revenue_e4 DESC, n_name
+"""
+
+    # mojibake repair: the doc_id%4 marker modes provably unwind to
+    # 'é' / '’' in 0/1/1/2 passes (q_mojibake_repair docstring), so
+    # the oracle is the closed-form mode table over the ASCII corpus.
+    oracles["mojibake_repair"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 3 THEN 2 ELSE 1 END
+            AS INT) AS mojibake_passes,
+       CASE doc_id % 4
+         WHEN 0 THEN text
+         WHEN 2 THEN text || ' ’'
+         ELSE text || ' é' END AS text_fixed,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN length(text)
+                 ELSE length(text) + 2 END AS BIGINT) AS n_chars_fixed
+FROM documents
+"""
+
+    oracles["pack_interleaved"] = f"""
+WITH n AS (SELECT doc_id,
+             CAST(len(string_split({NORM_SQL}, ' ')) AS BIGINT)
+               AS n_tokens,
+             CAST(doc_id % 3 AS BIGINT) AS n_images
+           FROM documents),
+s AS (SELECT doc_id, n_tokens, n_images,
+        n_tokens + n_images * 16 AS cost,
+        CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                             1, 8))::BIGINT % 8 AS INT) AS shard_id
+      FROM n),
+w AS (SELECT doc_id, shard_id, n_tokens, n_images, cost,
+        CAST(coalesce(SUM(cost) OVER (
+          PARTITION BY shard_id ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS start_tok
+      FROM s)
+SELECT doc_id, shard_id, n_tokens, n_images,
+  CAST(cost AS BIGINT) AS cost, start_tok,
+  CAST(floor(start_tok / 64) AS BIGINT) AS first_seq,
+  CAST(floor((start_tok + greatest(cost, 1) - 1) / 64) AS BIGINT)
+    AS last_seq,
+  CAST(floor((start_tok + greatest(cost, 1) - 1) / 64)
+       - floor(start_tok / 64) + 1 AS INT) AS n_seqs,
+  CAST(floor(n_images * 16 * 1000000.0 / greatest(cost, 1))
+       AS BIGINT) AS media_share_e6
+FROM w
+"""
+
+    # interleave_stats: four fixed span layouts keyed on doc_id%4
+    # (q_interleave_stats docstring walks each one's switch count).
+    oracles["interleave_stats"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+  CAST(CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 4 END
+       AS BIGINT) AS n_spans,
+  CAST(2 AS BIGINT) AS n_text_spans,
+  CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 2 END
+       AS BIGINT) AS n_media_spans,
+  CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 3
+       ELSE 1 END AS INT) AS n_switches,
+  CAST(CASE doc_id % 4 WHEN 0 THEN -1 WHEN 1 THEN 1 WHEN 2 THEN 0
+       ELSE 2 END AS INT) AS first_media_offset,
+  CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 333333
+       ELSE 500000 END AS BIGINT) AS media_ratio_e6
+FROM documents
 """
 
     return oracles

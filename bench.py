@@ -197,6 +197,9 @@ BENCH_QUERIES = [
     "oov_rate",
     "charset_sniff",
     "warc_extract_spans",
+    "mojibake_repair",
+    "pack_interleaved",
+    "interleave_stats",
 ]
 
 

@@ -274,3 +274,54 @@ def media_asset_table(spans_df: DataFrame) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_refs"),
                  F.count_distinct("doc_id").alias("n_docs"),
                  F.min("doc_id").alias("first_doc_id")))
+
+
+def interleave_stats(span_rows: DataFrame, *,
+                     media_kinds: tuple = ("picture", "image", "audio",
+                                           "video")) -> DataFrame:
+    """Per-document modality-interleaving profile over exploded span
+    rows (doc_id, kind, offset): how much media a document carries and
+    how tightly it is woven into the text. Emits per doc_id:
+
+    - ``n_spans`` / ``n_text_spans`` / ``n_media_spans``
+    - ``n_switches`` — modality transitions walking the spans in
+      offset order (0 = single-modality or fully segregated layout;
+      high = caption-dense interleaving). THE signal an interleaved
+      text+media training mix is curated on: a vision-language batch
+      builder wants documents where images sit next to the prose that
+      references them, not an image dump with a text appendix.
+    - ``first_media_offset`` (-1 when the doc has no media)
+    - ``media_ratio_e6`` — floor(n_media × 1e6 / n_spans)
+
+    Plan shape: ONE groupBy(doc_id) — the modality flag is computed in
+    the scan projection, the offset-ordered walk is the repo's
+    standard ``sort_array(collect_list(struct(...)))`` reassembly
+    idiom, and the switch count folds over that (tiny, doc-local)
+    array JVM-side. No window function, no second shuffle, no Python.
+    """
+    is_media = F.col("kind").isin(*media_kinds).cast("int")
+    rows = span_rows.select(
+        "doc_id", F.col("offset").cast("int").alias("offset"),
+        is_media.alias("m"))
+    g = rows.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(1 - F.col("m")).cast("long").alias("n_text_spans"),
+        F.sum("m").cast("long").alias("n_media_spans"),
+        F.min(F.when(F.col("m") == 1, F.col("offset")))
+        .alias("_first_media"),
+        F.sort_array(F.collect_list(F.struct("offset", "m")))
+        .alias("_walk"))
+    flags = F.transform(F.col("_walk"), lambda s: s["m"])
+    n = F.size(flags)
+    switches = F.when(n <= 1, F.lit(0)).otherwise(F.size(F.filter(
+        F.zip_with(F.slice(flags, 1, n - 1), F.slice(flags, 2, n - 1),
+                   lambda a, b: a != b),
+        lambda x: x)))
+    return g.select(
+        "doc_id", "n_spans", "n_text_spans", "n_media_spans",
+        switches.cast("int").alias("n_switches"),
+        F.coalesce(F.col("_first_media"), F.lit(-1)).cast("int")
+        .alias("first_media_offset"),
+        F.floor(F.col("n_media_spans") * F.lit(1000000)
+                / F.col("n_spans")).cast("long")
+        .alias("media_ratio_e6"))

@@ -67,6 +67,53 @@ def pack_sequences(docs: DataFrame, *, seq_len: int = 2048,
         (last_seq - first_seq + 1).cast("int").alias("n_seqs"))
 
 
+def pack_interleaved(docs: DataFrame, *, seq_len: int = 2048,
+                     n_shards: int = 64,
+                     tokens_col: str = "n_tokens",
+                     images_col: str = "n_images",
+                     image_tokens: int = 576) -> DataFrame:
+    """Interleaved text+media packing layout: like ``pack_sequences``
+    but each document's cost is its text tokens PLUS a fixed
+    per-image token budget (``image_tokens`` — e.g. a 24×24-patch
+    vision encoder emits 576 tokens per image), the accounting every
+    multimodal training stream needs. Emits the combined ``cost``,
+    the shard-stream offsets/sequence span under that cost, and the
+    document's media token share (×1e6) so mixture monitoring can
+    track text/vision balance per shard.
+
+    Same scale shape as ``pack_sequences``: hash-shard assignment is a
+    zero-shuffle projection; ONE window cumsum per shard (shard count
+    ≫ executor count keeps each sort a modest task). SQL-replayable:
+    cost and offsets are pure closed-form expressions of
+    (n_tokens, n_images)."""
+    toks = F.col(tokens_col).cast("long")
+    imgs = F.col(images_col).cast("long")
+    base = docs.select(
+        "doc_id", toks.alias("n_tokens"), imgs.alias("n_images"),
+        (toks + imgs * image_tokens).alias("cost"),
+        _hash_u(F.col("doc_id"), n_shards, salt="shard:")
+        .cast("int").alias("shard_id"))
+    w = (Window.partitionBy("shard_id").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum("cost").over(w), F.lit(0))
+    out = base.select("doc_id", "shard_id", "n_tokens", "n_images",
+                      "cost", start.alias("start_tok"))
+    first_seq = F.floor(F.col("start_tok") / seq_len)
+    last_seq = F.floor(
+        (F.col("start_tok") + F.greatest(F.col("cost"), F.lit(1)) - 1)
+        / seq_len)
+    media_share = F.floor(
+        F.col("n_images") * image_tokens * F.lit(1000000)
+        / F.greatest(F.col("cost"), F.lit(1)))
+    return out.select(
+        "doc_id", "shard_id", "n_tokens", "n_images", "cost",
+        "start_tok",
+        first_seq.cast("long").alias("first_seq"),
+        last_seq.cast("long").alias("last_seq"),
+        (last_seq - first_seq + 1).cast("int").alias("n_seqs"),
+        media_share.cast("long").alias("media_share_e6"))
+
+
 def sample_weighted(docs: DataFrame, rates_e4: dict[str, int], *,
                     group_col: str = "lang",
                     default_rate_e4: int = 0,
