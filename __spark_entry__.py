@@ -2104,8 +2104,13 @@ def q_doc_embed_hash(spark, sf_dir):
     from docling_spark.operators.vectorize import embed_hash
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     emb = embed_hash(docs, dim=64)
-    ex = emb.select(F.col("vec_id").alias("doc_id"),
-                    F.posexplode("embedding").alias("dim", "v"))
+    # posexplode_OUTER + null-guard: plain posexplode's inferred
+    # array-pruning predicate embeds the Arrow embed UDF and is pushed
+    # below the generate — embedding every document TWICE. The UDF
+    # always emits a dim-length array, so semantics are identical.
+    ex = (emb.select(F.col("vec_id").alias("doc_id"),
+                     F.posexplode_outer("embedding").alias("dim", "v"))
+          .filter(F.col("dim").isNotNull()))
     return ex.select(
         "doc_id", F.col("dim").cast("int").alias("dim"),
         F.floor(F.col("v") * 10000).cast("long").alias("v_e4"))
@@ -3402,6 +3407,51 @@ def q_interleave_stats(spark, sf_dir):
     return interleave_stats(rows)
 
 
+def _link_corpus(spark, sf_dir):
+    """Two-anchor HTML template per document: one absolute cross-host
+    link (host keyed on doc_id%7) and one relative nofollow link that
+    must resolve against the doc's base URL (host keyed on doc_id%5).
+    Pure Catalyst synthesis, so both link queries have closed-form
+    oracles."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    m7 = (F.col("doc_id") % 7).cast("string")
+    m5 = (F.col("doc_id") % 5).cast("string")
+    html = F.concat(
+        F.lit('<html><body><p>see <a href="https://h'), m7,
+        F.lit(".example.com/p/"), d, F.lit('">link '), d,
+        F.lit('</a> and <a href="/rel/'), d,
+        F.lit('" rel="nofollow">rel link</a>.</p></body></html>'))
+    base = F.concat(F.lit("https://src"), m5,
+                    F.lit(".example.com/dir/page.html"))
+    return docs.select(d.alias("doc_id"), html.alias("html"),
+                       base.alias("base_url"))
+
+
+def q_html_links(spark, sf_dir):
+    """Hyperlink + anchor-text extraction through the engine's own DOM
+    parser (operators/links.py::html_links): document-order <a href>
+    anchors with RFC 3986 relative resolution against the base URL and
+    rel=nofollow flagging. The two-anchor template makes every output
+    column closed-form."""
+    from docling_spark.operators.links import html_links
+    out = html_links(_link_corpus(spark, sf_dir), base_col="base_url")
+    return out.select("doc_id", "link_idx", "href", "url", "anchor",
+                      "rel", "nofollow")
+
+
+def q_outlink_host_graph(spark, sf_dir):
+    """Links → weighted host-to-host edge list in ONE plan
+    (operators/links.py::outlink_host_graph): the input table host
+    PageRank (operators/graph.py) and per-host outlink-quality gates
+    consume. One groupBy on (src_host, dst_host)."""
+    from docling_spark.operators.links import (html_links,
+                                               outlink_host_graph)
+    links = html_links(_link_corpus(spark, sf_dir),
+                       base_col="base_url")
+    return outlink_host_graph(links, base_col="base_url")
+
+
 # ---------------------------------------------------------------------------
 # driver API
 
@@ -3604,6 +3654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_repair": q_mojibake_repair,
         "pack_interleaved": q_pack_interleaved,
         "interleave_stats": q_interleave_stats,
+        "html_links": q_html_links,
+        "outlink_host_graph": q_outlink_host_graph,
     }
 
 
@@ -7465,6 +7517,46 @@ SELECT doc_id, shard_id, n_tokens, n_images,
   CAST(floor(n_images * 16 * 1000000.0 / greatest(cost, 1))
        AS BIGINT) AS media_share_e6
 FROM w
+"""
+
+    # html_links / outlink_host_graph: the two-anchor template
+    # (_link_corpus) makes extraction and the host rollup closed-form;
+    # the relative href provably resolves to the base host per RFC 3986.
+    oracles["html_links"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS INT) AS link_idx,
+  'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/'
+    || CAST(doc_id AS VARCHAR) AS href,
+  'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/'
+    || CAST(doc_id AS VARCHAR) AS url,
+  'link ' || CAST(doc_id AS VARCHAR) AS anchor,
+  '' AS rel, CAST(0 AS INT) AS nofollow
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), CAST(1 AS INT),
+  '/rel/' || CAST(doc_id AS VARCHAR),
+  'https://src' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/rel/'
+    || CAST(doc_id AS VARCHAR),
+  'rel link', 'nofollow', CAST(1 AS INT)
+FROM documents
+"""
+
+    oracles["outlink_host_graph"] = """
+WITH e AS (
+  SELECT 'src' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+           AS src_host,
+         'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+           AS dst_host,
+         0 AS nofollow
+  FROM documents
+  UNION ALL
+  SELECT 'src' || CAST(doc_id % 5 AS VARCHAR) || '.example.com',
+         'src' || CAST(doc_id % 5 AS VARCHAR) || '.example.com',
+         1
+  FROM documents)
+SELECT src_host, dst_host,
+       CAST(COUNT(*) AS BIGINT) AS n_links,
+       CAST(SUM(nofollow) AS BIGINT) AS n_nofollow
+FROM e GROUP BY src_host, dst_host
 """
 
     # interleave_stats: four fixed span layouts keyed on doc_id%4

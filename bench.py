@@ -200,6 +200,8 @@ BENCH_QUERIES = [
     "mojibake_repair",
     "pack_interleaved",
     "interleave_stats",
+    "html_links",
+    "outlink_host_graph",
 ]
 
 

@@ -92,9 +92,18 @@ def exploded_shingles(docs: DataFrame, *, n: int = 3) -> DataFrame:
     AND GC-bound (it stopped scaling past ~8 local cores); the Python
     loop is byte-identical in output (same Java-\\s normalization) and
     the DuckDB oracle replays the Catalyst/SQL spelling to prove it."""
-    return docs.select(
+    # explode_OUTER + null-guard, not plain explode: the inner
+    # generate's inferred pruning predicate (size>0 AND isnotnull)
+    # embeds the UDF expression and gets pushed below the generate —
+    # Catalyst then evaluates the Arrow shingler TWICE per document
+    # (observed as two ArrowEvalPython nodes in every shingle-based
+    # plan). The shingler never returns null/empty arrays (short docs
+    # yield [norm]), so the outer variant is semantically identical;
+    # the guard on the generate OUTPUT can't be pushed below it.
+    return (docs.select(
         "doc_id",
-        F.explode(_shingle_udf(n)(F.col("text"))).alias("shingle"))
+        F.explode_outer(_shingle_udf(n)(F.col("text"))).alias("shingle"))
+        .filter(F.col("shingle").isNotNull()))
 
 
 def minhash_signatures(sh: DataFrame, *, num_hashes: int = 16) -> DataFrame:
@@ -271,7 +280,8 @@ def minhash_jaccard_est(sigs: DataFrame, pairs: DataFrame, *,
 
 
 def winnow_overlap_pairs(fps: DataFrame, *, min_shared: int = 2,
-                         max_df: int = 20) -> DataFrame:
+                         max_df: int = 20,
+                         storage: str = "memory_and_disk") -> DataFrame:
     """MOSS-style content-overlap candidates from winnowing
     fingerprints (textstats.winnow_fingerprints): docs sharing ≥
     min_shared selected fingerprints. Guaranteed to catch any shared
@@ -281,7 +291,19 @@ def winnow_overlap_pairs(fps: DataFrame, *, min_shared: int = 2,
     dropped FIRST (boilerplate headers would otherwise both flood the
     candidate set and make the self-join key skewed — the same df-cap
     every plagiarism detector applies); the remaining self-equijoin on
-    fp emits only co-bucketed pairs, never a doc×doc product."""
+    fp emits only co-bucketed pairs, never a doc×doc product.
+
+    The fingerprint table is persisted (memory_and_disk): its four
+    consumers (df cap, per-doc sizes, both self-join sides) would
+    otherwise each re-run the Arrow winnower — exchange reuse never
+    fires across Python-UDF subtrees (PythonUDF expr-ids break plan
+    canonicalization), so without the persist the most expensive step
+    executes 4×. Pass storage="none" to trade recompute for zero
+    cache pressure."""
+    from pyspark import StorageLevel
+
+    if storage != "none" and fps.storageLevel == StorageLevel.NONE:
+        fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
     df_tbl = fps.groupBy("fp").agg(F.count("*").alias("df"))
     rare = fps.join(df_tbl.filter(F.col("df") <= max_df), "fp")
     sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
@@ -302,26 +324,43 @@ def winnow_overlap_pairs(fps: DataFrame, *, min_shared: int = 2,
                     .cast("long").alias("overlap_e4")))
 
 
-def ngram_novelty(sh: DataFrame) -> DataFrame:
+def ngram_novelty(sh: DataFrame, *,
+                  storage: str = "memory_and_disk") -> DataFrame:
     """Per-doc n-gram novelty (memorization/repetition analysis à la
     Carlini et al.): the fraction of a doc's distinct shingles whose
     FIRST occurrence (min doc_id) is this doc. Near-0 novelty = the doc
     is assembled from already-seen text; the corpus-level novelty curve
     is the dedup-effectiveness report.
 
-    One shuffle on shingle for the min-agg; the join back is on the
-    same key so AQE co-partitions it; final per-doc agg is the only
-    other exchange."""
+    Plan shape: the novel count per doc is derived from the min-agg
+    OUTPUT (first-occurrence table → groupBy(first_doc)), NOT by
+    joining the first-occurrence table back onto the full shingle
+    table — the rejoin spelling re-shuffles the whole shingle table on
+    the string key a second time AND (because exchange reuse never
+    fires across Python-UDF subtrees: PythonUDF expr-ids break plan
+    canonicalization) re-runs the Arrow shingler per branch. Here: one
+    shuffle of sh on shingle, one map-side-combined count of sh on
+    doc_id, then a doc-cardinality join. The shingle table is
+    persisted (memory_and_disk, like minhash_dedup) so the two
+    consumers share ONE shingler pass; pass storage="none" at corpus
+    scales where recompute beats cache pressure."""
+    from pyspark import StorageLevel
+
+    if storage != "none":
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
-    joined = sh.join(first, "shingle")
-    per_doc = joined.groupBy("doc_id").agg(
-        F.count("*").alias("n_shingles"),
-        F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
-         .alias("n_novel"))
-    return per_doc.select(
-        "doc_id", "n_shingles", "n_novel",
-        F.floor(F.col("n_novel") * 10000 / F.col("n_shingles"))
-         .cast("long").alias("novelty_e4"))
+    novel = (first.groupBy("first_doc")
+             .agg(F.count("*").alias("n_novel")))
+    totals = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    return (totals.join(novel,
+                        totals["doc_id"] == novel["first_doc"], "left")
+            .select(
+                "doc_id", "n_shingles",
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("long")
+                 .alias("n_novel"),
+                F.floor(F.coalesce(F.col("n_novel"), F.lit(0)) * 10000
+                        / F.col("n_shingles"))
+                 .cast("long").alias("novelty_e4")))
 
 
 def pair_eval(pred: DataFrame, truth: DataFrame) -> DataFrame:
@@ -622,7 +661,15 @@ def simhash_pairs(docs: DataFrame, *, n: int = 3, bits: int = 32,
     Scale note: bucket size is corpus/2^(bits/bands) per band value, so
     at 10^12 docs use the widest signature the engine offers (two
     32-bit columns) and more bands; the plan shape is unchanged."""
-    sig = simhash_bits(docs, n=n, bits=bits, num_partitions=num_partitions)
+    from pyspark import StorageLevel
+
+    # persist the per-doc signature (2 longs/doc): the banded
+    # self-join's two branches would otherwise each re-run the whole
+    # signature lineage — shingle UDF + vote aggregation — because
+    # exchange reuse never fires across Python-UDF subtrees.
+    sig = (simhash_bits(docs, n=n, bits=bits,
+                        num_partitions=num_partitions)
+           .persist(StorageLevel.MEMORY_AND_DISK))
     width = bits // bands
     mask = (1 << width) - 1
     banded = sig.select(

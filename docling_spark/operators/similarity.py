@@ -292,9 +292,14 @@ def knn_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                      "embedding")
     q = _as_double(queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
-    probes = q.select(
+    # explode_OUTER + null-guard: plain explode's inferred pruning
+    # predicate re-evaluates the Arrow prober below the generate.
+    # probe_udf always emits exactly n_probe cells, so semantics are
+    # identical.
+    probes = (q.select(
         "query_id", "q_emb",
-        F.explode(probe_udf(F.col("q_emb"))).alias("cell"))
+        F.explode_outer(probe_udf(F.col("q_emb"))).alias("cell"))
+        .filter(F.col("cell").isNotNull()))
     scored = (index.join(F.broadcast(probes), "cell")
               .filter(F.col("vec_id") != F.col("query_id"))
               .select("query_id", F.col("vec_id").alias("nbr_id"),

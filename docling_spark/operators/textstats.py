@@ -279,8 +279,15 @@ def winnow_fingerprints(docs: DataFrame, *, k: int = 8,
     with materialized list expressions. Short docs (< k chars)
     contribute their whole-text hash."""
     fps = _winnow_udf(k, w)
+    # explode_OUTER + null-guard: a plain explode's inferred pruning
+    # predicate re-evaluates the Arrow winnower below the generate
+    # (two ArrowEvalPython nodes per branch — 6 evaluations in the
+    # self-joined overlap query). The winnower always emits ≥1 fp
+    # (whole-text hash for short docs), so semantics are identical.
     return (docs.select("doc_id", norm_text().alias("_nt"))
-            .select("doc_id", F.explode(fps(F.col("_nt"))).alias("fp")))
+            .select("doc_id",
+                    F.explode_outer(fps(F.col("_nt"))).alias("fp"))
+            .filter(F.col("fp").isNotNull()))
 
 
 def _top_bigram_udf():
