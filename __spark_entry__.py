@@ -3452,6 +3452,63 @@ def q_outlink_host_graph(spark, sf_dir):
     return outlink_host_graph(links, base_col="base_url")
 
 
+def _pgm_corpus(spark, sf_dir):
+    """8×8 binary-PGM image payloads synthesized in pure Catalyst: the
+    64-pixel raster encodes (as 0/255 pixels, bit j = pixel j
+    row-major) a 60-bit md5 pattern keyed on doc_id DIV 4 with
+    k = doc_id%4 consecutive bits XOR-flipped inside nibble doc_id%16.
+    Every 4-doc group is therefore a perceptual near-dup cluster whose
+    pairwise hamming distances are the closed form k_a + k_b (disjoint
+    flip nibbles), which is what makes the aHash/LSH oracles exact.
+    Bit 63 is always 0 (pattern < 2^60, flips < 2^63), so the hash
+    stays in signed-positive range on both engines."""
+    docs = _docs(spark, sf_dir)
+    p = (F.conv(F.substring(
+            F.md5(F.expr("CAST(doc_id DIV 4 AS STRING)")), 1, 15),
+            16, 10).cast("long"))
+    mask = F.expr(
+        "shiftleft(CAST(CASE WHEN doc_id % 4 = 0 THEN 0 "
+        "WHEN doc_id % 4 = 1 THEN 1 WHEN doc_id % 4 = 2 THEN 3 "
+        "ELSE 7 END AS BIGINT), CAST((doc_id % 16) * 4 AS INT))")
+    v = p.bitwiseXOR(mask)
+    hexpx = F.concat(*[
+        F.when(F.shiftrightunsigned(v, j).bitwiseAND(F.lit(1)) == 1,
+               F.lit("ff")).otherwise(F.lit("00"))
+        for j in range(64)])
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit(b"P5\n8 8\n255\n"), F.unhex(hexpx))
+         .alias("bytes"))
+
+
+def q_media_ahash(spark, sf_dir):
+    """Perceptual average-hash over a binary image column through the
+    REAL raw decode path (operators/multimodal.py::decode_pnm — binary
+    PGM needs no codec, so unlike the PNG/JPEG stand-in this exercises
+    actual pixel decode → block-mean → threshold). The PGM corpus
+    encodes a closed-form bit pattern, so the expected hash is exactly
+    pattern XOR flip-mask."""
+    from docling_spark.operators.multimodal import ahash_udf
+    media = _pgm_corpus(spark, sf_dir)
+    return media.select("doc_id",
+                        ahash_udf(F.col("bytes")).alias("ahash"))
+
+
+def q_media_phash_near_dup(spark, sf_dir):
+    """Image near-duplicate pairs by banded hamming LSH over the
+    64-bit average hash (operators/multimodal.py::phash_near_dup):
+    4×16-bit band bucket-join + bit_count(xor) verify, all Catalyst
+    bit ops after the one decode UDF. With 4 bands every pair at
+    hamming ≤ 3 shares a band (pigeonhole), so the LSH output equals
+    the brute-force ≤3 pair set the oracle computes."""
+    from docling_spark.operators.multimodal import (ahash_udf,
+                                                    phash_near_dup)
+    hashed = _pgm_corpus(spark, sf_dir).select(
+        "doc_id", ahash_udf(F.col("bytes")).alias("ahash"))
+    return phash_near_dup(hashed, id_col="doc_id", hash_col="ahash",
+                          bands=4, max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 
@@ -3656,6 +3713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_stats": q_interleave_stats,
         "html_links": q_html_links,
         "outlink_host_graph": q_outlink_host_graph,
+        "media_ahash": q_media_ahash,
+        "media_phash_near_dup": q_media_phash_near_dup,
     }
 
 
@@ -7575,6 +7634,28 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
   CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 333333
        ELSE 500000 END AS BIGINT) AS media_ratio_e6
 FROM documents
+"""
+
+    # media_ahash / media_phash_near_dup: the PGM raster encodes
+    # pattern(doc_id DIV 4) XOR flipmask(doc_id) bit-for-bit
+    # (_pgm_corpus docstring), so the decoded average hash IS that
+    # value and near-dup pairs are the brute-force hamming<=3 set
+    # (guaranteed equal to the 4-band LSH output by pigeonhole).
+    _AHASH_EXPR = """
+xor(('0x' || substr(md5(CAST(doc_id // 4 AS VARCHAR)), 1, 15))::BIGINT,
+    (CASE WHEN doc_id % 4 = 0 THEN 0 WHEN doc_id % 4 = 1 THEN 1
+          WHEN doc_id % 4 = 2 THEN 3 ELSE 7 END)::BIGINT
+    << CAST((doc_id % 16) * 4 AS INT))"""
+    oracles["media_ahash"] = f"""
+SELECT doc_id, {_AHASH_EXPR} AS ahash FROM documents
+"""
+
+    oracles["media_phash_near_dup"] = f"""
+WITH h AS (SELECT doc_id, {_AHASH_EXPR} AS ahash FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
 """
 
     return oracles

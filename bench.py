@@ -202,6 +202,8 @@ BENCH_QUERIES = [
     "interleave_stats",
     "html_links",
     "outlink_host_graph",
+    "media_ahash",
+    "media_phash_near_dup",
 ]
 
 

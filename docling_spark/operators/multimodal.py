@@ -59,7 +59,64 @@ def parse_image_header(data: bytes):
     if data[:4] == b"IMG1":  # the test corpus's synthetic format
         w, h = struct.unpack(">HH", data[4:8])
         return w, h, "image/x-img1"
+    if data[:2] in (b"P5", b"P6"):  # binary PGM / PPM (netpbm)
+        try:
+            w, h, _maxval, _off = _parse_pnm_header(data)
+            return w, h, ("image/x-portable-graymap"
+                          if data[:2] == b"P5"
+                          else "image/x-portable-pixmap")
+        except ValueError:
+            return None, None, "application/octet-stream"
     return None, None, "application/octet-stream"
+
+
+def _parse_pnm_header(data: bytes):
+    """Parse a binary netpbm (P5/P6) header: magic, then three ASCII
+    integers (width, height, maxval) separated by whitespace, with
+    ``#`` comments allowed, then ONE whitespace byte before the raster.
+    Returns (width, height, maxval, raster_offset)."""
+    if data[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary netpbm payload")
+    i, vals = 2, []
+    while len(vals) < 3:
+        while i < len(data) and data[i:i + 1].isspace():
+            i += 1
+        if data[i:i + 1] == b"#":  # comment to end of line
+            while i < len(data) and data[i] not in (0x0A, 0x0D):
+                i += 1
+            continue
+        j = i
+        while j < len(data) and data[j:j + 1].isdigit():
+            j += 1
+        if j == i:
+            raise ValueError("malformed netpbm header")
+        vals.append(int(data[i:j]))
+        i = j
+    if i >= len(data) or not data[i:i + 1].isspace():
+        raise ValueError("missing raster separator")
+    return vals[0], vals[1], vals[2], i + 1
+
+
+def decode_pnm(data: bytes) -> np.ndarray:
+    """REAL raster decode for binary PGM (P5) / PPM (P6) — the one
+    raw image format that needs no external codec, so unlike
+    :func:`decode_image` this path is genuinely implemented. Returns
+    an (h, w) uint8 grayscale array (PPM is luma-averaged); maxval
+    must be ≤ 255 (one byte per sample)."""
+    w, h, maxval, off = _parse_pnm_header(data)
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    ch = 1 if data[:2] == b"P5" else 3
+    need = w * h * ch
+    raster = np.frombuffer(data, dtype=np.uint8, count=need, offset=off)
+    if ch == 3:
+        raster = raster.reshape(h, w, 3).mean(axis=2).astype(np.uint8)
+    else:
+        raster = raster.reshape(h, w)
+    if maxval != 255:  # rescale to full range, floor semantics
+        raster = (raster.astype(np.uint32) * 255 // maxval).astype(
+            np.uint8)
+    return raster
 
 
 def image_meta_udf(col: Column) -> Column:
@@ -134,6 +191,112 @@ def image_features_udf(col: Column) -> Column:
         return pd.DataFrame(out)
 
     return feats(col)
+
+
+# ---------------------------------------------------------------------------
+# real: perceptual hashing + hamming-LSH near-dup (PGM/PPM decode is
+# real; compressed formats fall back to the deterministic fake decode)
+
+
+def _block_downsample(px: np.ndarray, n: int) -> np.ndarray:
+    """(h, w) → (n, n) by block mean when the raster is at least n×n
+    (cropping the ragged remainder), nearest-index sampling below."""
+    h, w = px.shape
+    if h >= n and w >= n:
+        px = px[: (h // n) * n, : (w // n) * n].astype(np.float64)
+        return px.reshape(n, h // n, n, w // n).mean(axis=(1, 3))
+    ys = (np.arange(n) * h) // n
+    xs = (np.arange(n) * w) // n
+    return px[np.ix_(ys, xs)].astype(np.float64)
+
+
+def average_hash(data: bytes, hash_size: int = 8):
+    """64-bit average hash (aHash) of one image payload: decode →
+    block-mean downsample to hash_size² → set bit r·n+c when the cell
+    is STRICTLY brighter than the grid mean. Returns a SIGNED 64-bit
+    int (two's complement, so it round-trips through a Spark ``long``)
+    or None when the payload is undecodable.
+
+    PGM/PPM payloads go through the real :func:`decode_pnm`;
+    PNG/JPEG/GIF/IMG1 use the deterministic fake decode stand-in
+    (same contract as image_features_udf) until a codec is plugged in.
+    The reference keeps only exact-bytes image identity (PIL images
+    hashed whole); perceptual near-identity is a corpus-curation
+    addition."""
+    if data[:2] in (b"P5", b"P6"):
+        try:
+            px = decode_pnm(data)
+        except ValueError:
+            return None
+    else:
+        w, h, _mime = parse_image_header(data)
+        if not w or not h:
+            return None
+        px = _fake_pixels(data, min(w, 64), min(h, 64))
+    grid = _block_downsample(px, hash_size)
+    bits = (grid > grid.mean()).ravel()
+    val = 0
+    for j in np.nonzero(bits)[0]:
+        val |= 1 << int(j)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def ahash_udf(col: Column, hash_size: int = 8) -> Column:
+    """Arrow-batched :func:`average_hash` over a binary column."""
+    @pandas_udf("long")
+    def ah(blobs: pd.Series) -> pd.Series:
+        return pd.Series([
+            None if b is None else average_hash(bytes(b), hash_size)
+            for b in blobs], dtype="object")
+
+    return ah(col)
+
+
+def phash_near_dup(hashed: DataFrame, *, id_col: str = "media_ref",
+                   hash_col: str = "ahash", bands: int = 4,
+                   max_hamming: int = 3) -> DataFrame:
+    """Perceptual near-duplicate pairs by banded hamming LSH over a
+    64-bit hash column: split the hash into ``bands`` equal bit-bands,
+    bucket-join on (band, band_key), then verify candidates with
+    bit_count(xor) ≤ max_hamming — all Catalyst bit ops, no Python.
+
+    Recall: two hashes within hamming ≤ bands−1 share at least one
+    exact band (pigeonhole), so with the defaults every pair at
+    distance ≤ 3 is guaranteed found; raise ``bands`` (8×8-bit) to
+    guarantee wider radii at the cost of bigger buckets. Scale shape:
+    one shuffle on the band key (buckets are popular-hash-sized, not
+    corpus-sized), one distinct on the pair key, zero re-decode —
+    the hash table is ~16 B/asset, so 10^12 assets stream through
+    the same plan."""
+    band_w = 64 // bands
+    mask = (1 << band_w) - 1
+    h = F.col(hash_col)
+    keys = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftrightunsigned(h, b * band_w)
+                  .bitwiseAND(F.lit(mask)).alias("key"))
+        for b in range(bands)])
+    sig = (hashed.select(F.col(id_col).alias("_id"), h.alias("_h"),
+                         F.explode(keys).alias("bk"))
+           .select("_id", "_h", F.col("bk.band").alias("band"),
+                   F.col("bk.key").alias("key")))
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("id_a"),
+                    F.col("a._h").alias("h_a"),
+                    F.col("b._id").alias("id_b"),
+                    F.col("b._h").alias("h_b"))
+            .distinct())
+    return (cand.withColumn(
+                "hamming",
+                F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+                 .cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
 
 
 # ---------------------------------------------------------------------------

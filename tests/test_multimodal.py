@@ -152,3 +152,74 @@ def test_audio_meta_and_window_plan_through_spark(spark):
     assert out[1]["plan"] == []          # clip shorter than one window
     assert out[2]["mime"] == "application/octet-stream"
     assert out[2]["plan"] is None        # no duration → no plan
+
+
+# ---------------------------------------------------------------------------
+# PNM decode + average hash + hamming LSH
+
+
+def make_pgm(pixels, w, h, maxval=255, comment=False):
+    head = b"P5\n"
+    if comment:
+        head += b"# a comment line\n"
+    head += b"%d %d\n%d\n" % (w, h, maxval)
+    return head + bytes(pixels)
+
+
+def test_decode_pnm_p5_and_p6():
+    from docling_spark.operators.multimodal import decode_pnm
+    px = list(range(64))
+    arr = decode_pnm(make_pgm(px, 8, 8))
+    assert arr.shape == (8, 8) and arr[0, 0] == 0 and arr[7, 7] == 63
+    # comments in the header are skipped
+    arr2 = decode_pnm(make_pgm(px, 8, 8, comment=True))
+    assert (arr == arr2).all()
+    # P6 luma-averages the three channels
+    rgb = bytes([30, 60, 90] * 4)
+    p6 = b"P6\n2 2\n255\n" + rgb
+    a6 = decode_pnm(p6)
+    assert a6.shape == (2, 2) and a6[0, 0] == 60
+    # maxval rescale: 15 at maxval 15 → 255
+    a15 = decode_pnm(make_pgm([15, 0, 15, 0], 2, 2, maxval=15))
+    assert a15[0, 0] == 255 and a15[0, 1] == 0
+
+
+def test_average_hash_pgm_bit_exact():
+    from docling_spark.operators.multimodal import average_hash
+    # pixel j = 255 iff bit j of the pattern → hash == pattern
+    pat = 0x0123456789ABCDE  # 60-bit, top bits clear
+    px = [255 if (pat >> j) & 1 else 0 for j in range(64)]
+    assert average_hash(make_pgm(px, 8, 8)) == pat
+    # bit 63 set → signed two's-complement long
+    px63 = [0] * 63 + [255]
+    assert average_hash(make_pgm(px63, 8, 8)) == (1 << 63) - (1 << 64)
+    # all-equal raster → no pixel strictly above the mean → 0
+    assert average_hash(make_pgm([7] * 64, 8, 8)) == 0
+    # 16×16 raster block-means down to the same 8×8 grid
+    big = []
+    for r in range(16):
+        for c in range(16):
+            big.append(255 if (pat >> ((r // 2) * 8 + c // 2)) & 1
+                       else 0)
+    assert average_hash(make_pgm(big, 16, 16)) == pat
+    assert average_hash(b"junk") is None
+
+
+def test_phash_near_dup_lsh_equals_bruteforce(spark):
+    from docling_spark.operators.multimodal import phash_near_dup
+    import itertools
+    base = 0x5A5A_1234_ABCD_0F0  # < 2^63
+    rows = [(0, base), (1, base ^ 0b1),          # hamming 1 to base
+            (2, base ^ 0b11000000),              # hamming 2 to base
+            (3, base ^ ((1 << 20) | (1 << 40) | (1 << 55) | 1)),
+            (4, 0x00FF00FF00FF00F)]              # far from all
+    df = spark.createDataFrame(rows, "doc_id long, ahash long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in phash_near_dup(df, id_col="doc_id",
+                                   hash_col="ahash").collect()}
+    want = {}
+    for (ia, ha), (ib, hb) in itertools.combinations(rows, 2):
+        d = bin(ha ^ hb).count("1")
+        if d <= 3:
+            want[(ia, ib)] = d
+    assert got == want and (0, 1) in got and got[(0, 1)] == 1
