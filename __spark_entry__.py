@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from docling_spark.operators.dedup import (
@@ -3509,6 +3509,49 @@ def q_media_phash_near_dup(spark, sf_dir):
                           bands=4, max_hamming=3)
 
 
+def q_media_caption_pairs(spark, sf_dir):
+    """Caption ↔ media binding over interleaved span rows
+    (operators/multimodal.py::bind_captions): each caption span binds
+    to the nearest media span in document order, ties to the preceding
+    one — the distributed analogue of the reference's assembly-time
+    caption attachment. Five fixed layouts keyed on doc_id%5
+    (caption-after, caption-before, equidistant-tiebreak, captionless
+    media absent, two captions one figure) make every binding
+    closed-form. Two windows, one shuffle on doc_id, zero UDF."""
+    from docling_spark.operators.multimodal import bind_captions
+    docs = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 5
+    d = F.col("doc_id").cast("string")
+
+    def s(kind, off, text="", ref=None):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            (text if isinstance(text, Column) else F.lit(text))
+            .alias("text"),
+            (F.concat(F.lit("m://"), d, F.lit(f":{off}"))
+             if ref else F.lit(None).cast("string")).alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"))
+
+    cap_a = F.concat(F.lit("cap "), d, F.lit(" a"))
+    cap_b = F.concat(F.lit("cap "), d, F.lit(" b"))
+    spans = (
+        F.when(m == 0, F.array(s("text", 0), s("picture", 1, ref=True),
+                               s("caption", 2, cap_a), s("text", 3)))
+        .when(m == 1, F.array(s("caption", 0, cap_a),
+                              s("picture", 1, ref=True)))
+        .when(m == 2, F.array(s("picture", 0, ref=True),
+                              s("caption", 1, cap_a),
+                              s("picture", 2, ref=True)))
+        .when(m == 3, F.array(s("caption", 0, cap_a), s("text", 1)))
+        .otherwise(F.array(s("picture", 0, ref=True),
+                           s("caption", 1, cap_a),
+                           s("caption", 2, cap_b))))
+    rows = (docs.select("doc_id", F.explode(spans).alias("s"))
+            .select("doc_id", "s.kind", "s.text", "s.media_ref",
+                    "s.offset"))
+    return bind_captions(rows)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 
@@ -3715,6 +3758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_host_graph": q_outlink_host_graph,
         "media_ahash": q_media_ahash,
         "media_phash_near_dup": q_media_phash_near_dup,
+        "media_caption_pairs": q_media_caption_pairs,
     }
 
 
@@ -7656,6 +7700,34 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
 FROM h a JOIN h b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+"""
+
+    # media_caption_pairs: five fixed layouts keyed on doc_id%5
+    # (q_media_caption_pairs docstring enumerates each binding).
+    oracles["media_caption_pairs"] = """
+WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds
+           FROM documents)
+SELECT doc_id, CAST(2 AS INT) AS caption_offset,
+       'cap ' || ds || ' a' AS caption_text,
+       CAST(1 AS INT) AS media_offset,
+       'm://' || ds || ':1' AS media_ref, 'prev' AS rel_pos
+FROM d WHERE doc_id % 5 = 0
+UNION ALL
+SELECT doc_id, 0, 'cap ' || ds || ' a', 1, 'm://' || ds || ':1', 'next'
+FROM d WHERE doc_id % 5 = 1
+UNION ALL
+SELECT doc_id, 1, 'cap ' || ds || ' a', 0, 'm://' || ds || ':0', 'prev'
+FROM d WHERE doc_id % 5 = 2
+UNION ALL
+SELECT doc_id, 0, 'cap ' || ds || ' a', CAST(NULL AS INT),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM d WHERE doc_id % 5 = 3
+UNION ALL
+SELECT doc_id, 1, 'cap ' || ds || ' a', 0, 'm://' || ds || ':0', 'prev'
+FROM d WHERE doc_id % 5 = 4
+UNION ALL
+SELECT doc_id, 2, 'cap ' || ds || ' b', 0, 'm://' || ds || ':0', 'prev'
+FROM d WHERE doc_id % 5 = 4
 """
 
     return oracles

@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "outlink_host_graph",
     "media_ahash",
     "media_phash_near_dup",
+    "media_caption_pairs",
 ]
 
 

@@ -300,6 +300,61 @@ def phash_near_dup(hashed: DataFrame, *, id_col: str = "media_ref",
 
 
 # ---------------------------------------------------------------------------
+# real: caption ↔ media binding over interleaved span rows
+
+
+def bind_captions(span_rows: DataFrame, *,
+                  media_kinds=("picture", "table")) -> DataFrame:
+    """Bind every ``caption`` span to its nearest media span within the
+    document — the distributed analogue of the reference's assembly
+    caption binding (docling/models/readingorder + docling-core items'
+    ``captions`` list; PDF assembly attaches caption clusters to the
+    nearest figure/table). Over an interleaved span table the
+    proximity metric is span order: each caption binds to the closer
+    of the last media span before it and the first after it, ties to
+    the PRECEDING one (captions usually sit under their figure).
+
+    Output: one row per caption span — (doc_id, caption_offset,
+    caption_text, media_offset, media_ref, rel_pos) with rel_pos
+    'prev'/'next' (media relative position) or NULL when the document
+    has no media span.
+
+    Scale shape: two windows over the same (doc_id, offset) ordering —
+    ONE shuffle on doc_id, no join, no UDF; a 10^12-row span table
+    partitions by doc hash and each document's spans sort locally."""
+    from pyspark.sql.window import Window
+
+    is_media = F.col("kind").isin(*media_kinds)
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    before = w.rowsBetween(Window.unboundedPreceding, -1)
+    after = w.rowsBetween(1, Window.unboundedFollowing)
+    m_off = F.when(is_media, F.col("offset"))
+    m_ref = F.when(is_media, F.col("media_ref"))
+    ann = (span_rows
+           .withColumn("_p_off", F.last(m_off, True).over(before))
+           .withColumn("_p_ref", F.last(m_ref, True).over(before))
+           .withColumn("_n_off", F.first(m_off, True).over(after))
+           .withColumn("_n_ref", F.first(m_ref, True).over(after)))
+    d_prev = F.col("offset") - F.col("_p_off")
+    d_next = F.col("_n_off") - F.col("offset")
+    use_prev = F.col("_p_off").isNotNull() & (
+        F.col("_n_off").isNull() | (d_prev <= d_next))
+    use_next = F.col("_n_off").isNotNull() & ~use_prev
+    return (ann.filter(F.col("kind") == "caption")
+            .select(
+                "doc_id",
+                F.col("offset").alias("caption_offset"),
+                F.col("text").alias("caption_text"),
+                F.when(use_prev, F.col("_p_off"))
+                 .when(use_next, F.col("_n_off"))
+                 .cast("int").alias("media_offset"),
+                F.when(use_prev, F.col("_p_ref"))
+                 .when(use_next, F.col("_n_ref")).alias("media_ref"),
+                F.when(use_prev, F.lit("prev"))
+                 .when(use_next, F.lit("next")).alias("rel_pos")))
+
+
+# ---------------------------------------------------------------------------
 # real: frame sampling plan (pure math over metadata — no codec)
 
 

@@ -223,3 +223,28 @@ def test_phash_near_dup_lsh_equals_bruteforce(spark):
         if d <= 3:
             want[(ia, ib)] = d
     assert got == want and (0, 1) in got and got[(0, 1)] == 1
+
+
+def test_bind_captions_window_semantics(spark):
+    from docling_spark.operators.multimodal import bind_captions
+    rows = [
+        # caption after its figure
+        (1, 0, "text", "t", None), (1, 1, "picture", "", "m1"),
+        (1, 2, "caption", "c1", None),
+        # equidistant → ties to the PRECEDING media
+        (2, 0, "picture", "", "mA"), (2, 1, "caption", "c2", None),
+        (2, 2, "table", "", "mB"),
+        # caption with media only after it
+        (3, 0, "caption", "c3", None), (3, 1, "picture", "", "mC"),
+        # no media in the doc
+        (4, 0, "caption", "c4", None), (4, 1, "text", "t", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, offset int, kind string, text string, "
+              "media_ref string")
+    got = {r["doc_id"]: r for r in bind_captions(df).collect()}
+    assert got[1]["media_ref"] == "m1" and got[1]["rel_pos"] == "prev"
+    assert got[2]["media_ref"] == "mA" and got[2]["rel_pos"] == "prev"
+    assert got[3]["media_ref"] == "mC" and got[3]["rel_pos"] == "next"
+    assert got[4]["media_ref"] is None and got[4]["rel_pos"] is None
+    assert len(got) == 4
