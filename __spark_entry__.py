@@ -3452,6 +3452,19 @@ def q_outlink_host_graph(spark, sf_dir):
     return outlink_host_graph(links, base_col="base_url")
 
 
+def q_anchor_text_index(spark, sf_dir):
+    """Anchor-term inverted index per destination host
+    (operators/links.py::anchor_text_index) over the engine's own DOM
+    link extraction: the off-page relevance / seed-selection signal.
+    The two-anchor template makes every (host, term) count
+    closed-form."""
+    from docling_spark.operators.links import (anchor_text_index,
+                                               html_links)
+    links = html_links(_link_corpus(spark, sf_dir),
+                       base_col="base_url")
+    return anchor_text_index(links)
+
+
 def _pgm_corpus(spark, sf_dir):
     """8×8 binary-PGM image payloads synthesized in pure Catalyst: the
     64-pixel raster encodes (as 0/255 pixels, bit j = pixel j
@@ -3759,6 +3772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_ahash": q_media_ahash,
         "media_phash_near_dup": q_media_phash_near_dup,
         "media_caption_pairs": q_media_caption_pairs,
+        "anchor_text_index": q_anchor_text_index,
     }
 
 
@@ -7678,6 +7692,27 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
   CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 333333
        ELSE 500000 END AS BIGINT) AS media_ratio_e6
 FROM documents
+"""
+
+    # anchor_text_index: terms from the two template anchors — 'link'
+    # + the doc_id (to host h{doc_id%7}) and 'rel' + 'link' (the
+    # relative href resolves to the source host src{doc_id%5}).
+    oracles["anchor_text_index"] = """
+WITH t AS (
+  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+           AS dst_host, doc_id, 'link' AS term FROM documents
+  UNION ALL
+  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com',
+         doc_id, CAST(doc_id AS VARCHAR) FROM documents
+  UNION ALL
+  SELECT 'src' || CAST(doc_id % 5 AS VARCHAR) || '.example.com',
+         doc_id, 'rel' FROM documents
+  UNION ALL
+  SELECT 'src' || CAST(doc_id % 5 AS VARCHAR) || '.example.com',
+         doc_id, 'link' FROM documents)
+SELECT dst_host, term, CAST(COUNT(*) AS BIGINT) AS n_links,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM t GROUP BY dst_host, term
 """
 
     # media_ahash / media_phash_near_dup: the PGM raster encodes

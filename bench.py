@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "media_ahash",
     "media_phash_near_dup",
     "media_caption_pairs",
+    "anchor_text_index",
 ]
 
 

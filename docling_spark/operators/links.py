@@ -109,3 +109,30 @@ def outlink_host_graph(links_df: DataFrame, *,
             .groupBy("src_host", "dst_host")
             .agg(F.count("*").cast("long").alias("n_links"),
                  F.sum("nofollow").cast("long").alias("n_nofollow")))
+
+
+def anchor_text_index(links_df: DataFrame) -> DataFrame:
+    """Link rows → anchor-term index per destination HOST: (dst_host,
+    term, n_links, n_docs). Anchor text is the classic off-page
+    relevance signal (the linking page describes the target better
+    than the target describes itself — TREC web tracks, BM25F anchor
+    field); aggregated at host level it also feeds seed selection and
+    link-spam gates. The reference parses anchors but keeps only their
+    text content (docling/backend/html_backend.py); the index is the
+    corpus-level use of the same parse.
+
+    Scale shape: narrow split+explode of the anchor string, then ONE
+    shuffle on (dst_host, term). n_docs is an exact COUNT(DISTINCT
+    doc_id) — Spark plans it as a two-phase partial-distinct
+    aggregation on the same key, no extra shuffle of the input; swap
+    in approx_count_distinct at 10^12 links if the per-key distinct
+    sets outgrow executor memory."""
+    terms = (links_df.select(
+                host_col(F.col("url")).alias("dst_host"), "doc_id",
+                F.explode(F.split(F.lower(F.col("anchor")), r"\s+"))
+                 .alias("term"))
+             .filter(F.col("term") != ""))
+    return (terms.groupBy("dst_host", "term")
+            .agg(F.count("*").cast("long").alias("n_links"),
+                 F.countDistinct("doc_id").cast("long")
+                  .alias("n_docs")))

@@ -68,3 +68,21 @@ def test_html_links_df(spark):
     assert g[("s.com", "x.com")]["n_links"] == 1
     assert g[("s.com", "x.com")]["n_nofollow"] == 0
     assert g[("s.com", "s.com")]["n_nofollow"] == 1
+
+
+def test_anchor_text_index(spark):
+    from docling_spark.operators.links import anchor_text_index
+    rows = [
+        (1, "https://a.com/x", "Click Here"),
+        (2, "https://a.com/y", "click  again"),
+        (2, "https://b.com/z", "B Site"),
+        (3, "https://a.com/x", "here"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, anchor string")
+    got = {(r["dst_host"], r["term"]): (r["n_links"], r["n_docs"])
+           for r in anchor_text_index(df).collect()}
+    assert got[("a.com", "click")] == (2, 2)
+    assert got[("a.com", "here")] == (2, 2)
+    assert got[("a.com", "again")] == (1, 1)
+    assert got[("b.com", "site")] == (1, 1)
