@@ -3465,6 +3465,23 @@ def q_anchor_text_index(spark, sf_dir):
     return anchor_text_index(links)
 
 
+def q_crawl_frontier(spark, sf_dir):
+    """Politeness-scheduled crawl frontier
+    (operators/weburl.py::crawl_frontier): per-host fetch waves by
+    descending priority with a deterministic URL tiebreak, plus the
+    earliest allowed fetch offset under a 1 s/host crawl delay. Hosts
+    keyed on doc_id%9 and priorities on doc_id%13 make every wave
+    assignment a closed-form window rank."""
+    from docling_spark.operators.weburl import crawl_frontier
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    urls = docs.select(
+        F.concat(F.lit("https://w"), (F.col("doc_id") % 9).cast("string"),
+                 F.lit(".example.com/p/"), d).alias("url"),
+        (F.col("doc_id") % 13).cast("int").alias("priority"))
+    return crawl_frontier(urls, per_host_delay_ms=1000)
+
+
 def _pgm_corpus(spark, sf_dir):
     """8×8 binary-PGM image payloads synthesized in pure Catalyst: the
     64-pixel raster encodes (as 0/255 pixels, bit j = pixel j
@@ -3773,6 +3790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash_near_dup": q_media_phash_near_dup,
         "media_caption_pairs": q_media_caption_pairs,
         "anchor_text_index": q_anchor_text_index,
+        "crawl_frontier": q_crawl_frontier,
     }
 
 
@@ -7713,6 +7731,24 @@ WITH t AS (
 SELECT dst_host, term, CAST(COUNT(*) AS BIGINT) AS n_links,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM t GROUP BY dst_host, term
+"""
+
+    # crawl_frontier: per-host wave = window rank by (priority DESC,
+    # url ASC); ASCII-only URLs so string ordering agrees engine-wide.
+    oracles["crawl_frontier"] = """
+WITH u AS (
+  SELECT 'https://w' || CAST(doc_id % 9 AS VARCHAR)
+           || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+         'w' || CAST(doc_id % 9 AS VARCHAR) || '.example.com' AS host,
+         CAST(doc_id % 13 AS INT) AS priority
+  FROM documents)
+SELECT url, host,
+       CAST(ROW_NUMBER() OVER (PARTITION BY host
+            ORDER BY priority DESC, url) - 1 AS INT) AS wave,
+       CAST((ROW_NUMBER() OVER (PARTITION BY host
+            ORDER BY priority DESC, url) - 1) * 1000 AS BIGINT)
+         AS not_before_ms
+FROM u
 """
 
     # media_ahash / media_phash_near_dup: the PGM raster encodes

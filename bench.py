@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "media_phash_near_dup",
     "media_caption_pairs",
     "anchor_text_index",
+    "crawl_frontier",
 ]
 
 

@@ -28,7 +28,7 @@ crawler practice):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TRACKING_KEYS = ["fbclid", "gclid", "mc_cid", "mc_eid", "ref"]
@@ -225,3 +225,34 @@ def domain_mix_report(df: DataFrame, *, url_col: str = "url",
                     F.col("n_tokens").cast("long").alias("n_tokens"),
                     F.floor(F.col("n_tokens") * 10000 / F.col("_total"))
                     .cast("long").alias("token_share_e4")))
+
+
+def crawl_frontier(df: DataFrame, *, url_col: str = "url",
+                   priority_col: str = "priority",
+                   per_host_delay_ms: int = 1000) -> DataFrame:
+    """Politeness-scheduled fetch plan over a candidate-URL frontier:
+    within each host, order by descending priority (ties by canonical
+    URL for determinism) and assign fetch WAVES — one fetch per host
+    per wave — plus the earliest allowed fetch time under a per-host
+    crawl delay. This is the scheduling step between link discovery
+    (html_links / outlink_host_graph) and fetching: a 10^12-URL
+    frontier is embarrassingly parallel BY HOST, and politeness (not
+    CPU) is the binding constraint, so the plan's only shuffle is the
+    hash partition on host that the window needs; wave assignment and
+    delay math are pure Catalyst window + projection.
+
+    Output: (url, host, wave, not_before_ms) — wave is 0-based rank
+    within the host, not_before_ms = wave × per_host_delay_ms.
+
+    The reference has no crawl layer (it starts from fetched bytes);
+    this is a §2.7 web-corpus addition like url_dedup."""
+    host = host_col(F.col(url_col))
+    w = (Window.partitionBy("host")
+         .orderBy(F.col(priority_col).desc(), F.col(url_col)))
+    return (df.select(F.col(url_col).alias("url"), host.alias("host"),
+                      F.col(priority_col))
+            .withColumn("wave",
+                        (F.row_number().over(w) - 1).cast("int"))
+            .select("url", "host", "wave",
+                    (F.col("wave").cast("long") * per_host_delay_ms)
+                    .alias("not_before_ms")))

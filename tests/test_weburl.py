@@ -64,3 +64,21 @@ def test_url_dedup_keeper_and_hash_parity(spark):
               url_dedup(df, hash_shuffle=True).collect()}
     assert {k: (v["keep_id"], v["n_dups"]) for k, v in out.items()} == \
         {k: (v["keep_id"], v["n_dups"]) for k, v in hashed.items()}
+
+
+def test_crawl_frontier_waves_and_delay(spark):
+    from docling_spark.operators.weburl import crawl_frontier
+    rows = [("https://a.com/low", 1), ("https://a.com/hi", 9),
+            ("https://a.com/mid", 5), ("https://b.com/only", 0),
+            ("https://a.com/tie1", 5)]
+    df = spark.createDataFrame(rows, "url string, priority int")
+    got = {r["url"]: r for r in
+           crawl_frontier(df, per_host_delay_ms=250).collect()}
+    assert got["https://a.com/hi"]["wave"] == 0
+    # priority tie (5, 5) breaks by URL ascending: /mid before /tie1
+    assert got["https://a.com/mid"]["wave"] == 1
+    assert got["https://a.com/tie1"]["wave"] == 2
+    assert got["https://a.com/low"]["wave"] == 3
+    assert got["https://a.com/low"]["not_before_ms"] == 750
+    assert got["https://b.com/only"]["wave"] == 0
+    assert got["https://b.com/only"]["host"] == "b.com"

@@ -74,6 +74,17 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            # the driver's canonicalizer sorts/hashes cell VALUES, so
+            # any non-atomic column (array/map/struct) makes its row
+            # red with "unhashable type" even when values match — the
+            # r3 chunk_documents_hier failure mode. Gate it here.
+            complex_cols = [
+                f.name for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")]
+            if complex_cols:
+                return 1, [f"FAIL {name}: non-scalar output columns "
+                           f"{complex_cols} (driver canonicalizer "
+                           "cannot hash them)"]
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             return 1, [f"FAIL {name}: spark error "
