@@ -3482,6 +3482,41 @@ def q_crawl_frontier(spark, sf_dir):
     return crawl_frontier(urls, per_host_delay_ms=1000)
 
 
+def q_sitemap_urls(spark, sf_dir):
+    """Sitemap-protocol URL discovery
+    (operators/weburl.py::sitemap_urls): per-entry <loc>/<lastmod>/
+    <priority> extraction plus sitemap-INDEX recursion flags, zero
+    Python / zero shuffle. Every doc's sitemap is a two-URL template
+    (one full entry, one loc-only entry with an &amp; escape) and
+    every third doc appends an index entry — all closed-form."""
+    from docling_spark.operators.weburl import sitemap_urls
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    m5 = (F.col("doc_id") % 5).cast("string")
+    base = F.concat(F.lit("https://s"), m5, F.lit(".example.com"))
+    entry_full = F.concat(
+        F.lit("<url><loc>"), base, F.lit("/a/"), d,
+        F.lit("</loc><lastmod>2026-0"),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit("-01</lastmod>\n  <priority>0."),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority></url>"))
+    entry_loc = F.concat(
+        F.lit("<url>\n<loc> "), base, F.lit("/b/"), d,
+        F.lit("&amp;x=1 </loc></url>"))
+    entry_idx = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("<sitemap><loc>"), base, F.lit("/sitemap"), d,
+                 F.lit(".xml</loc></sitemap>"))).otherwise(F.lit(""))
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'), entry_full,
+        F.lit("\n"), entry_loc, entry_idx, F.lit("</urlset>"))
+    src = docs.select(
+        F.concat(base, F.lit("/sitemap.xml")).alias("sitemap_url"),
+        xml.alias("xml"))
+    return sitemap_urls(src)
+
+
 def _pgm_corpus(spark, sf_dir):
     """8×8 binary-PGM image payloads synthesized in pure Catalyst: the
     64-pixel raster encodes (as 0/255 pixels, bit j = pixel j
@@ -3791,6 +3826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_caption_pairs": q_media_caption_pairs,
         "anchor_text_index": q_anchor_text_index,
         "crawl_frontier": q_crawl_frontier,
+        "sitemap_urls": q_sitemap_urls,
     }
 
 
@@ -7749,6 +7785,30 @@ SELECT url, host,
             ORDER BY priority DESC, url) - 1) * 1000 AS BIGINT)
          AS not_before_ms
 FROM u
+"""
+
+    # sitemap_urls: three closed-form entry templates per doc
+    # (q_sitemap_urls docstring).
+    oracles["sitemap_urls"] = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds,
+         'https://s' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+           AS base
+  FROM documents)
+SELECT base || '/sitemap.xml' AS sitemap_url,
+       base || '/a/' || ds AS url,
+       '2026-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-01' AS lastmod,
+       CAST((doc_id % 10) * 10 AS INT) AS priority_e2,
+       CAST(0 AS INT) AS is_index
+FROM d
+UNION ALL
+SELECT base || '/sitemap.xml', base || '/b/' || ds || '&x=1',
+       CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(0 AS INT)
+FROM d
+UNION ALL
+SELECT base || '/sitemap.xml', base || '/sitemap' || ds || '.xml',
+       CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(1 AS INT)
+FROM d WHERE doc_id % 3 = 0
 """
 
     # media_ahash / media_phash_near_dup: the PGM raster encodes

@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "media_caption_pairs",
     "anchor_text_index",
     "crawl_frontier",
+    "sitemap_urls",
 ]
 
 

@@ -256,3 +256,38 @@ def crawl_frontier(df: DataFrame, *, url_col: str = "url",
             .select("url", "host", "wave",
                     (F.col("wave").cast("long") * per_host_delay_ms)
                     .alias("not_before_ms")))
+
+
+def sitemap_urls(df: DataFrame, *, xml_col: str = "xml",
+                 source_col: str = "sitemap_url") -> DataFrame:
+    """Sitemap-protocol (sitemaps.org 0.9) URL extraction as a pure
+    Catalyst projection — the crawl-DISCOVERY input that feeds
+    crawl_frontier. Each ``<url>`` entry yields (sitemap_url, url,
+    lastmod, priority_e2, is_index); ``<sitemap>`` entries of a
+    sitemap INDEX file are emitted with is_index=1 so the caller can
+    recurse. Zero Python and zero shuffle: one regexp_extract_all per
+    entry kind + posexplode; at 10^12 sitemap rows this is a narrow
+    map over the scan.
+
+    Fields are extracted per-entry (not document-global), entities in
+    <loc> are left as-is except &amp; (the one escape the protocol
+    requires), missing <lastmod>/<priority> become NULL; priority is
+    scaled ×100 to an int (protocol range 0.0–1.0)."""
+    entry = r"<(?:url|sitemap)>.*?</(?:url|sitemap)>"
+    xml = F.regexp_replace(F.col(xml_col), r"[\n\r\t]", " ")
+    entries = F.regexp_extract_all(xml, F.lit(f"({entry})"), 1)
+    e = F.col("_e")
+    loc = F.regexp_extract(e, r"<loc>\s*(.*?)\s*</loc>", 1)
+    lastmod = F.regexp_extract(e, r"<lastmod>\s*(.*?)\s*</lastmod>", 1)
+    prio = F.regexp_extract(e, r"<priority>\s*(.*?)\s*</priority>", 1)
+    return (df.select(F.col(source_col), F.explode(entries).alias("_e"))
+            .select(
+                source_col,
+                F.regexp_replace(loc, "&amp;", "&").alias("url"),
+                F.when(lastmod != "", lastmod).alias("lastmod"),
+                F.when(prio != "",
+                       F.round(prio.cast("double") * 100))
+                 .cast("int").alias("priority_e2"),
+                F.when(e.startswith("<sitemap>"), 1).otherwise(0)
+                 .cast("int").alias("is_index"))
+            .filter(F.col("url") != ""))

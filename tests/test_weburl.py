@@ -82,3 +82,26 @@ def test_crawl_frontier_waves_and_delay(spark):
     assert got["https://a.com/low"]["not_before_ms"] == 750
     assert got["https://b.com/only"]["wave"] == 0
     assert got["https://b.com/only"]["host"] == "b.com"
+
+
+def test_sitemap_urls_extraction(spark):
+    from docling_spark.operators.weburl import sitemap_urls
+    xml = ('<?xml version="1.0"?>\n<urlset>\n'
+           '<url><loc>https://a.com/p?x=1&amp;y=2</loc>\n'
+           '<lastmod>2026-01-02</lastmod>'
+           '<priority>0.8</priority></url>\n'
+           '<url><loc> https://a.com/q </loc></url>\n'
+           '<sitemap><loc>https://a.com/more.xml</loc></sitemap>'
+           '</urlset>')
+    df = spark.createDataFrame(
+        [("https://a.com/sitemap.xml", xml)],
+        "sitemap_url string, xml string")
+    got = {r["url"]: r for r in sitemap_urls(df).collect()}
+    full = got["https://a.com/p?x=1&y=2"]
+    assert full["lastmod"] == "2026-01-02"
+    assert full["priority_e2"] == 80 and full["is_index"] == 0
+    bare = got["https://a.com/q"]
+    assert bare["lastmod"] is None and bare["priority_e2"] is None
+    idx = got["https://a.com/more.xml"]
+    assert idx["is_index"] == 1
+    assert len(got) == 3
