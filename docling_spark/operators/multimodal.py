@@ -256,7 +256,8 @@ def ahash_udf(col: Column, hash_size: int = 8) -> Column:
 
 def phash_near_dup(hashed: DataFrame, *, id_col: str = "media_ref",
                    hash_col: str = "ahash", bands: int = 4,
-                   max_hamming: int = 3) -> DataFrame:
+                   max_hamming: int = 3,
+                   storage: str = "memory_and_disk") -> DataFrame:
     """Perceptual near-duplicate pairs by banded hamming LSH over a
     64-bit hash column: split the hash into ``bands`` equal bit-bands,
     bucket-join on (band, band_key), then verify candidates with
@@ -269,7 +270,17 @@ def phash_near_dup(hashed: DataFrame, *, id_col: str = "media_ref",
     one shuffle on the band key (buckets are popular-hash-sized, not
     corpus-sized), one distinct on the pair key, zero re-decode —
     the hash table is ~16 B/asset, so 10^12 assets stream through
-    the same plan."""
+    the same plan.
+
+    The band join consumes the hash table TWICE (self-join), and
+    exchange/subplan reuse never fires across branches containing a
+    Python/Arrow UDF (PythonUDF expr-ids break plan canonicalization),
+    so when the caller's ``hashed`` embeds the decode UDF it would
+    re-decode every asset — the hash table is persisted at the branch
+    point (16 B/asset; ``storage="none"`` opts out)."""
+    from pyspark import StorageLevel
+    if storage != "none" and hashed.storageLevel == StorageLevel.NONE:
+        hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
     band_w = 64 // bands
     mask = (1 << band_w) - 1
     h = F.col(hash_col)
