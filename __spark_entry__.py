@@ -3517,6 +3517,41 @@ def q_sitemap_urls(spark, sf_dir):
     return sitemap_urls(src)
 
 
+def q_stream_extract_status(spark, sf_dir):
+    """The extract_status_counts pipeline run as STRUCTURED STREAMING
+    end-to-end inside the query: readStream over the documents
+    parquet, the same Catalyst corpus synthesis and the same stateless
+    Arrow extraction UDF (streaming/stream.py — the plan is the batch
+    plan), drained with trigger(availableNow) into a memory sink, then
+    aggregated per status. Exactness of the streaming path against the
+    batch oracle IS the check: same oracle SQL as
+    extract_status_counts."""
+    from docling_spark.sources.corpus import html_payload_col
+    from docling_spark.streaming.stream import run_to_memory_table
+    # the file stream source requires a DIRECTORY basePath; the glob
+    # filter narrows the listing to the documents table only
+    docs = (spark.readStream.schema(
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir))
+    kind = (F.when(F.col("doc_id") % 10 == 0, F.lit("bogus"))
+            .otherwise(F.lit("html")))
+    corpus = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(F.struct(
+            kind.alias("kind"), html_payload_col().alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"))).alias("spans"))
+    out = extract_spans(corpus, num_partitions=_par(spark))
+    name = run_to_memory_table(
+        out.select("doc_id", "status", "n_spans"),
+        prefix="stream_extract")
+    return (spark.table(name).groupBy("status")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_spans").alias("total_spans")))
+
+
 def _pgm_corpus(spark, sf_dir):
     """8×8 binary-PGM image payloads synthesized in pure Catalyst: the
     64-pixel raster encodes (as 0/255 pixels, bit j = pixel j
@@ -3827,6 +3862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_index": q_anchor_text_index,
         "crawl_frontier": q_crawl_frontier,
         "sitemap_urls": q_sitemap_urls,
+        "stream_extract_status": q_stream_extract_status,
     }
 
 
@@ -7785,6 +7821,19 @@ SELECT url, host,
             ORDER BY priority DESC, url) - 1) * 1000 AS BIGINT)
          AS not_before_ms
 FROM u
+"""
+
+    # stream_extract_status: the streaming path must reproduce the
+    # batch pipeline exactly on a drained static backlog, so its
+    # oracle IS extract_status_counts' oracle.
+    oracles["stream_extract_status"] = """
+SELECT status, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_spans
+FROM (SELECT CASE WHEN doc_id % 10 = 0 THEN 'skipped' ELSE 'success' END
+        AS status,
+      CASE WHEN doc_id % 10 = 0 THEN 0
+           WHEN doc_id % 5 = 0 THEN 5 ELSE 4 END AS n
+      FROM documents) t
+GROUP BY status
 """
 
     # sitemap_urls: three closed-form entry templates per doc

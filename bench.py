@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "anchor_text_index",
     "crawl_frontier",
     "sitemap_urls",
+    "stream_extract_status",
 ]
 
 

@@ -355,3 +355,21 @@ def anomaly_stream(slots: DataFrame, *, trailing_slots: int = 24,
                 stateStructType=_ANOM_STATE_DDL,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+_MEMORY_SINK_SEQ = iter(range(1, 1 << 30))
+
+
+def run_to_memory_table(stream_df: DataFrame, *,
+                        prefix: str = "stream_out") -> str:
+    """Drain a streaming DataFrame into an in-memory sink table with
+    trigger(availableNow) and return the (unique) table name. The
+    memory sink keeps rows on the driver — the harness for
+    registry/interactive queries over BOUNDED backlogs, not a
+    production sink (use run_stream_to_table for parquet +
+    checkpointed exactly-once)."""
+    name = f"{prefix}_{next(_MEMORY_SINK_SEQ)}"
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return name
