@@ -217,17 +217,29 @@ def average_hash(data: bytes, hash_size: int = 8):
     int (two's complement, so it round-trips through a Spark ``long``)
     or None when the payload is undecodable.
 
-    PGM/PPM payloads go through the real :func:`decode_pnm`;
-    PNG/JPEG/GIF/IMG1 use the deterministic fake decode stand-in
-    (same contract as image_features_udf) until a codec is plugged in.
-    The reference keeps only exact-bytes image identity (PIL images
-    hashed whole); perceptual near-identity is a corpus-curation
-    addition."""
+    Two REAL decode paths, both stdlib-only: PGM/PPM via
+    :func:`decode_pnm`, and 8-bit grayscale PNG via
+    parsers/raster.png_decode (zlib inflate + filter reversal — covers
+    every page the engine's own rasterizer emits, so render→hash is
+    real pixels end-to-end). JPEG/GIF/IMG1 and non-grayscale PNGs use
+    the deterministic fake decode stand-in (same contract as
+    image_features_udf) until a codec is plugged in. The reference
+    keeps only exact-bytes image identity (PIL images hashed whole);
+    perceptual near-identity is a corpus-curation addition."""
     if data[:2] in (b"P5", b"P6"):
         try:
             px = decode_pnm(data)
         except ValueError:
             return None
+    elif data[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..parsers.raster import png_decode
+        try:
+            px = png_decode(data)
+        except ValueError:  # non-grayscale / exotic filters → stand-in
+            w, h, _mime = parse_image_header(data)
+            if not w or not h:
+                return None
+            px = _fake_pixels(data, min(w, 64), min(h, 64))
     else:
         w, h, _mime = parse_image_header(data)
         if not w or not h:

@@ -248,3 +248,51 @@ def test_bind_captions_window_semantics(spark):
     assert got[3]["media_ref"] == "mC" and got[3]["rel_pos"] == "next"
     assert got[4]["media_ref"] is None and got[4]["rel_pos"] is None
     assert len(got) == 4
+
+
+def test_average_hash_png_real_decode_path():
+    """PNG payloads hash over REAL decoded pixels (raster.png_decode),
+    so identical renders hash equal and the hash equals hashing the
+    decoded raster directly."""
+    import numpy as np
+    from docling_spark.operators.multimodal import (_block_downsample,
+                                                    average_hash)
+    from docling_spark.parsers.raster import png_decode, png_encode
+    rng = np.random.RandomState(7)
+    img = (rng.rand(40, 40) * 255).astype(np.uint8)
+    png = png_encode(img)
+    h = average_hash(png)
+    # identical image → identical hash; decode really ran (bit-exact)
+    assert h == average_hash(png_encode(img.copy()))
+    assert (png_decode(png) == img).all()
+    grid = _block_downsample(img.astype(np.float64), 8)
+    bits = (grid > grid.mean()).ravel()
+    want = 0
+    for j in np.nonzero(bits)[0]:
+        want |= 1 << int(j)
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert h == want
+    # structural change (top half blanked) flips many bits
+    img2 = img.copy(); img2[:20, :] = 255
+    h2 = average_hash(png_encode(img2))
+    assert bin((h ^ h2) & ((1 << 64) - 1)).count("1") > 3
+
+
+def test_render_to_visual_hash_composition():
+    """Real composition: rasterize a structured page (parsers/raster),
+    hash the PNG — same page → same hash, different layout → far."""
+    from docling_spark.operators.multimodal import average_hash
+    from docling_spark.parsers.raster import png_encode, render_page
+    cells = [{"text": "hello world", "l": 50, "t": 100, "r": 300,
+              "b": 112}]
+    img1, _ = render_page(612.0, 792.0, cells, dpi=72.0)
+    img1b, _ = render_page(612.0, 792.0, list(cells), dpi=72.0)
+    assert average_hash(png_encode(img1)) == \
+        average_hash(png_encode(img1b))
+    many = [{"text": "x" * 40, "l": 50, "t": 100 + 80 * i, "r": 560,
+             "b": 160 + 80 * i} for i in range(8)]
+    img2, _ = render_page(612.0, 792.0, many, dpi=72.0)
+    h1 = average_hash(png_encode(img1))
+    h2 = average_hash(png_encode(img2))
+    assert h1 != h2
