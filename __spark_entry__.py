@@ -3547,9 +3547,16 @@ def q_stream_extract_status(spark, sf_dir):
     name = run_to_memory_table(
         out.select("doc_id", "status", "n_spans"),
         prefix="stream_extract")
-    return (spark.table(name).groupBy("status")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sum("n_spans").alias("total_spans")))
+    agg = (spark.table(name).groupBy("status")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n_spans").alias("total_spans")))
+    # materialize the tiny per-status rollup, then DROP the memory
+    # sink — otherwise every invocation (bench reps!) leaves a full
+    # copy of the streamed output pinned in driver memory
+    rows = agg.collect()
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(
+        rows, "status string, n_docs bigint, total_spans bigint")
 
 
 def _pgm_corpus(spark, sf_dir):

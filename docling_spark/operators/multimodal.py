@@ -106,6 +106,8 @@ def decode_pnm(data: bytes) -> np.ndarray:
     w, h, maxval, off = _parse_pnm_header(data)
     if maxval > 255:
         raise ValueError("16-bit netpbm not supported")
+    if not (1 <= w <= 1 << 16) or not (1 <= h <= 1 << 16):
+        raise ValueError("degenerate or absurd netpbm dimensions")
     ch = 1 if data[:2] == b"P5" else 3
     need = w * h * ch
     raster = np.frombuffer(data, dtype=np.uint8, count=need, offset=off)
@@ -226,23 +228,31 @@ def average_hash(data: bytes, hash_size: int = 8):
     image_features_udf) until a codec is plugged in. The reference
     keeps only exact-bytes image identity (PIL images hashed whole);
     perceptual near-identity is a corpus-curation addition."""
+    if not (1 <= hash_size * hash_size <= 64):
+        raise ValueError("hash must fit a 64-bit long: hash_size <= 8")
+    # corrupt web payloads raise more than ValueError (zlib.error on a
+    # bad IDAT, struct.error on a truncated header, OverflowError on
+    # absurd dims) — ANY decode failure degrades to the documented
+    # None / stand-in instead of killing the Arrow batch.
     if data[:2] in (b"P5", b"P6"):
         try:
             px = decode_pnm(data)
-        except ValueError:
+        except Exception:
             return None
     elif data[:8] == b"\x89PNG\r\n\x1a\n":
         from ..parsers.raster import png_decode
         try:
             px = png_decode(data)
-        except ValueError:  # non-grayscale / exotic filters → stand-in
+            if px.size == 0:
+                raise ValueError("empty raster")
+        except Exception:  # non-grayscale / corrupt → stand-in
             w, h, _mime = parse_image_header(data)
-            if not w or not h:
+            if not w or not h or min(w, h) < 1:
                 return None
             px = _fake_pixels(data, min(w, 64), min(h, 64))
     else:
         w, h, _mime = parse_image_header(data)
-        if not w or not h:
+        if not w or not h or min(w, h) < 1:
             return None
         px = _fake_pixels(data, min(w, 64), min(h, 64))
     grid = _block_downsample(px, hash_size)
@@ -257,6 +267,9 @@ def average_hash(data: bytes, hash_size: int = 8):
 
 def ahash_udf(col: Column, hash_size: int = 8) -> Column:
     """Arrow-batched :func:`average_hash` over a binary column."""
+    if not (1 <= hash_size * hash_size <= 64):  # fits the long column
+        raise ValueError("hash must fit a 64-bit long: hash_size <= 8")
+
     @pandas_udf("long")
     def ah(blobs: pd.Series) -> pd.Series:
         return pd.Series([
@@ -289,10 +302,19 @@ def phash_near_dup(hashed: DataFrame, *, id_col: str = "media_ref",
     Python/Arrow UDF (PythonUDF expr-ids break plan canonicalization),
     so when the caller's ``hashed`` embeds the decode UDF it would
     re-decode every asset — the hash table is persisted at the branch
-    point (16 B/asset; ``storage="none"`` opts out)."""
+    point (16 B/asset; ``storage="none"`` opts out). The cache lives
+    until the session drops it: a caller looping many invocations in
+    one session (bench reps) should unpersist between rounds via
+    ``spark.catalog.clearCache()`` or pass storage="none"."""
     from pyspark import StorageLevel
-    if storage != "none" and hashed.storageLevel == StorageLevel.NONE:
-        hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
+    levels = {"memory_and_disk": StorageLevel.MEMORY_AND_DISK,
+              "memory_only": StorageLevel.MEMORY_ONLY,
+              "disk_only": StorageLevel.DISK_ONLY, "none": None}
+    if storage not in levels:
+        raise ValueError(f"storage must be one of {sorted(levels)}")
+    level = levels[storage]
+    if level is not None and hashed.storageLevel == StorageLevel.NONE:
+        hashed = hashed.persist(level)
     band_w = 64 // bands
     mask = (1 << band_w) - 1
     h = F.col(hash_col)

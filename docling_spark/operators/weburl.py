@@ -247,8 +247,10 @@ def crawl_frontier(df: DataFrame, *, url_col: str = "url",
     The reference has no crawl layer (it starts from fetched bytes);
     this is a §2.7 web-corpus addition like url_dedup."""
     host = host_col(F.col(url_col))
+    # the window orders by the POST-rename names — ordering by url_col
+    # here would fail analysis for any url_col other than "url"
     w = (Window.partitionBy("host")
-         .orderBy(F.col(priority_col).desc(), F.col(url_col)))
+         .orderBy(F.col(priority_col).desc(), F.col("url")))
     return (df.select(F.col(url_col).alias("url"), host.alias("host"),
                       F.col(priority_col))
             .withColumn("wave",
@@ -272,7 +274,9 @@ def sitemap_urls(df: DataFrame, *, xml_col: str = "xml",
     Fields are extracted per-entry (not document-global), entities in
     <loc> are left as-is except &amp; (the one escape the protocol
     requires), missing <lastmod>/<priority> become NULL; priority is
-    scaled ×100 to an int (protocol range 0.0–1.0)."""
+    scaled ×100 to an int (protocol range 0.0–1.0). Sitemaps are
+    adversarial web input, so a NON-NUMERIC <priority> degrades to
+    NULL via try_cast instead of aborting the job under ANSI mode."""
     entry = r"<(?:url|sitemap)>.*?</(?:url|sitemap)>"
     xml = F.regexp_replace(F.col(xml_col), r"[\n\r\t]", " ")
     entries = F.regexp_extract_all(xml, F.lit(f"({entry})"), 1)
@@ -285,9 +289,8 @@ def sitemap_urls(df: DataFrame, *, xml_col: str = "xml",
                 source_col,
                 F.regexp_replace(loc, "&amp;", "&").alias("url"),
                 F.when(lastmod != "", lastmod).alias("lastmod"),
-                F.when(prio != "",
-                       F.round(prio.cast("double") * 100))
-                 .cast("int").alias("priority_e2"),
+                F.round(prio.try_cast("double") * 100)
+                 .try_cast("int").alias("priority_e2"),
                 F.when(e.startswith("<sitemap>"), 1).otherwise(0)
                  .cast("int").alias("is_index"))
             .filter(F.col("url") != ""))

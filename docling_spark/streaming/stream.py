@@ -367,7 +367,10 @@ def run_to_memory_table(stream_df: DataFrame, *,
     memory sink keeps rows on the driver — the harness for
     registry/interactive queries over BOUNDED backlogs, not a
     production sink (use run_stream_to_table for parquet +
-    checkpointed exactly-once)."""
+    checkpointed exactly-once). The rows stay pinned until the caller
+    drops the view: consume the table, then
+    ``spark.catalog.dropTempView(name)`` — repeated invocations
+    otherwise accumulate a full output copy each."""
     name = f"{prefix}_{next(_MEMORY_SINK_SEQ)}"
     q = (stream_df.writeStream.format("memory").queryName(name)
          .outputMode("append").trigger(availableNow=True).start())

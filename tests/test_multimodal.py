@@ -296,3 +296,26 @@ def test_render_to_visual_hash_composition():
     h1 = average_hash(png_encode(img1))
     h2 = average_hash(png_encode(img2))
     assert h1 != h2
+
+
+def test_average_hash_corrupt_payloads_return_none():
+    """Decode failures must degrade, never raise (one bad blob would
+    otherwise fail the whole Arrow batch)."""
+    import zlib, struct  # noqa: F401  (documenting the raised kinds)
+    from docling_spark.operators.multimodal import average_hash
+    from docling_spark.parsers.raster import png_encode
+    import numpy as np
+    # zero-dimension PGM header
+    assert average_hash(b"P5\n0 0\n255\n") is None
+    # absurd-dimension PGM header (would overflow frombuffer count)
+    assert average_hash(b"P5\n99999999 99999999\n255\n") is None
+    # PNG magic + grayscale IHDR but garbage IDAT (zlib.error inside)
+    good = bytearray(png_encode(np.zeros((4, 4), dtype=np.uint8)))
+    bad = bytes(good[:33]) + b"\x00\x00\x00\x04IDATjunk\x00\x00\x00\x00"
+    h = average_hash(bad)          # falls back to the stand-in decode
+    assert h is None or isinstance(h, int)
+    # truncated PNG header (struct.error inside) → stand-in or None
+    assert average_hash(b"\x89PNG\r\n\x1a\n\x00\x00") is None
+    import pytest
+    with pytest.raises(ValueError):
+        average_hash(b"P5\n8 8\n255\n" + bytes(64), hash_size=16)

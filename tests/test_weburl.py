@@ -105,3 +105,24 @@ def test_sitemap_urls_extraction(spark):
     idx = got["https://a.com/more.xml"]
     assert idx["is_index"] == 1
     assert len(got) == 3
+
+
+def test_sitemap_priority_malformed_is_null(spark):
+    from docling_spark.operators.weburl import sitemap_urls
+    xml = ('<urlset><url><loc>https://a.com/x</loc>'
+           '<priority>high</priority></url></urlset>')
+    df = spark.createDataFrame(
+        [("https://a.com/s.xml", xml)], "sitemap_url string, xml string")
+    row = sitemap_urls(df).collect()[0]
+    assert row["url"] == "https://a.com/x"
+    assert row["priority_e2"] is None
+
+
+def test_crawl_frontier_custom_url_col(spark):
+    from docling_spark.operators.weburl import crawl_frontier
+    df = spark.createDataFrame(
+        [("https://a.com/p", 3), ("https://a.com/q", 7)],
+        "link string, priority int")
+    got = {r["url"]: r["wave"]
+           for r in crawl_frontier(df, url_col="link").collect()}
+    assert got == {"https://a.com/q": 0, "https://a.com/p": 1}
