@@ -3559,6 +3559,30 @@ def q_stream_extract_status(spark, sf_dir):
         rows, "status string, n_docs bigint, total_spans bigint")
 
 
+def q_wet_text_records(spark, sf_dir):
+    """Common Crawl WET sidecar ingestion: spec-valid ``conversion``
+    records synthesized in Catalyst (sources/warcsynth.py::corpus_wet),
+    parsed by the same Arrow-batched WARC scanner, projected to the
+    (uri, text) rows open-web corpora start from
+    (operators/warc.py::wet_text_records)."""
+    from docling_spark.operators.warc import warc_records, \
+        wet_text_records
+    from docling_spark.sources.warcsynth import corpus_wet
+    return wet_text_records(warc_records(corpus_wet(spark, sf_dir)))
+
+
+def q_wat_metadata(spark, sf_dir):
+    """Common Crawl WAT sidecar ingestion: ``metadata`` records carry
+    a JSON envelope (title, outlinks) parsed JVM-side with from_json
+    (operators/warc.py::wat_metadata) — the cheap link-graph path that
+    never touches page bytes. Envelope synthesized with to_json
+    (sources/warcsynth.py::wat_payload_col), so every output column is
+    closed-form."""
+    from docling_spark.operators.warc import warc_records, wat_metadata
+    from docling_spark.sources.warcsynth import corpus_wat
+    return wat_metadata(warc_records(corpus_wat(spark, sf_dir)))
+
+
 def _pgm_corpus(spark, sf_dir):
     """8×8 binary-PGM image payloads synthesized in pure Catalyst: the
     64-pixel raster encodes (as 0/255 pixels, bit j = pixel j
@@ -3870,6 +3894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "sitemap_urls": q_sitemap_urls,
         "stream_extract_status": q_stream_extract_status,
+        "wet_text_records": q_wet_text_records,
+        "wat_metadata": q_wat_metadata,
     }
 
 
@@ -7841,6 +7867,26 @@ FROM (SELECT CASE WHEN doc_id % 10 = 0 THEN 'skipped' ELSE 'success' END
            WHEN doc_id % 5 = 0 THEN 5 ELSE 4 END AS n
       FROM documents) t
 GROUP BY status
+"""
+
+    # wet_text_records / wat_metadata: sidecar payloads are built from
+    # the documents columns directly, so the parse output is closed
+    # form (see corpus_wet / wat_payload_col).
+    oracles["wet_text_records"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       'http://' || source || '.example/doc/'
+         || CAST(doc_id AS VARCHAR) AS target_uri,
+       text, CAST(LENGTH(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+    oracles["wat_metadata"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       'http://' || source || '.example/doc/'
+         || CAST(doc_id AS VARCHAR) AS target_uri,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       CAST(1 AS INT) AS n_links
+FROM documents
 """
 
     # sitemap_urls: three closed-form entry templates per doc

@@ -209,6 +209,8 @@ BENCH_QUERIES = [
     "crawl_frontier",
     "sitemap_urls",
     "stream_extract_status",
+    "wet_text_records",
+    "wat_metadata",
 ]
 
 

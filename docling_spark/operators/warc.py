@@ -97,3 +97,46 @@ def cdx_index(records: DataFrame) -> DataFrame:
         F.col("http_content_type").alias("mime"),
         F.sha2(F.col("body_text"), 256).alias("digest"),
         F.col("content_length").alias("length"))
+
+
+def wet_text_records(records: DataFrame) -> DataFrame:
+    """Parsed WARC relation → WET text rows: the ``conversion``
+    records of a Common Crawl *.wet sidecar, i.e. (doc_id, target_uri,
+    text, n_chars) per document — the entry format most open-web
+    pretraining corpora (C4, OSCAR, RefinedWeb) actually start from.
+    Pure Catalyst on top of warc_records: one filter + projection,
+    zero extra Python, zero shuffle."""
+    return (records.filter(F.col("warc_type") == "conversion")
+            .select("doc_id", "target_uri",
+                    F.col("body_text").alias("text"),
+                    F.length("body_text").cast("long")
+                     .alias("n_chars")))
+
+
+_WAT_ENVELOPE_DDL = (
+    "Envelope struct<"
+    "`WARC-Header-Metadata` struct<`WARC-Target-URI` string>, "
+    "`Payload-Metadata` struct<`HTTP-Response-Metadata` struct<"
+    "`HTML-Metadata` struct<Head struct<Title string>, "
+    "Links array<struct<url string, path string>>>>>>")
+
+
+def wat_metadata(records: DataFrame) -> DataFrame:
+    """Parsed WARC relation → WAT metadata rows: parse the JSON
+    envelope of ``metadata`` records (the Common Crawl *.wat sidecar)
+    with Catalyst's from_json — (doc_id, target_uri, title, n_links).
+    This is the cheap path to link graphs and titles when the full
+    page bytes aren't needed: WAT shards are ~1/5 the size of WARC,
+    and the parse is JVM-side JSON, no Python at all."""
+    env = F.from_json(F.col("body_text"), _WAT_ENVELOPE_DDL)
+    meta = env["Envelope"]
+    html = meta["Payload-Metadata"]["HTTP-Response-Metadata"][
+        "HTML-Metadata"]
+    return (records.filter(F.col("warc_type") == "metadata")
+            .select(
+                "doc_id",
+                meta["WARC-Header-Metadata"]["WARC-Target-URI"]
+                .alias("target_uri"),
+                html["Head"]["Title"].alias("title"),
+                F.coalesce(F.size(html["Links"]), F.lit(0))
+                 .cast("int").alias("n_links")))

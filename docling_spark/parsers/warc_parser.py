@@ -132,6 +132,12 @@ def parse_warc(data: bytes) -> List[Dict]:
             rec["http_status"] = status
             rec["http_content_type"] = http_ct
             rec["body"] = body
+        elif rec["warc_type"] in ("conversion", "resource", "metadata"):
+            # these record types carry their content directly (ISO
+            # 28500 §6.8/6.5/6.9) — WET text and WAT JSON envelopes
+            # live here, not inside an HTTP message
+            rec["http_content_type"] = ctype
+            rec["body"] = payload
         out.append(rec)
     return out
 

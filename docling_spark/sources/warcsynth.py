@@ -73,3 +73,55 @@ def corpus_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "application/http; msgtype=response", uri))
     return docs.select(F.col("doc_id").cast("string").alias("doc_id"),
                        F.encode(blob, "UTF-8").alias("warc"))
+
+
+def corpus_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet -> (doc_id, warc binary) in WET shape: one
+    warcinfo + one ``conversion`` record per document whose payload is
+    the extracted PLAIN TEXT — the Common Crawl *.warc.wet.gz sidecar
+    convention (text-only re-serialization of the crawl)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blob = F.concat(
+        _record("warcinfo", 0, F.lit(INFO_PAYLOAD),
+                "application/warc-fields"),
+        _record("conversion", 1, F.col("text"), "text/plain",
+                target_uri_col()))
+    return docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                       F.encode(blob, "UTF-8").alias("warc"))
+
+
+def wat_payload_col() -> Column:
+    """The WAT ``metadata`` record payload: the Common Crawl JSON
+    envelope subset consumers actually read (target URI, HTML title,
+    outgoing links). Built with to_json so the expected parse is the
+    same expression the oracle replays."""
+    link = F.struct(
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 7)
+                 .cast("string"), F.lit(".example/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit("A@/href").alias("path"))
+    return F.to_json(F.struct(F.struct(
+        F.struct(target_uri_col().alias("WARC-Target-URI"))
+         .alias("WARC-Header-Metadata"),
+        F.struct(F.struct(F.struct(
+            F.struct(F.concat(F.lit("Doc "),
+                              F.col("doc_id").cast("string"))
+                     .alias("Title")).alias("Head"),
+            F.array(link).alias("Links"))
+            .alias("HTML-Metadata"))
+            .alias("HTTP-Response-Metadata"))
+         .alias("Payload-Metadata")).alias("Envelope")))
+
+
+def corpus_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet -> (doc_id, warc binary) in WAT shape: one
+    warcinfo + one ``metadata`` record per document carrying the JSON
+    envelope — the Common Crawl *.warc.wat.gz sidecar convention."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blob = F.concat(
+        _record("warcinfo", 0, F.lit(INFO_PAYLOAD),
+                "application/warc-fields"),
+        _record("metadata", 1, wat_payload_col(),
+                "application/json", target_uri_col()))
+    return docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                       F.encode(blob, "UTF-8").alias("warc"))

@@ -149,3 +149,47 @@ def test_spark_roundtrip_and_cdx(spark):
     assert len(crow.digest) == 64
     assert crow.length == row.content_length
     recs.unpersist()
+
+
+def _rec(warc_type, payload, ctype, uri=None):
+    h = (f"WARC/1.0\r\nWARC-Type: {warc_type}\r\n"
+         f"WARC-Record-ID: <urn:x:1>\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n")
+    if uri:
+        h += f"WARC-Target-URI: {uri}\r\n"
+    h += f"Content-Type: {ctype}\r\nContent-Length: {len(payload)}\r\n\r\n"
+    return h.encode() + payload + b"\r\n\r\n"
+
+
+def test_parse_warc_conversion_and_metadata_bodies():
+    from docling_spark.parsers.warc_parser import parse_warc
+    blob = (_rec("conversion", b"plain text here", "text/plain",
+                 "http://a.com/x")
+            + _rec("metadata", b'{"Envelope":{}}', "application/json",
+                   "http://a.com/x")
+            + _rec("request", b"GET / HTTP/1.1\r\n\r\n",
+                   "application/http; msgtype=request", "http://a.com/x"))
+    recs = parse_warc(blob)
+    assert [r["warc_type"] for r in recs] == ["conversion", "metadata",
+                                              "request"]
+    assert recs[0]["body"] == b"plain text here"
+    assert recs[0]["http_content_type"] == "text/plain"
+    assert recs[1]["body"] == b'{"Envelope":{}}'
+    assert recs[2]["body"] == b""        # requests keep the old contract
+
+
+def test_wet_wat_operators(spark):
+    from docling_spark.operators.warc import (warc_records,
+                                              wat_metadata,
+                                              wet_text_records)
+    from docling_spark.sources.warcsynth import corpus_wat, corpus_wet
+    import os
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        import pytest
+        pytest.skip("testdata missing")
+    wet = wet_text_records(warc_records(corpus_wet(spark, sf)))
+    row = wet.orderBy("doc_id").first()
+    assert row["n_chars"] == len(row["text"]) and row["text"]
+    wat = wat_metadata(warc_records(corpus_wat(spark, sf)))
+    w = wat.orderBy("doc_id").first()
+    assert w["title"].startswith("Doc ") and w["n_links"] == 1
