@@ -3583,6 +3583,25 @@ def q_wat_metadata(spark, sf_dir):
     return wat_metadata(warc_records(corpus_wat(spark, sf_dir)))
 
 
+def q_bitext_candidates(spark, sf_dir):
+    """ParaCrawl-style bitext candidate mining
+    (operators/bitext.py::bitext_candidates): English docs equijoin
+    non-English docs on the digit SKELETON (shared dates/figures are
+    language-independent), gated by the Gale-Church length-ratio
+    prior. Each run of 3 consecutive doc_ids shares an injected
+    '(ref N)' figure, so candidate pairs are the within-group
+    en × non-en cross — closed-form over the real lang column."""
+    from docling_spark.operators.bitext import bitext_candidates
+    docs = _docs(spark, sf_dir)
+    corpus = docs.select(
+        "doc_id", "lang",
+        F.concat(F.col("text"), F.lit(" (ref "),
+                 F.expr("CAST(doc_id DIV 3 AS STRING)"),
+                 F.lit(")")).alias("text"))
+    return bitext_candidates(corpus, pivot_lang="en",
+                             max_len_ratio_e2=200)
+
+
 def _pgm_corpus(spark, sf_dir):
     """8×8 binary-PGM image payloads synthesized in pure Catalyst: the
     64-pixel raster encodes (as 0/255 pixels, bit j = pixel j
@@ -3896,6 +3915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_extract_status": q_stream_extract_status,
         "wet_text_records": q_wet_text_records,
         "wat_metadata": q_wat_metadata,
+        "bitext_candidates": q_bitext_candidates,
     }
 
 
@@ -7867,6 +7887,25 @@ FROM (SELECT CASE WHEN doc_id % 10 = 0 THEN 'skipped' ELSE 'success' END
            WHEN doc_id % 5 = 0 THEN 5 ELSE 4 END AS n
       FROM documents) t
 GROUP BY status
+"""
+
+    # bitext_candidates: skeleton = the one injected digit run
+    # (doc_id DIV 3); pairs = within-group en × non-en cross under the
+    # same length-ratio arithmetic.
+    oracles["bitext_candidates"] = """
+WITH c AS (
+  SELECT doc_id, lang,
+         LENGTH(text || ' (ref ' || CAST(doc_id // 3 AS VARCHAR)
+                || ')') AS len,
+         CAST(doc_id // 3 AS VARCHAR) AS skeleton
+  FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, b.lang AS lang_b,
+       a.skeleton AS skeleton,
+       CAST(FLOOR(GREATEST(a.len, b.len) * 100
+                  / LEAST(a.len, b.len)) AS INT) AS len_ratio_e2
+FROM c a JOIN c b ON a.skeleton = b.skeleton
+WHERE a.lang = 'en' AND b.lang <> 'en'
+  AND FLOOR(GREATEST(a.len, b.len) * 100 / LEAST(a.len, b.len)) <= 200
 """
 
     # wet_text_records / wat_metadata: sidecar payloads are built from

@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "stream_extract_status",
     "wet_text_records",
     "wat_metadata",
+    "bitext_candidates",
 ]
 
 

@@ -126,3 +126,23 @@ def test_crawl_frontier_custom_url_col(spark):
     got = {r["url"]: r["wave"]
            for r in crawl_frontier(df, url_col="link").collect()}
     assert got == {"https://a.com/q": 0, "https://a.com/p": 1}
+def test_bitext_candidates(spark):
+    from docling_spark.operators.bitext import bitext_candidates
+    rows = [
+        (1, "en", "total was 42 in 2026"),
+        (2, "fr", "le total etait 42 en 2026"),
+        (3, "de", "insgesamt 42 im jahr 2026"),
+        (4, "fr", "sans chiffres ici"),          # empty skeleton
+        (5, "en", "another 42 2026 but way way way way way way "
+                  "way way way way way way way way longer text"),
+        (6, "fr", "42 2026"),                     # ratio gate kills 5-6
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, "
+                                     "text string")
+    got = {(r["doc_a"], r["doc_b"]): r
+           for r in bitext_candidates(df).collect()}
+    assert (1, 2) in got and got[(1, 2)]["lang_b"] == "fr"
+    assert (1, 3) in got and got[(1, 3)]["skeleton"] == "42|2026"
+    assert (5, 6) not in got                      # length-ratio gate
+    assert all(a != 4 and b != 4 for a, b in got)
+    assert (1, 6) not in got     # shares skeleton, fails ratio (285)
