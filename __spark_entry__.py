@@ -3702,6 +3702,112 @@ def q_media_caption_pairs(spark, sf_dir):
     return bind_captions(rows)
 
 
+def _meta_corpus(spark, sf_dir):
+    """Head-metadata HTML template per document: title, canonical
+    (host keyed on doc_id%5), description, three og: properties and
+    one JSON-LD block whose @type cycles on doc_id%3. Pure Catalyst
+    synthesis → closed-form oracle."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    m5 = (F.col("doc_id") % 5).cast("string")
+    ogt = F.element_at(F.array(F.lit("article"), F.lit("website"),
+                               F.lit("product")),
+                       (F.col("doc_id") % 3 + 1).cast("int"))
+    ldt = F.element_at(F.array(F.lit("Article"), F.lit("Product"),
+                               F.lit("Recipe")),
+                       (F.col("doc_id") % 3 + 1).cast("int"))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), d, F.lit("</title>"),
+        F.lit('<link rel="canonical" href="https://c'), m5,
+        F.lit(".example.com/p/"), d, F.lit('">'),
+        F.lit('<meta name="description" content="summary '), d,
+        F.lit('">'),
+        F.lit('<meta property="og:title" content="OG '), d, F.lit('">'),
+        F.lit('<meta property="og:image" content="https://img.example'
+              ".com/"), d, F.lit('.png">'),
+        F.lit('<meta property="og:type" content="'), ogt, F.lit('">'),
+        F.lit('<script type="application/ld+json">{"@type": "'), ldt,
+        F.lit('"}</script></head><body><p>body '), d,
+        F.lit("</p></body></html>"))
+    return docs.select(d.alias("doc_id"), html.alias("html"))
+
+
+def q_html_metadata(spark, sf_dir):
+    """HTML <head> metadata relation (operators/metadata.py): title,
+    canonical link, description, OpenGraph properties, JSON-LD @type
+    set — the crawl-side page identity the body-only extraction path
+    (reference html_backend.py:101-127 walks <body> only) discards.
+    Zero shuffle: one Arrow UDF projection; every output column is
+    closed-form in doc_id."""
+    from docling_spark.operators.metadata import html_metadata
+    out = html_metadata(_meta_corpus(spark, sf_dir))
+    return out.select("doc_id", "title", "canonical", "description",
+                      "og_title", "og_image", "og_type",
+                      "jsonld_types", "n_meta")
+
+
+def q_feed_urls(spark, sf_dir):
+    """RSS/Atom feed-entry discovery (operators/feeds.py): the
+    freshness channel of the crawl frontier. Even doc_ids synthesize
+    RSS 2.0, odd ones Atom (rel=alternate preference exercised); 3
+    entries per feed, all columns closed-form."""
+    from docling_spark.operators.feeds import feed_urls
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
+    d = F.col("doc_id").cast("string")
+    is_rss = F.col("doc_id") % 2 == 0
+
+    def rss_item(i: int) -> F.Column:
+        return F.concat(
+            F.lit("<item><title>entry "), d, F.lit(f" {i}</title>"
+            "<link>https://feed"), d, F.lit(f".example.com/e/{i}"
+            "</link><pubDate>2024-01-0"), F.lit(str(i + 1)),
+            F.lit("</pubDate></item>"))
+
+    def atom_entry(i: int) -> F.Column:
+        return F.concat(
+            F.lit("<entry><title>entry "), d, F.lit(f" {i}</title>"
+            '<link rel="self" href="https://feed'), d,
+            F.lit(f".example.com/self/{i}"
+            '"/><link href="https://feed'), d,
+            F.lit(f".example.com/e/{i}"
+            '"/><updated>2024-01-0'), F.lit(str(i + 1)),
+            F.lit("T00:00:00Z</updated></entry>"))
+
+    rss = F.concat(F.lit('<rss version="2.0"><channel><title>chan '),
+                   d, F.lit("</title>"), rss_item(0), rss_item(1),
+                   rss_item(2), F.lit("</channel></rss>"))
+    atom = F.concat(F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'
+                          "<title>chan "), d, F.lit("</title>"),
+                    atom_entry(0), atom_entry(1), atom_entry(2),
+                    F.lit("</feed>"))
+    feeds = docs.select(
+        F.concat(F.lit("f"), d).alias("feed_id"),
+        F.when(is_rss, rss).otherwise(atom).alias("xml"))
+    return feed_urls(feeds)
+
+
+def q_url_path_templates(spark, sf_dir):
+    """URL path-template mining (operators/weburl.py::
+    url_path_templates): digit runs generalize to {n}, grouping the
+    crawl's URL space into generator templates — where traps and
+    near-duplicate page families live. Pure Catalyst + ONE groupBy on
+    (host, template); the 3-way fixture makes counts closed-form."""
+    from docling_spark.operators.weburl import url_path_templates
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    m7 = (F.col("doc_id") % 7).cast("string")
+    m3 = F.col("doc_id") % 3
+    url = (F.when(m3 == 0, F.concat(F.lit("https://www.h"), m7,
+                                    F.lit(".example.com/p/"), d,
+                                    F.lit("/x")))
+           .when(m3 == 1, F.concat(F.lit("https://h"), m7,
+                                   F.lit(".example.com:8080/item/"), d))
+           .otherwise(F.concat(F.lit("https://h"), m7,
+                               F.lit(".example.com/about"))))
+    out = url_path_templates(docs.select(url.alias("url")))
+    return out.select("host", "template", "n_urls", "n_params")
+
+
 # ---------------------------------------------------------------------------
 # driver API
 
@@ -3758,6 +3864,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_meta": q_media_audio_meta,
         # --- new in round 4 (kept inside the driver's 50-sample) ---
         "layout_post_clusters": q_layout_post_clusters,
+        "html_metadata": q_html_metadata,
+        "feed_urls": q_feed_urls,
+        "url_path_templates": q_url_path_templates,
         "html_table_cells": q_html_table_cells,
         "pdf_text_in_rect": q_pdf_text_in_rect,
         "doc_outline": q_doc_outline,
@@ -7930,6 +8039,58 @@ FROM documents
 
     # sitemap_urls: three closed-form entry templates per doc
     # (q_sitemap_urls docstring).
+    # html_metadata: the fixture template (_meta_corpus) is pure
+    # Catalyst, so every head field is closed-form in doc_id; n_meta
+    # counts the template's 4 <meta> tags.
+    oracles["html_metadata"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+  'https://c' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/p/'
+    || CAST(doc_id AS VARCHAR) AS canonical,
+  'summary ' || CAST(doc_id AS VARCHAR) AS description,
+  'OG ' || CAST(doc_id AS VARCHAR) AS og_title,
+  'https://img.example.com/' || CAST(doc_id AS VARCHAR) || '.png'
+    AS og_image,
+  CASE doc_id % 3 WHEN 0 THEN 'article' WHEN 1 THEN 'website'
+    ELSE 'product' END AS og_type,
+  CASE doc_id % 3 WHEN 0 THEN 'Article' WHEN 1 THEN 'Product'
+    ELSE 'Recipe' END AS jsonld_types,
+  CAST(4 AS INT) AS n_meta
+FROM documents
+"""
+
+    # feed_urls: 3 closed-form entries per feed; even doc_ids are RSS
+    # (pubDate), odd are Atom (updated, rel=alternate beats rel=self).
+    oracles["feed_urls"] = """
+SELECT 'f' || CAST(doc_id AS VARCHAR) AS feed_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+  CAST(i AS INT) AS entry_idx,
+  'https://feed' || CAST(doc_id AS VARCHAR) || '.example.com/e/'
+    || CAST(i AS VARCHAR) AS url,
+  'entry ' || CAST(doc_id AS VARCHAR) || ' ' || CAST(i AS VARCHAR)
+    AS title,
+  CASE WHEN doc_id % 2 = 0
+       THEN '2024-01-0' || CAST(i + 1 AS VARCHAR)
+       ELSE '2024-01-0' || CAST(i + 1 AS VARCHAR) || 'T00:00:00Z'
+  END AS published
+FROM documents, (VALUES (0), (1), (2)) AS e(i)
+WHERE doc_id < 60
+"""
+
+    # url_path_templates: the 3-way URL fixture folds to closed-form
+    # per-(host,template) counts; doc_id's digits are the {n} runs.
+    oracles["url_path_templates"] = """
+WITH u AS (
+  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+    CASE doc_id % 3 WHEN 0 THEN '/p/{n}/x' WHEN 1 THEN '/item/{n}'
+      ELSE '/about' END AS template
+  FROM documents)
+SELECT host, template, COUNT(*) AS n_urls,
+  CAST(CASE WHEN template = '/about' THEN 0 ELSE 1 END AS INT)
+    AS n_params
+FROM u GROUP BY host, template
+"""
+
     oracles["sitemap_urls"] = """
 WITH d AS (
   SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds,

@@ -208,6 +208,9 @@ BENCH_QUERIES = [
     "anchor_text_index",
     "crawl_frontier",
     "sitemap_urls",
+    "html_metadata",
+    "feed_urls",
+    "url_path_templates",
     "stream_extract_status",
     "wet_text_records",
     "wat_metadata",

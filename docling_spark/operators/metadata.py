@@ -1,0 +1,146 @@
+"""HTML head-metadata extraction — title, canonical URL, description,
+OpenGraph properties and JSON-LD entity types.
+
+Crawl pipelines read a page's <head> before (and often instead of) its
+body: the canonical link collapses URL-level duplicates that byte
+hashing cannot (`?utm_source` mirrors declaring one canonical), the
+OpenGraph block is the highest-precision title/image/description
+source on the modern web, and JSON-LD ``@type`` values (Article,
+Product, Recipe, ...) drive page-type routing long before any layout
+model runs. The reference's HTML backend walks only <body> content
+(`/root/reference/docling/backend/html_backend.py:101-127` resolves
+the content root to <body> and never visits <head>), so at crawl
+scale the head block would be silently discarded — this operator
+makes it a first-class relational output instead.
+
+Plan shape: ONE Arrow-batched pandas UDF projection per document
+(reusing ``parsers/dom.py::parse_html``, the same tokenizer the
+extraction backend uses) emitting a flat struct — no explode, no
+shuffle. At 10^12 rows it composes with the extraction pass itself:
+one more struct column on the same scan, never a second parse of the
+corpus (callers that need both spans and metadata should project both
+UDFs over one cached parse batch; see jobs/extract.py).
+
+JSON-LD handling is deliberately shallow and deterministic: the UDF
+collects every ``@type`` string reachable from the top-level value of
+each ``application/ld+json`` script block (dict, list-of-dict, and
+``@graph`` forms), sorted + de-duplicated, joined with ``|``. Schema
+validation / vocabulary expansion is out of scope (needs the live
+schema.org context).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from docling_spark.parsers.dom import Element, parse_html
+
+_META_DDL = ("struct<title:string,canonical:string,description:string,"
+             "og_title:string,og_image:string,og_type:string,"
+             "jsonld_types:string,n_meta:int>")
+
+
+def _script_payload(node: Element) -> str:
+    """Raw (preformatted) text of a <script> element."""
+    parts: List[str] = []
+    for child in node.children:
+        data = getattr(child, "data", None)
+        if data is not None:
+            parts.append(data)
+    return "".join(parts)
+
+
+def _jsonld_types(payload: str) -> List[str]:
+    """Every @type string reachable from the block's top-level value:
+    a bare dict, a list of dicts, and the @graph envelope."""
+    try:
+        value = json.loads(payload)
+    except (ValueError, TypeError):
+        return []
+    nodes = value if isinstance(value, list) else [value]
+    out: List[str] = []
+    for node in nodes:
+        if not isinstance(node, dict):
+            continue
+        graph = node.get("@graph")
+        inner = graph if isinstance(graph, list) else [node]
+        for item in inner:
+            if not isinstance(item, dict):
+                continue
+            t = item.get("@type")
+            if isinstance(t, str):
+                out.append(t)
+            elif isinstance(t, list):
+                out.extend(x for x in t if isinstance(x, str))
+    return out
+
+
+def extract_metadata(html: str) -> dict:
+    """Head metadata of one document as a flat dict (first-wins for
+    singular fields, matching browser behavior for duplicate tags)."""
+    title: Optional[str] = None
+    canonical: Optional[str] = None
+    description: Optional[str] = None
+    og = {}
+    jsonld: List[str] = []
+    n_meta = 0
+    for node in parse_html(html).descendants():
+        if node.__class__ is not Element:
+            continue
+        name = node.name
+        if name == "title" and title is None:
+            title = " ".join(node.text.split())
+        elif name == "link":
+            rel = (node.attrs.get("rel") or "").lower()
+            if canonical is None and "canonical" in rel.split():
+                canonical = node.attrs.get("href")
+        elif name == "meta":
+            n_meta += 1
+            mname = (node.attrs.get("name") or "").lower()
+            prop = (node.attrs.get("property") or "").lower()
+            content = node.attrs.get("content")
+            if content is None:
+                continue
+            if description is None and mname == "description":
+                description = content
+            elif prop.startswith("og:"):
+                og.setdefault(prop[3:], content)
+        elif name == "script":
+            stype = (node.attrs.get("type") or "").lower()
+            if stype == "application/ld+json":
+                jsonld.extend(_jsonld_types(_script_payload(node)))
+    return {
+        "title": title,
+        "canonical": canonical,
+        "description": description,
+        "og_title": og.get("title"),
+        "og_image": og.get("image"),
+        "og_type": og.get("type"),
+        "jsonld_types": "|".join(sorted(set(jsonld))) if jsonld else "",
+        "n_meta": n_meta,
+    }
+
+
+def html_metadata(df: DataFrame, *, html_col: str = "html") -> DataFrame:
+    """(doc_id, html, ...) → input columns minus ``html_col`` plus
+    (title, canonical, description, og_title, og_image, og_type,
+    jsonld_types, n_meta). Zero shuffle: one Arrow UDF projection."""
+
+    @pandas_udf(_META_DDL)
+    def meta(htmls: pd.Series) -> pd.DataFrame:
+        rows = [extract_metadata(h) if h is not None else
+                dict.fromkeys(("title", "canonical", "description",
+                               "og_title", "og_image", "og_type",
+                               "jsonld_types"), None) | {"n_meta": None}
+                for h in htmls]
+        return pd.DataFrame(rows)
+
+    keep = [c for c in df.columns if c != html_col]
+    return (df.withColumn("_m", meta(F.col(html_col)))
+            .select(*keep, "_m.*"))

@@ -294,3 +294,35 @@ def sitemap_urls(df: DataFrame, *, xml_col: str = "xml",
                 F.when(e.startswith("<sitemap>"), 1).otherwise(0)
                  .cast("int").alias("is_index"))
             .filter(F.col("url") != ""))
+
+
+def url_path_templates(df: DataFrame, *, url_col: str = "url",
+                       min_count: int = 1) -> DataFrame:
+    """Generalize URL paths into templates and count pages per
+    (host, template): digit runs become ``{n}`` and long lowercase-hex
+    runs (≥16 chars — UUID fragments, content hashes) become ``{h}``.
+
+    Why a crawl pipeline needs this: page-generator templates
+    (``/2024/01/05/…`` calendar archives, ``/product/{n}``,
+    ``/session/{h}``) are where crawler traps and low-value
+    near-duplicate families live. Grouping by generalized path finds
+    them without fetching anything — a template with 10^7 URLs and a
+    flat content hash is a trap; the frontier caps or drops it.
+
+    Output: (host, template, n_urls, n_params) where n_params counts
+    the template's placeholders. Scale shape: pure-Catalyst
+    projection (two regexp_replace passes) + ONE groupBy on
+    (host, template), whose output is template-cardinality —
+    orders of magnitude below URL-cardinality — and broadcastable
+    back into frontier gates."""
+    host = host_col(F.col(url_col))
+    path = path_col(F.col(url_col))
+    tpl = F.regexp_replace(path, r"[0-9a-f]{16,}", "{h}")
+    tpl = F.regexp_replace(tpl, r"[0-9]+", "{n}")
+    g = (df.select(host.alias("host"), tpl.alias("template"))
+         .groupBy("host", "template")
+         .agg(F.count(F.lit(1)).alias("n_urls")))
+    n_params = (F.size(F.split(F.col("template"), r"\{", -1)) - 1)
+    return (g.filter(F.col("n_urls") >= min_count)
+            .select("host", "template", "n_urls",
+                    n_params.cast("int").alias("n_params")))
