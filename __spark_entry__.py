@@ -3808,6 +3808,80 @@ def q_url_path_templates(spark, sf_dir):
     return out.select("host", "template", "n_urls", "n_params")
 
 
+def q_dup_ngram_fraction(spark, sf_dir):
+    """Per-doc duplicated-n-gram fraction (operators/dedup.py::
+    dup_ngram_fraction) — the order-free corpus-overlap profile:
+    exact clones (doc_id+1000000) and their originals must both score
+    dup_frac_e4 = 10000; one gram-key shuffle + one semi-join of the
+    common-gram set."""
+    from docling_spark.operators.dedup import (dup_ngram_fraction,
+                                               exploded_shingles)
+    corpus = _clone_corpus_exact(_docs(spark, sf_dir))
+    return dup_ngram_fraction(exploded_shingles(corpus, n=3),
+                              min_df=2)
+
+
+def q_hits_hosts(spark, sf_dir):
+    """Integer-exact HITS hubs/authorities (operators/graph.py::hits,
+    2 rounds, max-normalized at 1e6 scale) over the same deterministic
+    50-node multigraph PageRank uses — the hub score is the frontier's
+    seed-mining signal, the authority score the fetch-depth signal.
+    The oracle replays both rounds unrolled."""
+    from docling_spark.operators.graph import hits
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 50).alias("dst"))
+    return hits(edges, iters=2)
+
+
+def q_code_detect(spark, sf_dir):
+    """Prose-vs-code routing gate (operators/textstats.py::
+    code_detect): integer-exact symbol/keyword/indent signals, zero
+    shuffle. Every 4th doc gets a synthetic code block appended so
+    both router branches fire; the oracle replays the same formulas
+    over the same augmented text."""
+    from docling_spark.operators.textstats import code_detect
+    docs = _docs(spark, sf_dir)
+    code = F.lit("\ndef f(x):\n    return {x[0]: (x | 1)}\n"
+                 "class C:\n    pass")
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.col("text"), code))
+        .otherwise(F.col("text")).alias("text"))
+    return code_detect(aug)
+
+
+def q_curriculum_order(spark, sf_dir):
+    """Quality-stratified source-balanced curriculum
+    (operators/curate.py::curriculum_order): per-source rank-quantile
+    buckets + intra-bucket rank; ascending (bucket, intra_rank) is the
+    training order. Closed-form score (doc_id·37 mod 1000, ties broken
+    by doc_id) keeps the oracle a pure window replay."""
+    from docling_spark.operators.curate import curriculum_order
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source",
+        ((F.col("doc_id") * 37) % 1000).alias("score"))
+    return curriculum_order(docs, score_col="score",
+                            source_col="source", n_buckets=10)
+
+
+def q_embed_pool(spark, sf_dir):
+    """Chunk→document mean-pooled embeddings (operators/vectorize.py::
+    mean_pool_embeddings): vec_id DIV 4 is the doc, vec_id MOD 4 the
+    chunk position; the position-sorted left fold makes the double
+    arithmetic bit-replayable, so the oracle adds the same four
+    vectors in the same order."""
+    from docling_spark.operators.vectorize import mean_pool_embeddings
+    emb = _read(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") / 4).cast("long").alias("doc_id"),
+        (F.col("vec_id") % 4).cast("int").alias("chunk_idx"),
+        "embedding")
+    out = mean_pool_embeddings(emb)
+    return out.filter(F.col("n_chunks") == 4)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 
@@ -3867,6 +3941,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_metadata": q_html_metadata,
         "feed_urls": q_feed_urls,
         "url_path_templates": q_url_path_templates,
+        "dup_ngram_fraction": q_dup_ngram_fraction,
+        "hits_hosts": q_hits_hosts,
+        "code_detect": q_code_detect,
+        "curriculum_order": q_curriculum_order,
+        "embed_pool": q_embed_pool,
         "html_table_cells": q_html_table_cells,
         "pdf_text_in_rect": q_pdf_text_in_rect,
         "doc_outline": q_doc_outline,
@@ -8039,6 +8118,144 @@ FROM documents
 
     # sitemap_urls: three closed-form entry templates per doc
     # (q_sitemap_urls docstring).
+    # dup_ngram_fraction: replay the shingle pipeline, df filter and
+    # the exact floor arithmetic over the cloned corpus.
+    oracles["dup_ngram_fraction"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+{SHINGLE_CTE},
+shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+common AS (SELECT shingle FROM shx GROUP BY shingle
+           HAVING COUNT(*) >= 2),
+per AS (SELECT s.doc_id, COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN c.shingle IS NOT NULL THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_dup
+        FROM shx s LEFT JOIN common c ON s.shingle = c.shingle
+        GROUP BY s.doc_id)
+SELECT doc_id, n_grams, n_dup,
+       CAST(floor(n_dup * 10000.0 / n_grams) AS BIGINT) AS dup_frac_e4
+FROM per
+"""
+
+    # hits_hosts: two HITS rounds unrolled, integer raw sums,
+    # divide-before-scale double normalization (graph.py::hits).
+    _hits_norm = ("CAST(CASE WHEN m.mx > 0 THEN floor(x.s / m.mx "
+                  "* 1000000) ELSE 0 END AS BIGINT)")
+    oracles["hits_hosts"] = f"""
+WITH e AS (SELECT doc_id % 50 AS src, (doc_id * 31 + 7) % 50 AS dst
+           FROM documents),
+v AS (SELECT DISTINCT node FROM
+        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS s FROM v),
+a1r AS (SELECT v.node, CAST(coalesce(t.s, 0) AS BIGINT) AS s FROM v
+        LEFT JOIN (SELECT e.dst AS node, SUM(h0.s) AS s FROM e
+                   JOIN h0 ON h0.node = e.src GROUP BY e.dst) t
+        USING (node)),
+a1 AS (SELECT x.node, {_hits_norm} AS s
+       FROM a1r x, (SELECT MAX(s) AS mx FROM a1r) m),
+h1r AS (SELECT v.node, CAST(coalesce(t.s, 0) AS BIGINT) AS s FROM v
+        LEFT JOIN (SELECT e.src AS node, SUM(a1.s) AS s FROM e
+                   JOIN a1 ON a1.node = e.dst GROUP BY e.src) t
+        USING (node)),
+h1 AS (SELECT x.node, {_hits_norm} AS s
+       FROM h1r x, (SELECT MAX(s) AS mx FROM h1r) m),
+a2r AS (SELECT v.node, CAST(coalesce(t.s, 0) AS BIGINT) AS s FROM v
+        LEFT JOIN (SELECT e.dst AS node, SUM(h1.s) AS s FROM e
+                   JOIN h1 ON h1.node = e.src GROUP BY e.dst) t
+        USING (node)),
+a2 AS (SELECT x.node, {_hits_norm} AS s
+       FROM a2r x, (SELECT MAX(s) AS mx FROM a2r) m),
+h2r AS (SELECT v.node, CAST(coalesce(t.s, 0) AS BIGINT) AS s FROM v
+        LEFT JOIN (SELECT e.src AS node, SUM(a2.s) AS s FROM e
+                   JOIN a2 ON a2.node = e.dst GROUP BY e.src) t
+        USING (node)),
+h2 AS (SELECT x.node, {_hits_norm} AS s
+       FROM h2r x, (SELECT MAX(s) AS mx FROM h2r) m)
+SELECT v.node, a2.s AS auth_e6, h2.s AS hub_e6
+FROM v JOIN a2 USING (node) JOIN h2 USING (node)
+"""
+
+    # code_detect: replay the integer-exact signals over the same
+    # augmented text (every 4th doc gets the synthetic code block).
+    _code_block = ("chr(10) || 'def f(x):' || chr(10) || "
+                   "'    return {x[0]: (x | 1)}' || chr(10) || "
+                   "'class C:' || chr(10) || '    pass'")
+    oracles["code_detect"] = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN text || {_code_block}
+              ELSE text END AS text
+  FROM documents),
+sig AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    length(text) - length(regexp_replace(text,
+      '[{{}}\\[\\]();<>=&|#]', '', 'g')) AS symbols,
+    len(regexp_extract_all(text,
+      '\\b(def|class|import|return|function|var|const|void|public|'
+      || 'static|struct|lambda|elif)\\b', 1)) AS kw,
+    string_split(text, chr(10)) AS lines
+  FROM aug),
+feat AS (
+  SELECT doc_id,
+    CASE WHEN n_chars > 0
+         THEN CAST(floor(symbols * 10000.0 / n_chars) AS BIGINT)
+         ELSE 0 END AS symbol_e4,
+    CAST(kw AS BIGINT) AS kw_hits,
+    CAST(floor(len(list_filter(lines, x -> regexp_matches(x,
+        '^(' || chr(9) || '|    )'))) * 10000.0 / len(lines))
+      AS BIGINT) AS indent_e4
+  FROM sig)
+SELECT doc_id, symbol_e4, kw_hits, indent_e4,
+  CAST(CASE WHEN (symbol_e4 >= 300 AND kw_hits >= 2)
+            OR indent_e4 >= 4000 THEN 1 ELSE 0 END AS INT) AS is_code
+FROM feat
+"""
+
+    # curriculum_order: pure window replay of the rank-quantile
+    # bucketing over the closed-form score.
+    oracles["curriculum_order"] = """
+WITH scored AS (
+  SELECT doc_id, source, (doc_id * 37) % 1000 AS score
+  FROM documents),
+rn AS (
+  SELECT doc_id, source,
+    ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY score DESC, doc_id) AS rn,
+    COUNT(*) OVER (PARTITION BY source) AS n
+  FROM scored)
+SELECT doc_id, source,
+  CAST(floor((rn - 1) * 10 / n) AS INT) AS bucket,
+  CAST(rn - 1 - ceil(floor((rn - 1) * 10 / n) * n / 10)
+    AS BIGINT) AS intra_rank
+FROM rn
+"""
+
+    # embed_pool: the fixture gives each doc exactly 4 chunks
+    # (vec_id DIV 4 / MOD 4), so the oracle adds the same four double
+    # vectors in the same left-to-right order as the engine's fold.
+    oracles["embed_pool"] = """
+WITH e AS (SELECT vec_id // 4 AS doc_id, vec_id % 4 AS c,
+                  embedding AS v
+           FROM embeddings),
+x AS (SELECT doc_id, c, generate_subscripts(v, 1) - 1 AS dim,
+             CAST(unnest(v) AS DOUBLE) AS val
+      FROM e),
+p AS (SELECT a.doc_id, a.dim,
+             ((((0.0 + a.val) + b.val) + c2.val) + d.val) / 4 AS m
+      FROM x a
+      JOIN x b  ON b.doc_id = a.doc_id AND b.dim = a.dim AND b.c = 1
+      JOIN x c2 ON c2.doc_id = a.doc_id AND c2.dim = a.dim
+                   AND c2.c = 2
+      JOIN x d  ON d.doc_id = a.doc_id AND d.dim = a.dim AND d.c = 3
+      WHERE a.c = 0)
+SELECT doc_id, CAST(dim AS INT) AS dim, CAST(4 AS INT) AS n_chunks,
+       CAST(floor(m * 10000) AS BIGINT) AS pooled_e4
+FROM p
+"""
+
     # html_metadata: the fixture template (_meta_corpus) is pure
     # Catalyst, so every head field is closed-form in doc_id; n_meta
     # counts the template's 4 <meta> tags.

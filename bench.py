@@ -211,6 +211,11 @@ BENCH_QUERIES = [
     "html_metadata",
     "feed_urls",
     "url_path_templates",
+    "dup_ngram_fraction",
+    "hits_hosts",
+    "code_detect",
+    "curriculum_order",
+    "embed_pool",
     "stream_extract_status",
     "wet_text_records",
     "wat_metadata",

@@ -274,3 +274,48 @@ def c4_line_filter(docs: DataFrame, *, min_words: int = 3) -> DataFrame:
         F.array_join(kept, "\n").alias("text"),
         F.size(kept).cast("int").alias("n_kept"),
         (F.size(lines) - F.size(kept)).cast("int").alias("n_dropped"))
+
+
+def curriculum_order(docs: DataFrame, *, score_col: str,
+                     source_col: str = "source",
+                     n_buckets: int = 10) -> DataFrame:
+    """Quality-stratified, source-balanced curriculum ordering:
+    assigns every doc a (bucket, intra_rank) pair whose ascending sort
+    IS the training order — bucket 0 holds each source's best
+    ``1/n_buckets`` slice, so training sweeps quality tiers from best
+    to worst while round-robining sources inside each tier (the
+    data-mixing analogue of curriculum learning; mixing quality tiers
+    this way is how pipelines schedule "anneal on best data last" —
+    reverse the bucket sort for that).
+
+    Buckets are per-SOURCE quality quantiles computed from ranks, not
+    global score percentiles: integer-exact (no float percentile
+    boundary ambiguity), immune to cross-source score-scale drift
+    (source A's 0.9 and source B's 0.9 rarely mean the same thing),
+    and replayable in ANSI SQL.
+
+        rn      = row_number() over (partition by source
+                                     order by score desc, doc_id)
+        bucket  = floor((rn-1) · n_buckets / count(source))
+        intra   = rn - 1 - ceil(bucket · count / n_buckets)
+
+    Scale shape: one source-partitioned window sort + one broadcast
+    join of per-source counts — no global window, no single-partition
+    stage. The materialized global order is the RANGE sort by
+    (bucket, intra_rank, source, doc_id) the trainer's writer applies;
+    a mega-source's window sort is the only fat partition and spills
+    gracefully (or pre-salt by score band and merge ranks).
+    Output: (doc_id, source, bucket, intra_rank)."""
+    w = Window.partitionBy(source_col).orderBy(
+        F.col(score_col).desc(), F.col("doc_id"))
+    counts = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("_n"))
+    rn = docs.select("doc_id", source_col,
+                     F.row_number().over(w).alias("_rn"))
+    bucket = F.floor((F.col("_rn") - 1) * n_buckets / F.col("_n"))
+    start = F.ceil(bucket * F.col("_n") / n_buckets)
+    return (rn.join(F.broadcast(counts), source_col)
+            .select("doc_id", source_col,
+                    bucket.cast("int").alias("bucket"),
+                    (F.col("_rn") - 1 - start).cast("long")
+                    .alias("intra_rank")))

@@ -725,3 +725,43 @@ def canonical_representatives(components: DataFrame, scores: DataFrame,
             .agg(F.max_by(F.col(id_col), ordering).alias("canonical_id"),
                  F.count("*").cast("int").alias("n_members"),
                  F.max(score_col).alias(f"best_{score_col}")))
+
+
+def dup_ngram_fraction(sh: DataFrame, *, min_df: int = 2,
+                       storage: str = "memory_and_disk") -> DataFrame:
+    """Per-doc duplicated-n-gram fraction (the corpus-overlap /
+    memorization-risk profile of Lee et al. 2021 §5): for each doc,
+    the share of its distinct shingles that also occur in ≥ ``min_df``
+    documents corpus-wide. Where ``ngram_novelty`` asks "did this doc
+    see the gram FIRST" (an ownership question biased by doc_id
+    order), this asks the order-free question "how much of this doc is
+    corpus-common text" — the signal that separates quotation-heavy
+    but original pages from templated mirrors, and the per-doc view of
+    how much substring-level dedup would remove.
+
+    Plan shape: ONE shuffle of the shingle table on the gram key for
+    the df hash-aggregate; the common-gram set (df ≥ min_df — far
+    smaller than the gram vocabulary for any real min_df) is
+    semi-joined back onto the persisted shingle table (second gram-key
+    shuffle; exchange reuse can't fire across Arrow-UDF subtrees, so
+    the persist is what keeps the shingler at one pass), then one
+    doc-key count. Output: (doc_id, n_grams, n_dup, dup_frac_e4)."""
+    from pyspark import StorageLevel
+
+    if storage != "none":
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    common = (sh.groupBy("shingle")
+              .agg(F.count(F.lit(1)).alias("_df"))
+              .filter(F.col("_df") >= min_df)
+              .select("shingle"))
+    dup = (sh.join(common, "shingle", "left_semi")
+           .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup")))
+    totals = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (totals.join(dup, "doc_id", "left")
+            .select(
+                "doc_id", "n_grams",
+                F.coalesce(F.col("n_dup"), F.lit(0)).cast("long")
+                 .alias("n_dup"),
+                F.floor(F.coalesce(F.col("n_dup"), F.lit(0)) * 10000
+                        / F.col("n_grams"))
+                 .cast("long").alias("dup_frac_e4")))

@@ -71,3 +71,77 @@ def pagerank(edges: DataFrame, *, iters: int = 3,
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def hits(edges: DataFrame, *, iters: int = 2,
+         checkpoint_every: int = 4) -> DataFrame:
+    """Integer-exact HITS (Kleinberg 1999): (src, dst) → (node,
+    auth_e6, hub_e6) after ``iters`` mutual-reinforcement rounds.
+
+    Where PageRank measures endorsement flow, HITS separates the two
+    roles a crawl cares about: *authorities* (hosts worth fetching
+    deeply) and *hubs* (directory/aggregator hosts worth mining for
+    frontier links — a high-hub host's outlinks are better seeds than
+    a high-authority host's). Update, integer-quantized so rounds are
+    order-independent and an oracle replays them unrolled:
+
+        a_raw(v) = Σ_{u→v} h(u);  a(v) = floor(a_raw / max a_raw · 1e6)
+        h_raw(u) = Σ_{u→v} a(v);  h(u) = floor(h_raw / max h_raw · 1e6)
+
+    starting from h = 1e6 everywhere. The max-normalization (instead
+    of the textbook L2) keeps every raw sum a bounded BIGINT —
+    ≤ 1e6·max-degree, int64-safe past 10^12-edge host graphs — and
+    the normalizer divides BEFORE scaling (raw/max ∈ [0,1] in double,
+    then ×1e6, then floor: the multiply-first spelling would overflow
+    int64 at ~10^12 raw sums, and the two double ops in this order are
+    bit-replayable in any engine). Nodes with no in-edges get auth 0;
+    no out-edges → hub 0.
+    Parallel edges are real multi-edges, as in ``pagerank``.
+
+    Scale shape: identical to ``pagerank`` — edges shuffled ONCE
+    (persisted co-partitioning reused every round), per half-round one
+    join of the N-row score table into edges + one map-side-partial
+    groupBy sum; the 1-row max joins by broadcast (the accepted
+    scalar-stats BNLJ pattern). Score lineage is localCheckpoint-
+    truncated every ``checkpoint_every`` rounds."""
+    edges = edges.select("src", "dst").repartition("src").persist()
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct().persist())
+
+    def _norm(raw: DataFrame, col: str) -> DataFrame:
+        mx = raw.agg(F.max(col).alias("_mx"))
+        return (raw.join(F.broadcast(mx))
+                .select("node",
+                        F.when(F.col("_mx") > 0,
+                               F.floor(F.col(col) / F.col("_mx")
+                                       * PR_SCALE))
+                        .otherwise(F.lit(0))
+                        .cast("long").alias(col)))
+
+    hubs = nodes.select(
+        "node", F.lit(PR_SCALE).cast("long").alias("hub_e6"))
+    auths = None
+    for i in range(iters):
+        a_raw = (edges
+                 .join(hubs.withColumnRenamed("node", "src"), "src")
+                 .groupBy(F.col("dst").alias("node"))
+                 .agg(F.sum("hub_e6").alias("a")))
+        a_raw = (nodes.join(a_raw, "node", "left")
+                 .select("node", F.coalesce(F.col("a"), F.lit(0))
+                         .cast("long").alias("a")))
+        auths = _norm(a_raw, "a").withColumnRenamed("a", "auth_e6")
+        h_raw = (edges
+                 .join(auths.withColumnRenamed("node", "dst"), "dst")
+                 .groupBy(F.col("src").alias("node"))
+                 .agg(F.sum("auth_e6").alias("h")))
+        h_raw = (nodes.join(h_raw, "node", "left")
+                 .select("node", F.coalesce(F.col("h"), F.lit(0))
+                         .cast("long").alias("h")))
+        hubs = _norm(h_raw, "h").withColumnRenamed("h", "hub_e6")
+        hubs = hubs.persist()
+        if (i + 1) % checkpoint_every == 0:
+            hubs = hubs.localCheckpoint()
+            auths = auths.localCheckpoint()
+    return (auths.join(hubs, "node")
+            .select("node", "auth_e6", "hub_e6"))

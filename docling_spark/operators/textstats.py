@@ -658,3 +658,57 @@ def oov_rate(docs: DataFrame, *, vocab_k: int = 1000,
                     F.floor(F.col("n_oov") * 1_000_000
                             / F.col("n_tokens"))
                     .cast("long").alias("oov_e6")))
+
+
+# code_detect keyword list: one alternation, word-bounded, shared
+# verbatim with the DuckDB oracle (RE2 and java.util.regex agree on
+# \b over ASCII). Deliberately small and cross-language.
+CODE_KEYWORDS = ("def|class|import|return|function|var|const|void|"
+                 "public|static|struct|lambda|elif")
+
+
+def code_detect(docs: DataFrame, *,
+                symbol_e4_min: int = 300,
+                kw_min: int = 2,
+                indent_e4_min: int = 4000) -> DataFrame:
+    """Prose-vs-code routing signals + gate — integer-exact, pure
+    Catalyst (zero shuffle, composes into the scan stage).
+
+    A pretraining mix treats code and prose differently (separate
+    dedup thresholds, separate quality gates, different packing), and
+    crawl HTML carries plenty of unlabeled code (<pre> blocks, raw
+    .py/.js fetches), so the router must work from text alone:
+
+    - ``symbol_e4``: code-punctuation chars ({}[]();<>=&|#) per char
+      ×10⁴ — prose sits <150, real code >400;
+    - ``kw_hits``: word-bounded hits of a small cross-language keyword
+      alternation (CODE_KEYWORDS);
+    - ``indent_e4``: fraction of lines starting with a tab or ≥4
+      spaces ×10⁴ — indentation regularity survives even
+      symbol-light code (Python, YAML);
+    - ``is_code``: (symbol_e4 ≥ symbol_e4_min AND kw_hits ≥ kw_min)
+      OR indent_e4 ≥ indent_e4_min.
+
+    This is the deterministic stand-in for a fastText code classifier
+    (model weights are an o-o-s pluggable slot, like doc_language_id's
+    NN upgrade); thresholds are calibrated for routing, not for
+    benchmark-grade classification."""
+    text = F.col("text")
+    n_chars = F.length(text)
+    symbols = n_chars - F.length(
+        F.regexp_replace(text, r"[{}\[\]();<>=&|#]", ""))
+    kw = F.size(F.regexp_extract_all(
+        text, F.lit(r"\b(" + CODE_KEYWORDS + r")\b"), 1))
+    lines = F.split(text, "\n", -1)
+    indented = F.size(F.filter(
+        lines, lambda x: x.rlike(r"^(\t|    )")))
+    symbol_e4 = F.when(n_chars > 0,
+                       F.floor(symbols * 10000 / n_chars)) \
+                 .otherwise(F.lit(0)).cast("long")
+    indent_e4 = F.floor(indented * 10000 / F.size(lines)).cast("long")
+    is_code = (((symbol_e4 >= symbol_e4_min) & (kw >= kw_min))
+               | (indent_e4 >= indent_e4_min)).cast("int")
+    return docs.select(
+        "doc_id", symbol_e4.alias("symbol_e4"),
+        kw.cast("long").alias("kw_hits"),
+        indent_e4.alias("indent_e4"), is_code.alias("is_code"))

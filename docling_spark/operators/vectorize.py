@@ -119,3 +119,51 @@ def tfidf_hash_vectors(docs: DataFrame, *, dim: int = EMBED_DIM,
             .groupBy("doc_id", "dim")
             .agg(F.sum("_w").cast("long").alias("w_e6"))
             .filter(F.col("w_e6") != 0))
+
+
+def mean_pool_embeddings(chunks: DataFrame, *,
+                         id_col: str = "doc_id",
+                         pos_col: str = "chunk_idx",
+                         vec_col: str = "embedding",
+                         quantize_e4: bool = True) -> DataFrame:
+    """Chunk embeddings → one pooled document vector: the standard
+    retrieval/near-dup representation when documents exceed the
+    embedder's context (embed chunks, mean-pool to doc). Emits one row
+    per (doc_id, dim) — (doc_id, dim, n_chunks, pooled_e4) — the
+    relational spelling downstream kNN/k-means operators and the
+    driver's scalar canonicalizer both consume; use ``collect_list``
+    over it if an array column is needed.
+
+    Determinism (what makes this oracle-exact): chunk vectors are
+    gathered per doc as structs SORTED by chunk position and folded
+    left-to-right with ``F.aggregate`` + ``zip_with`` in double
+    precision, so the float summation order is fixed — a plain
+    groupBy(doc, dim).avg() would sum in shuffle arrival order and
+    wobble in the last ulp, which a ×10⁴ quantizer can amplify across
+    engines. floor(sum/n · 10⁴) is then bit-replayable in any engine
+    that adds doubles left-to-right.
+
+    Scale shape: ONE shuffle on doc_id; per-group state is
+    n_chunks · dim doubles (chunking bounds n_chunks, so the struct
+    list is small); the fold is a codegen'd higher-order expression,
+    no Python. Output cardinality = docs × dim."""
+    doc, pos, vec = F.col(id_col), F.col(pos_col), F.col(vec_col)
+    gathered = (chunks
+                .select(doc.alias("doc_id"), pos.alias("_pos"),
+                        vec.cast("array<double>").alias("_v"))
+                .groupBy("doc_id")
+                .agg(F.array_sort(F.collect_list(
+                    F.struct(F.col("_pos"), F.col("_v")))).alias("_cs")))
+    dim = F.size(F.element_at(F.col("_cs"), 1)["_v"])
+    zero = F.array_repeat(F.lit(0.0), dim)
+    summed = F.aggregate(
+        F.col("_cs"), zero,
+        lambda acc, c: F.zip_with(acc, c["_v"], lambda a, b: a + b))
+    n = F.size(F.col("_cs"))
+    pooled = F.transform(summed, lambda s: s / n)
+    out = (gathered.select(
+        "doc_id", n.cast("int").alias("n_chunks"),
+        F.posexplode(pooled).alias("dim", "_p")))
+    val = (F.floor(F.col("_p") * 10000).cast("long").alias("pooled_e4")
+           if quantize_e4 else F.col("_p").alias("pooled"))
+    return out.select("doc_id", "dim", "n_chunks", val)
