@@ -3882,6 +3882,34 @@ def q_embed_pool(spark, sf_dir):
     return out.filter(F.col("n_chunks") == 4)
 
 
+def q_pdf_outline(spark, sf_dir):
+    """PDF bookmark-tree extraction through the native parser
+    (operators/pdfnative.py::pdf_outline over parsers/pdfio.py::
+    extract_outline): synthesize a REAL linked /Outlines tree per doc
+    (chapter + two sections spanning both pages), parse it back, and
+    check the flattened pre-order against the closed-form shape. Both
+    stages are zero-shuffle Arrow passes."""
+    from docling_spark.operators.pdfnative import (pdf_outline,
+                                                   synth_pdf_outline_docs)
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    pages = F.array(F.array(F.concat(F.lit("alpha "), d)),
+                    F.array(F.concat(F.lit("beta "), d)))
+
+    def _entry(level: int, title: F.Column, pg: int) -> F.Column:
+        return F.struct(F.lit(level).alias("level"),
+                        title.alias("title"),
+                        F.lit(pg).alias("page_idx"))
+
+    ol = F.array(
+        _entry(0, F.concat(F.lit("Chapter "), d), 0),
+        _entry(1, F.concat(F.lit("Section "), d, F.lit(".1")), 0),
+        _entry(1, F.concat(F.lit("Section "), d, F.lit(".2")), 1))
+    src = docs.select(d.alias("doc_id"), pages.alias("pages"),
+                      ol.alias("outline"))
+    return pdf_outline(synth_pdf_outline_docs(src))
+
+
 # ---------------------------------------------------------------------------
 # driver API
 
@@ -3946,6 +3974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_detect": q_code_detect,
         "curriculum_order": q_curriculum_order,
         "embed_pool": q_embed_pool,
+        "pdf_outline": q_pdf_outline,
         "html_table_cells": q_html_table_cells,
         "pdf_text_in_rect": q_pdf_text_in_rect,
         "doc_outline": q_doc_outline,
@@ -8254,6 +8283,21 @@ p AS (SELECT a.doc_id, a.dim,
 SELECT doc_id, CAST(dim AS INT) AS dim, CAST(4 AS INT) AS n_chunks,
        CAST(floor(m * 10000) AS BIGINT) AS pooled_e4
 FROM p
+"""
+
+    # pdf_outline: the synthesized outline (chapter + 2 sections) is
+    # closed-form; the engine must recover it from real PDF bytes.
+    oracles["pdf_outline"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(e.idx AS INT) AS idx, CAST(e.lvl AS INT) AS level,
+       CASE e.idx
+         WHEN 0 THEN 'Chapter ' || CAST(doc_id AS VARCHAR)
+         WHEN 1 THEN 'Section ' || CAST(doc_id AS VARCHAR) || '.1'
+         ELSE 'Section ' || CAST(doc_id AS VARCHAR) || '.2'
+       END AS title,
+       CAST(e.pg AS INT) AS page_no
+FROM documents,
+     (VALUES (0, 0, 0), (1, 1, 0), (2, 1, 1)) AS e(idx, lvl, pg)
 """
 
     # html_metadata: the fixture template (_meta_corpus) is pure

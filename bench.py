@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "extract_pdf_paged",
     "extract_pdf_native_paged",
     "pdf_native_roundtrip",
+    "pdf_outline",
     "extract_pdf_raw_routed",
     "page_render_meta",
     "page_render_ocr_roundtrip",

@@ -156,3 +156,59 @@ def parse_pdf_native(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(batches, schema=PDF_TEXT_DDL)
+
+
+PDF_OUTLINE_DDL = ("doc_id string, idx int, level int, title string, "
+                   "page_no int")
+
+
+def synth_pdf_outline_docs(df: DataFrame) -> DataFrame:
+    """(doc_id, pages:array<array<string>>, outline:array<struct<
+    level:int,title:string,page_idx:int>>) → (doc_id, pdf:binary) —
+    real two-page PDFs carrying a genuine §12.3.3 outline tree
+    (linked /First//Next items, /Parent back-refs, explicit /Dest
+    arrays). Pure Arrow stage, no shuffle."""
+    from docling_spark.sources.pdfsynth import synth_pdf_pages
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for pages, ol in zip(pdf["pages"], pdf["outline"]):
+                entries = [(int(e["level"]), str(e["title"]),
+                            int(e["page_idx"])) for e in ol]
+                blobs.append(synth_pdf_pages(
+                    [list(p) for p in pages], outline=entries))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "pdf": pd.Series(blobs, dtype=object)})
+
+    return df.mapInPandas(batches, schema="doc_id string, pdf binary")
+
+
+def pdf_outline(df: DataFrame) -> DataFrame:
+    """(doc_id, pdf:binary) → one row per bookmark: (doc_id, idx,
+    level, title, page_no) in pre-order (parsers/pdfio.py::
+    extract_outline — /Outlines tree walk with cycle guard, /Dest and
+    GoTo-action page resolution). The author-provided section
+    hierarchy, free at parse time — the structural prior layout
+    analysis otherwise has to re-infer. Zero-shuffle mapInPandas on
+    the corpus partitioning; PDFs with no outline emit no rows."""
+    from docling_spark.parsers.pdfio import extract_outline
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["pdf"]):
+                if blob is None:
+                    continue
+                try:
+                    entries = extract_outline(bytes(blob))
+                except Exception:
+                    continue   # corrupt bytes must not kill the batch
+                for e in entries:
+                    rows.append((doc_id, e["idx"], e["level"],
+                                 e["title"], e["page_no"]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "idx", "level", "title",
+                               "page_no"])
+
+    return df.mapInPandas(batches, schema=PDF_OUTLINE_DDL)

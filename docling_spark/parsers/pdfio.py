@@ -1371,3 +1371,99 @@ def extract_pdf_cells(data: bytes, space_em: float = 0.15,
              "cells": assemble_lines(p["runs"], space_em=space_em,
                                      bidi=bidi)}
             for p in pages]
+
+
+# -- document outline (bookmarks) ------------------------------------------
+
+def _pdf_text_string(v) -> str:
+    """ISO 32000-1 §7.9.2.2 text string: UTF-16BE when BOM'd, else
+    PDFDocEncoding (latin-1 superset — close enough for titles)."""
+    if isinstance(v, bytes):
+        if v[:2] == b"\xfe\xff":
+            try:
+                return v[2:].decode("utf-16-be")
+            except UnicodeDecodeError:
+                return v[2:].decode("latin-1", "replace")
+        return v.decode("latin-1", "replace")
+    return str(v) if v is not None else ""
+
+
+def _page_number_map(doc: PdfDocument) -> dict:
+    """Page OBJECT NUMBER → 0-based page index, by the same page-tree
+    walk pages() does (outline destinations reference page objects by
+    number, which pages()' inherited-attribute copies discard)."""
+    root = doc.resolve(doc.trailer.get("Root")) or {}
+    pages_ref = root.get("Pages") if isinstance(root, dict) else None
+    out: dict = {}
+    seen = set()
+
+    def walk(node_ref):
+        node = doc.resolve(node_ref)
+        if not isinstance(node, dict) or len(out) > 8192:
+            return
+        key = id(node)
+        if key in seen:
+            return
+        seen.add(key)
+        if str(node.get("Type", "")) == "Pages" or "Kids" in node:
+            for kid in doc.resolve(node.get("Kids")) or []:
+                walk(kid)
+        elif isinstance(node_ref, Ref):
+            out.setdefault(node_ref.num, len(out))
+
+    if pages_ref is not None:
+        walk(pages_ref)
+    return out
+
+
+def extract_outline(data: bytes) -> List[dict]:
+    """Raw PDF bytes → flattened document outline (§12.3.3): one dict
+    (idx, level, title, page_no) per bookmark in pre-order. Follows
+    /First + /Next sibling chains with a visited guard (real-world
+    outlines contain cycles), resolves /Dest arrays and /A GoTo
+    actions to 0-based page indices (-1 when unresolvable). The
+    reference surfaces no bookmark tree (docling derives structure
+    from layout only), but at corpus scale the author-provided outline
+    is a free section-hierarchy signal for chunking."""
+    doc = PdfDocument(data)
+    pagenos = _page_number_map(doc)
+    root = doc.resolve(doc.trailer.get("Root")) or {}
+    outlines = doc.resolve(root.get("Outlines")) \
+        if isinstance(root, dict) else None
+    out: List[dict] = []
+    if not isinstance(outlines, dict):
+        return out
+    seen = set()
+
+    def dest_page(item: dict) -> int:
+        dest = doc.resolve(item.get("Dest"))
+        if dest is None:
+            act = doc.resolve(item.get("A"))
+            if isinstance(act, dict) and str(act.get("S", "")) == "GoTo":
+                dest = doc.resolve(act.get("D"))
+        if isinstance(dest, list) and dest and isinstance(dest[0], Ref):
+            return pagenos.get(dest[0].num, -1)
+        return -1
+
+    def walk(first_ref, level):
+        ref = first_ref
+        while isinstance(ref, Ref) and len(out) < 65536:
+            if ref.num in seen:
+                return
+            seen.add(ref.num)
+            item = doc.resolve(ref)
+            if not isinstance(item, dict):
+                return
+            out.append({
+                "idx": len(out),
+                "level": level,
+                "title": _pdf_text_string(doc.resolve(item.get("Title"))),
+                "page_no": dest_page(item),
+            })
+            kid = item.get("First")
+            if kid is not None:
+                walk(kid, level + 1)
+            ref = item.get("Next")
+
+    walk(outlines.get("First"), 0)
+    return out

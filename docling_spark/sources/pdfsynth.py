@@ -40,19 +40,32 @@ def synth_pdf(page_texts: List[str], compress: bool = True) -> bytes:
 
 
 def synth_pdf_pages(pages: List[List[str]],
-                    compress: bool = True) -> bytes:
+                    compress: bool = True,
+                    outline: "List[tuple]" = None) -> bytes:
     """Build a one-column PDF where each page is a list of text lines
     laid out top-down at a uniform 14pt step from y=724 (10pt
     Helvetica) — single-column body geometry, clear of the page
-    header/footer margins."""
+    header/footer margins.
+
+    ``outline``: optional list of (level, title, page_idx) in document
+    order (levels start at 0 and may only deepen one step at a time) —
+    written as a REAL ISO 32000-1 §12.3.3 outline tree: /Outlines root
+    with /First /Last /Count, items linked via /Parent /Prev /Next
+    with explicit [page /XYZ] destinations, so the reader's tree walk
+    is exercised, not a flat list replay."""
     page_texts = pages
     objs: List[bytes] = []  # 1-indexed object bodies (without N 0 obj)
 
     n_pages = max(1, len(page_texts))
     # object layout: 1=Catalog, 2=Pages, 3=Font,
-    #   4..3+n = Page_i, 4+n..3+2n = Contents_i
+    #   4..3+n = Page_i, 4+n..3+2n = Contents_i,
+    #   then (when outlined) 4+2n = /Outlines root, 5+2n+i = item i
     kids = " ".join(f"{4 + i} 0 R" for i in range(n_pages))
-    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    if outline:
+        objs.append((f"<< /Type /Catalog /Pages 2 0 R "
+                     f"/Outlines {4 + 2 * n_pages} 0 R >>").encode())
+    else:
+        objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objs.append((f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} "
                  f"/MediaBox [0 0 612 792] /Resources "
                  f"<< /Font << /F1 3 0 R >> >> >>").encode())
@@ -75,6 +88,62 @@ def synth_pdf_pages(pages: List[List[str]],
         else:
             objs.append(b"<< /Length " + str(len(content)).encode() +
                         b" >>\nstream\n" + content + b"\nendstream")
+
+    if outline:
+        root_num = 4 + 2 * n_pages
+        first_item = root_num + 1
+        n_items = len(outline)
+        # resolve the sibling/child structure from the level sequence
+        parents = [None] * n_items   # index of parent item, None=root
+        firsts = [None] * n_items    # first/last CHILD item index
+        lasts = [None] * n_items
+        prevs = [None] * n_items
+        nexts = [None] * n_items
+        counts = [0] * n_items       # open descendant count
+        stack: List[int] = []        # item indices, one per level
+        root_first = root_last = None
+        for i, (level, _title, _pg) in enumerate(outline):
+            level = max(0, int(level))
+            del stack[level:]
+            parent = stack[-1] if stack else None
+            parents[i] = parent
+            if parent is None:
+                if root_first is None:
+                    root_first = i
+                if root_last is not None:
+                    prevs[i], nexts[root_last] = root_last, i
+                root_last = i
+            else:
+                if firsts[parent] is None:
+                    firsts[parent] = i
+                else:
+                    prevs[i], nexts[lasts[parent]] = lasts[parent], i
+                lasts[parent] = i
+            p = parent
+            while p is not None:       # open outline: count all
+                counts[p] += 1         # descendants (§12.3.3)
+                p = parents[p]
+            stack.append(i)
+        total = n_items
+        objs.append((f"<< /Type /Outlines /First {first_item + root_first}"
+                     f" 0 R /Last {first_item + root_last} 0 R"
+                     f" /Count {total} >>").encode())
+        for i, (level, title, pg) in enumerate(outline):
+            pg = min(max(0, int(pg)), n_pages - 1)
+            parent = (root_num if parents[i] is None
+                      else first_item + parents[i])
+            body = bytearray(b"<< /Title " + _lit(title))
+            body += f" /Parent {parent} 0 R".encode()
+            if prevs[i] is not None:
+                body += f" /Prev {first_item + prevs[i]} 0 R".encode()
+            if nexts[i] is not None:
+                body += f" /Next {first_item + nexts[i]} 0 R".encode()
+            if firsts[i] is not None:
+                body += (f" /First {first_item + firsts[i]} 0 R"
+                         f" /Last {first_item + lasts[i]} 0 R"
+                         f" /Count {counts[i]}").encode()
+            body += f" /Dest [{4 + pg} 0 R /XYZ 0 792 0] >>".encode()
+            objs.append(bytes(body))
 
     buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
