@@ -3910,6 +3910,40 @@ def q_pdf_outline(spark, sf_dir):
     return pdf_outline(synth_pdf_outline_docs(src))
 
 
+def q_media_exif(spark, sf_dir):
+    """EXIF/TIFF IFD metadata parse (operators/multimodal.py::
+    parse_exif): every doc synthesizes a structurally-real baseline
+    TIFF (alternating byte order, offset-indirected ASCII values),
+    every 3rd doc wrapped as a JPEG APP1/Exif segment; the parser must
+    recover the closed-form fields from raw bytes. Zero-shuffle Arrow
+    synth + parse."""
+    import pandas as pd  # noqa: F811 (Arrow stage local)
+
+    from docling_spark.operators.multimodal import (synth_tiff,
+                                                    with_exif_meta)
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def batches(it):
+        for pdf in it:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                t = synth_tiff(100 + d % 1000, 80 + d % 600,
+                               1 + d % 8, f"ACME {d % 5}",
+                               f"Cam {d}", f"2024:01:{d % 28 + 1:02d}",
+                               little_endian=(d % 2 == 0))
+                if d % 3 == 0:
+                    t = (b"\xff\xd8\xff\xe1"
+                         + (len(t) + 8).to_bytes(2, "big")
+                         + b"Exif\x00\x00" + t + b"\xff\xd9")
+                blobs.append(t)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype(str),
+                                "bytes": pd.Series(blobs, dtype=object)})
+
+    media = docs.mapInPandas(batches, schema="doc_id string, bytes binary")
+    return with_exif_meta(media)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 
@@ -3975,6 +4009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order": q_curriculum_order,
         "embed_pool": q_embed_pool,
         "pdf_outline": q_pdf_outline,
+        "media_exif": q_media_exif,
         "html_table_cells": q_html_table_cells,
         "pdf_text_in_rect": q_pdf_text_in_rect,
         "doc_outline": q_doc_outline,
@@ -8283,6 +8318,22 @@ p AS (SELECT a.doc_id, a.dim,
 SELECT doc_id, CAST(dim AS INT) AS dim, CAST(4 AS INT) AS n_chunks,
        CAST(floor(m * 10000) AS BIGINT) AS pooled_e4
 FROM p
+"""
+
+    # media_exif: the TIFF fixture fields are closed-form in doc_id;
+    # the engine must recover them from raw IFD bytes.
+    oracles["media_exif"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+  CAST(100 + doc_id % 1000 AS INT) AS width,
+  CAST(80 + doc_id % 600 AS INT) AS height,
+  CAST(1 + doc_id % 8 AS INT) AS orientation,
+  'ACME ' || CAST(doc_id % 5 AS VARCHAR) AS make,
+  'Cam ' || CAST(doc_id AS VARCHAR) AS model,
+  '2024:01:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+    AS datetime,
+  CAST(6 AS INT) AS n_tags
+FROM documents
 """
 
     # pdf_outline: the synthesized outline (chapter + 2 sections) is

@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "media_audio_meta",
     "media_frame_plan",
     "media_asset_dedup",
+    "media_exif",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
     "tpch_q5_local_supplier",

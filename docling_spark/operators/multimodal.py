@@ -588,3 +588,139 @@ def interleave_stats(span_rows: DataFrame, *,
         F.floor(F.col("n_media_spans") * F.lit(1000000)
                 / F.col("n_spans")).cast("long")
         .alias("media_ratio_e6"))
+
+
+# -- EXIF / TIFF IFD metadata ------------------------------------------------
+
+EXIF_DDL = ("byte_order string, width int, height int, orientation int, "
+            "make string, model string, datetime string, n_tags int")
+
+_EXIF_ASCII = {271: "make", 272: "model", 306: "datetime"}
+_EXIF_SHORT = {256: "width", 257: "height", 274: "orientation"}
+
+
+def parse_exif(data: bytes):
+    """Baseline TIFF IFD0 parse (the container EXIF lives in): byte
+    order (II/MM), ImageWidth/Length (256/257), Orientation (274),
+    Make/Model/DateTime (271/272/306 ASCII). Accepts bare TIFF bytes
+    or a JPEG whose APP1 segment carries the standard ``Exif\\0\\0``
+    header (the walk skips segments exactly like a camera-file
+    reader). Returns None for anything else — at crawl scale media
+    metadata must degrade to NULL, never to an exception.
+
+    Implements ISO 12234-2/TIFF 6.0 structure from the public spec;
+    no imaging library (the reference's image handling is all
+    PIL-delegated — /root/reference/docling/utils/export.py and the
+    page-image path — so this parser is net-new surface, like the
+    PGM/PNG decoders above)."""
+    import struct
+
+    tiff = None
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        tiff = data
+    elif data[:2] == b"\xff\xd8":           # JPEG: walk to APP1/Exif
+        p = 2
+        while p + 4 <= len(data) and data[p] == 0xFF:
+            marker, ln = data[p + 1], int.from_bytes(
+                data[p + 2:p + 4], "big")
+            if marker == 0xE1 and data[p + 4:p + 10] == b"Exif\x00\x00":
+                tiff = data[p + 10:p + 2 + ln]
+                break
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD9:
+                p += 2
+                continue
+            p += 2 + ln
+    if tiff is None or len(tiff) < 8:
+        return None
+    le = tiff[:2] == b"II"
+    end = "<" if le else ">"
+    try:
+        ifd = struct.unpack(end + "I", tiff[4:8])[0]
+        n = struct.unpack(end + "H", tiff[ifd:ifd + 2])[0]
+    except struct.error:
+        return None
+    out = {"byte_order": "II" if le else "MM", "width": None,
+           "height": None, "orientation": None, "make": None,
+           "model": None, "datetime": None, "n_tags": n}
+    for i in range(min(n, 256)):
+        e = ifd + 2 + 12 * i
+        if e + 12 > len(tiff):
+            break
+        tag, typ, cnt = struct.unpack(end + "HHI", tiff[e:e + 8])
+        val = tiff[e + 8:e + 12]
+        if tag in _EXIF_SHORT and typ in (3, 4):
+            v = struct.unpack(end + ("H2x" if typ == 3 else "I"),
+                              val)[0]
+            out[_EXIF_SHORT[tag]] = int(v)
+        elif tag in _EXIF_ASCII and typ == 2:
+            if cnt <= 4:
+                raw = val[:cnt]
+            else:
+                off = struct.unpack(end + "I", val)[0]
+                raw = tiff[off:off + cnt]
+            out[_EXIF_ASCII[tag]] = (raw.split(b"\x00", 1)[0]
+                                     .decode("latin-1", "replace"))
+    return out
+
+
+def exif_meta_udf(col: Column) -> Column:
+    @pandas_udf(EXIF_DDL)
+    def meta(blobs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in blobs:
+            m = None if b is None else parse_exif(bytes(b))
+            rows.append(m or dict.fromkeys(
+                ("byte_order", "width", "height", "orientation",
+                 "make", "model", "datetime", "n_tags")))
+        return pd.DataFrame(rows)
+
+    return meta(col)
+
+
+def with_exif_meta(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Zero-shuffle Arrow projection: input columns minus the blob
+    plus the parsed EXIF struct fields (NULLs for non-TIFF/JPEG)."""
+    keep = [c for c in df.columns if c != bytes_col]
+    return (df.withColumn("_x", exif_meta_udf(F.col(bytes_col)))
+            .select(*keep, "_x.*"))
+
+
+def synth_tiff(width: int, height: int, orientation: int,
+               make: str, model: str, datetime_s: str,
+               little_endian: bool = True) -> bytes:
+    """Minimal structurally-honest baseline TIFF: header + one IFD
+    with the six tags parse_exif reads, ASCII values stored past the
+    IFD with real offsets (exercising the offset-indirection path
+    whenever a string exceeds the 4 inline bytes)."""
+    import struct
+
+    end = "<" if little_endian else ">"
+    entries = []       # (tag, type, count, packed-value-or-None, data)
+    for tag, v in ((256, width), (257, height), (274, orientation)):
+        entries.append((tag, 3, 1,
+                        struct.pack(end + "HH", int(v), 0), None))
+    for tag, s in ((271, make), (272, model), (306, datetime_s)):
+        raw = s.encode("latin-1", "replace") + b"\x00"
+        if len(raw) <= 4:
+            entries.append((tag, 2, len(raw), raw.ljust(4, b"\x00"),
+                            None))
+        else:
+            entries.append((tag, 2, len(raw), None, raw))
+    entries.sort(key=lambda e: e[0])        # TIFF mandates tag order
+    ifd_at = 8
+    data_at = ifd_at + 2 + 12 * len(entries) + 4
+    body = bytearray()
+    fixed = []
+    for tag, typ, cnt, inline, blob in entries:
+        if inline is None:
+            inline = struct.pack(end + "I", data_at + len(body))
+            body += blob
+        fixed.append((tag, typ, cnt, inline))
+    buf = bytearray((b"II" if little_endian else b"MM"))
+    buf += struct.pack(end + "HI", 42, ifd_at)
+    buf += struct.pack(end + "H", len(fixed))
+    for tag, typ, cnt, inline in fixed:
+        buf += struct.pack(end + "HHI", tag, typ, cnt) + inline
+    buf += struct.pack(end + "I", 0)        # no next IFD
+    buf += body
+    return bytes(buf)

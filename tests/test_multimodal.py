@@ -319,3 +319,29 @@ def test_average_hash_corrupt_payloads_return_none():
     import pytest
     with pytest.raises(ValueError):
         average_hash(b"P5\n8 8\n255\n" + bytes(64), hash_size=16)
+
+
+def test_parse_exif_truncated_and_hostile():
+    from docling_spark.operators.multimodal import parse_exif, synth_tiff
+    t = synth_tiff(10, 20, 1, "M", "N", "D")
+    assert parse_exif(t[:6]) is None            # truncated header
+    assert parse_exif(b"II*\x00\xff\xff\xff\xff") is None  # bad IFD off
+    # entry count pointing past the buffer: parse stops, keeps parsed
+    bad = bytearray(t)
+    bad[8:10] = (9999).to_bytes(2, "little")
+    out = parse_exif(bytes(bad))
+    assert out is not None and out["n_tags"] == 9999
+    # JPEG without an Exif APP1 -> None
+    assert parse_exif(b"\xff\xd8\xff\xe0\x00\x04xx\xff\xd9") is None
+
+
+def test_exif_jpeg_segment_walk():
+    from docling_spark.operators.multimodal import parse_exif, synth_tiff
+    t = synth_tiff(33, 44, 3, "Mk", "Md", "Dt", little_endian=False)
+    # APP0 first, then APP1/Exif: the walk must skip APP0
+    app0 = b"\xff\xe0" + (15).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 8
+    app1 = (b"\xff\xe1" + (len(t) + 8).to_bytes(2, "big")
+            + b"Exif\x00\x00" + t)
+    out = parse_exif(b"\xff\xd8" + app0 + app1 + b"\xff\xd9")
+    assert out["width"] == 33 and out["byte_order"] == "MM"
+    assert out["orientation"] == 3
