@@ -73,8 +73,7 @@ def pagerank(edges: DataFrame, *, iters: int = 3,
     return ranks
 
 
-def hits(edges: DataFrame, *, iters: int = 2,
-         checkpoint_every: int = 4) -> DataFrame:
+def hits(edges: DataFrame, *, iters: int = 2) -> DataFrame:
     """Integer-exact HITS (Kleinberg 1999): (src, dst) → (node,
     auth_e6, hub_e6) after ``iters`` mutual-reinforcement rounds.
 
@@ -103,13 +102,18 @@ def hits(edges: DataFrame, *, iters: int = 2,
     join of the N-row score table into edges + one map-side-partial
     groupBy sum; the 1-row max joins by broadcast (the accepted
     scalar-stats BNLJ pattern). Score lineage is localCheckpoint-
-    truncated every ``checkpoint_every`` rounds."""
+    truncated every half-round (see the in-loop comment)."""
     edges = edges.select("src", "dst").repartition("src").persist()
     nodes = (edges.select(F.col("src").alias("node"))
              .unionByName(edges.select(F.col("dst").alias("node")))
              .distinct().persist())
 
     def _norm(raw: DataFrame, col: str) -> DataFrame:
+        # raw feeds BOTH the max-agg and the scale projection; persist
+        # it (node-cardinality, tiny) or each consumer re-expands the
+        # whole join subtree — for an iterative op that doubling
+        # compounds per round (the label-propagation lesson).
+        raw = raw.persist()
         mx = raw.agg(F.max(col).alias("_mx"))
         return (raw.join(F.broadcast(mx))
                 .select("node",
@@ -131,6 +135,14 @@ def hits(edges: DataFrame, *, iters: int = 2,
                  .select("node", F.coalesce(F.col("a"), F.lit(0))
                          .cast("long").alias("a")))
         auths = _norm(a_raw, "a").withColumnRenamed("a", "auth_e6")
+        # localCheckpoint, not persist: the mutual-reinforcement plan
+        # QUADRUPLES per round (_norm's two references × two
+        # score-table consumers), and even a cached plan keeps its
+        # full analyzed tree — at 2 rounds the plan STRING alone
+        # OOM'd the driver. Truncating lineage each half-round keeps
+        # the plan constant-size; the table is node-cardinality, so
+        # the eager materialization is cheap.
+        auths = auths.localCheckpoint()
         h_raw = (edges
                  .join(auths.withColumnRenamed("node", "dst"), "dst")
                  .groupBy(F.col("src").alias("node"))
@@ -139,9 +151,6 @@ def hits(edges: DataFrame, *, iters: int = 2,
                  .select("node", F.coalesce(F.col("h"), F.lit(0))
                          .cast("long").alias("h")))
         hubs = _norm(h_raw, "h").withColumnRenamed("h", "hub_e6")
-        hubs = hubs.persist()
-        if (i + 1) % checkpoint_every == 0:
-            hubs = hubs.localCheckpoint()
-            auths = auths.localCheckpoint()
+        hubs = hubs.localCheckpoint()
     return (auths.join(hubs, "node")
             .select("node", "auth_e6", "hub_e6"))
