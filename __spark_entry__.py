@@ -3716,10 +3716,18 @@ def _meta_corpus(spark, sf_dir):
     ldt = F.element_at(F.array(F.lit("Article"), F.lit("Product"),
                                F.lit("Recipe")),
                        (F.col("doc_id") % 3 + 1).cast("int"))
+    robots = F.when(F.col("doc_id") % 6 == 0,
+                    F.lit("noindex,nofollow")) \
+              .otherwise(F.lit("index,follow"))
     html = F.concat(
         F.lit("<html><head><title>Doc "), d, F.lit("</title>"),
         F.lit('<link rel="canonical" href="https://c'), m5,
         F.lit(".example.com/p/"), d, F.lit('">'),
+        F.lit('<link rel="alternate" hreflang="en" href="https://c'),
+        m5, F.lit(".example.com/en/"), d, F.lit('">'),
+        F.lit('<link rel="alternate" hreflang="de" href="https://c'),
+        m5, F.lit(".example.com/de/"), d, F.lit('">'),
+        F.lit('<meta name="robots" content="'), robots, F.lit('">'),
         F.lit('<meta name="description" content="summary '), d,
         F.lit('">'),
         F.lit('<meta property="og:title" content="OG '), d, F.lit('">'),
@@ -3743,7 +3751,47 @@ def q_html_metadata(spark, sf_dir):
     out = html_metadata(_meta_corpus(spark, sf_dir))
     return out.select("doc_id", "title", "canonical", "description",
                       "og_title", "og_image", "og_type",
-                      "jsonld_types", "n_meta")
+                      "jsonld_types", "robots_meta", "n_meta")
+
+
+def q_hreflang_links(spark, sf_dir):
+    """Author-declared translation graph (operators/metadata.py::
+    hreflang_links): <link rel=alternate hreflang> pairs in document
+    order — the labeled prior for bitext mining. Zero shuffle; the
+    two-declaration template is closed-form."""
+    from docling_spark.operators.metadata import hreflang_links
+    return hreflang_links(_meta_corpus(spark, sf_dir))
+
+
+def q_noindex_gate(spark, sf_dir):
+    """Page-level robots opt-out gate (operators/metadata.py::
+    noindex_gate): docs whose <meta name=robots> carries a noindex
+    token (every 6th in the fixture) are dropped; absent robots meta
+    defaults to indexable. Composes into the same Arrow metadata
+    projection — zero shuffle."""
+    from docling_spark.operators.metadata import noindex_gate
+    return noindex_gate(_meta_corpus(spark, sf_dir)) \
+        .select("doc_id")
+
+
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap discovery from robots.txt bodies (operators/weburl.py::
+    robots_sitemaps): global case-insensitive ``Sitemap:`` lines with
+    comment stripping, in file order. Pure Catalyst; the two-line
+    template (one indented + commented, one clean, plus a decoy
+    Disallow) is closed-form."""
+    from docling_spark.operators.weburl import robots_sitemaps
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("h"), d, F.lit(".example.com"))
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\n"
+              "  sitemap : https://h"), d,
+        F.lit(".example.com/sm1.xml # primary\n"
+              "SITEMAP: https://h"), d,
+        F.lit(".example.com/sm2.xml\n"))
+    return robots_sitemaps(
+        docs.select(host.alias("host"), txt.alias("robots_txt")))
 
 
 def q_feed_urls(spark, sf_dir):
@@ -4010,6 +4058,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pool": q_embed_pool,
         "pdf_outline": q_pdf_outline,
         "media_exif": q_media_exif,
+        "hreflang_links": q_hreflang_links,
+        "noindex_gate": q_noindex_gate,
+        "robots_sitemaps": q_robots_sitemaps,
         "html_table_cells": q_html_table_cells,
         "pdf_text_in_rect": q_pdf_text_in_rect,
         "doc_outline": q_doc_outline,
@@ -8367,8 +8418,35 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
     ELSE 'product' END AS og_type,
   CASE doc_id % 3 WHEN 0 THEN 'Article' WHEN 1 THEN 'Product'
     ELSE 'Recipe' END AS jsonld_types,
-  CAST(4 AS INT) AS n_meta
+  CASE WHEN doc_id % 6 = 0 THEN 'noindex,nofollow'
+       ELSE 'index,follow' END AS robots_meta,
+  CAST(5 AS INT) AS n_meta
 FROM documents
+"""
+
+    # hreflang_links / noindex_gate / robots_sitemaps: all fields of
+    # the _meta_corpus / robots templates are closed-form in doc_id.
+    oracles["hreflang_links"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+  CAST(e.i AS INT) AS alt_idx,
+  CASE e.i WHEN 0 THEN 'en' ELSE 'de' END AS hreflang,
+  'https://c' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/'
+    || CASE e.i WHEN 0 THEN 'en' ELSE 'de' END || '/'
+    || CAST(doc_id AS VARCHAR) AS href
+FROM documents, (VALUES (0), (1)) AS e(i)
+"""
+
+    oracles["noindex_gate"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id
+FROM documents WHERE doc_id % 6 <> 0
+"""
+
+    oracles["robots_sitemaps"] = """
+SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
+  CAST(e.i AS INT) AS sm_idx,
+  'https://h' || CAST(doc_id AS VARCHAR) || '.example.com/sm'
+    || CAST(e.i + 1 AS VARCHAR) || '.xml' AS sitemap_url
+FROM documents, (VALUES (0), (1)) AS e(i)
 """
 
     # feed_urls: 3 closed-form entries per feed; even doc_ids are RSS

@@ -213,6 +213,9 @@ BENCH_QUERIES = [
     "html_metadata",
     "feed_urls",
     "url_path_templates",
+    "hreflang_links",
+    "noindex_gate",
+    "robots_sitemaps",
     "dup_ngram_fraction",
     "hits_hosts",
     "code_detect",

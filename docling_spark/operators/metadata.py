@@ -43,7 +43,7 @@ from docling_spark.parsers.dom import Element, parse_html
 
 _META_DDL = ("struct<title:string,canonical:string,description:string,"
              "og_title:string,og_image:string,og_type:string,"
-             "jsonld_types:string,n_meta:int>")
+             "jsonld_types:string,robots_meta:string,n_meta:int>")
 
 
 def _script_payload(node: Element) -> str:
@@ -87,6 +87,7 @@ def extract_metadata(html: str) -> dict:
     title: Optional[str] = None
     canonical: Optional[str] = None
     description: Optional[str] = None
+    robots: Optional[str] = None
     og = {}
     jsonld: List[str] = []
     n_meta = 0
@@ -109,6 +110,8 @@ def extract_metadata(html: str) -> dict:
                 continue
             if description is None and mname == "description":
                 description = content
+            elif robots is None and mname == "robots":
+                robots = content
             elif prop.startswith("og:"):
                 og.setdefault(prop[3:], content)
         elif name == "script":
@@ -123,6 +126,7 @@ def extract_metadata(html: str) -> dict:
         "og_image": og.get("image"),
         "og_type": og.get("type"),
         "jsonld_types": "|".join(sorted(set(jsonld))) if jsonld else "",
+        "robots_meta": robots,
         "n_meta": n_meta,
     }
 
@@ -137,10 +141,66 @@ def html_metadata(df: DataFrame, *, html_col: str = "html") -> DataFrame:
         rows = [extract_metadata(h) if h is not None else
                 dict.fromkeys(("title", "canonical", "description",
                                "og_title", "og_image", "og_type",
-                               "jsonld_types"), None) | {"n_meta": None}
+                               "jsonld_types", "robots_meta"), None)
+                | {"n_meta": None}
                 for h in htmls]
         return pd.DataFrame(rows)
 
     keep = [c for c in df.columns if c != html_col]
     return (df.withColumn("_m", meta(F.col(html_col)))
             .select(*keep, "_m.*"))
+
+
+def noindex_gate(df: DataFrame, *, html_col: str = "html") -> DataFrame:
+    """Drop documents whose <meta name=robots> carries a ``noindex``
+    token (comma/space-separated, case-insensitive) — the page-level
+    opt-out a crawl corpus must honor alongside robots.txt (RFC 9309
+    gates the FETCH; the robots meta gates the USE of a fetched page).
+    Zero shuffle: the gate is a filter over the same Arrow metadata
+    projection, so it composes into the extraction scan; docs with no
+    robots meta default to indexable."""
+    out = html_metadata(df.select("*"), html_col=html_col)
+    tokens = F.split(F.lower(F.coalesce(F.col("robots_meta"),
+                                        F.lit(""))), r"[,\s]+", -1)
+    keep = [c for c in df.columns if c != html_col]
+    return (out.filter(~F.array_contains(tokens, "noindex"))
+            .select(*keep))
+
+
+_HREFLANG_DDL = ("array<struct<hreflang:string,href:string>>")
+
+
+def hreflang_links(df: DataFrame, *, html_col: str = "html",
+                   id_col: str = "doc_id") -> DataFrame:
+    """<link rel="alternate" hreflang=...> extraction: the
+    author-declared translation graph — the highest-precision bitext
+    pairing signal on the web (it beats any alignment heuristic when
+    present, and feeds ``bitext_candidates`` as a labeled prior).
+    Output one row per declaration in document order: (doc_id,
+    alt_idx, hreflang, href). Zero shuffle: Arrow projection + narrow
+    posexplode (the links.py evaluate-once pattern)."""
+
+    @pandas_udf(_HREFLANG_DDL)
+    def alts(htmls: pd.Series) -> pd.Series:
+        out = []
+        for h in htmls:
+            if h is None:
+                out.append(None)
+                continue
+            rows = []
+            for node in parse_html(h).descendants():
+                if node.__class__ is not Element or node.name != "link":
+                    continue
+                rel = (node.attrs.get("rel") or "").lower()
+                lang = node.attrs.get("hreflang")
+                href = node.attrs.get("href")
+                if "alternate" in rel.split() and lang and href:
+                    rows.append({"hreflang": lang, "href": href})
+            out.append(rows)
+        return pd.Series(out)
+
+    return (df.select(F.col(id_col), alts(F.col(html_col)).alias("_a"))
+            .select(id_col, F.posexplode_outer("_a").alias("alt_idx", "a"))
+            .filter(F.col("a").isNotNull())
+            .select(id_col, F.col("alt_idx").cast("int").alias("alt_idx"),
+                    "a.hreflang", "a.href"))

@@ -326,3 +326,29 @@ def url_path_templates(df: DataFrame, *, url_col: str = "url",
     return (g.filter(F.col("n_urls") >= min_count)
             .select("host", "template", "n_urls",
                     n_params.cast("int").alias("n_params")))
+
+
+def robots_sitemaps(df: DataFrame, *, host_col_name: str = "host",
+                    txt_col: str = "robots_txt") -> DataFrame:
+    """robots.txt → declared sitemap URLs: ``Sitemap:`` lines are
+    global (not group-scoped) per sitemaps.org/RFC 9309 §2.3, keys are
+    case-insensitive, values run to end-of-line with optional
+    ``#`` comments stripped. Output (host, sm_idx, sitemap_url) in
+    file order — the seed list sitemap_urls ingests next.
+
+    Pure Catalyst (split + regexp per line, narrow posexplode): zero
+    UDF, zero shuffle; robots bodies are KB-sized so the explode is
+    doc-local and bounded."""
+    lines = F.split(F.col(txt_col), "\r?\n", -1)
+    e = F.col("_line")
+    url = F.regexp_extract(
+        e, r"(?i)^\s*sitemap\s*:\s*([^#\s]+)", 1)
+    return (df.select(F.col(host_col_name).alias("host"),
+                      F.posexplode_outer(lines).alias("_i", "_line"))
+            .select("host", "_i", url.alias("_url"))
+            .filter(F.col("_url") != "")
+            .withColumn("sm_idx",
+                        (F.row_number().over(
+                            Window.partitionBy("host").orderBy("_i"))
+                         - 1).cast("int"))
+            .select("host", "sm_idx", F.col("_url").alias("sitemap_url")))

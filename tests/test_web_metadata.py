@@ -145,3 +145,55 @@ def test_url_path_templates(spark):
     assert rows[("shop.com", "/product/{n}/reviews")].n_urls == 1
     assert rows[("cdn.com", "/a/{h}/img")].n_params == 1
     assert rows[("cdn.com", "/about")].n_params == 0
+
+
+def test_extract_metadata_robots():
+    from docling_spark.operators.metadata import extract_metadata
+    html = ('<html><head>'
+            '<meta name="ROBOTS" content="NOINDEX, nofollow">'
+            '</head><body></body></html>')
+    assert extract_metadata(html)["robots_meta"] == "NOINDEX, nofollow"
+    assert extract_metadata("<html></html>")["robots_meta"] is None
+
+
+def test_noindex_gate(spark):
+    from docling_spark.operators.metadata import noindex_gate
+    docs = spark.createDataFrame(
+        [("keep", "<html><head></head><body>x</body></html>"),
+         ("drop", '<html><head><meta name="robots" '
+                  'content="a, NoIndex ,b"></head></html>'),
+         ("keep2", '<html><head><meta name="robots" '
+                   'content="noindexish"></head></html>')],
+        "doc_id string, html string")
+    kept = {r.doc_id for r in noindex_gate(docs).collect()}
+    assert kept == {"keep", "keep2"}  # token match, not substring
+
+
+def test_hreflang_links(spark):
+    from docling_spark.operators.metadata import hreflang_links
+    html = ('<html><head>'
+            '<link rel="alternate" hreflang="en" href="/en">'
+            '<link rel="stylesheet" href="/css">'
+            '<link rel="ALTERNATE" hreflang="fr-CA" href="/fr">'
+            '<link rel="alternate" href="/no-lang">'
+            '</head></html>')
+    df = spark.createDataFrame([("d", html)], "doc_id string, html string")
+    rows = hreflang_links(df).collect()
+    assert [(r.alt_idx, r.hreflang, r.href) for r in rows] == [
+        (0, "en", "/en"), (1, "fr-CA", "/fr")]
+
+
+def test_robots_sitemaps(spark):
+    from docling_spark.operators.weburl import robots_sitemaps
+    txt = ("# header comment\n"
+           "User-agent: *\n"
+           "Disallow: /x\n"
+           "  Sitemap: https://e.com/a.xml   # trailing\n"
+           "sitemap:https://e.com/b.xml\n"
+           "Sitemapish: https://e.com/decoy.xml\n")
+    df = spark.createDataFrame([("e.com", txt), ("f.com", "none here")],
+                               "host string, robots_txt string")
+    rows = robots_sitemaps(df).collect()
+    assert [(r.host, r.sm_idx, r.sitemap_url) for r in rows] == [
+        ("e.com", 0, "https://e.com/a.xml"),
+        ("e.com", 1, "https://e.com/b.xml")]
