@@ -305,7 +305,11 @@ def curriculum_order(docs: DataFrame, *, score_col: str,
     (bucket, intra_rank, source, doc_id) the trainer's writer applies;
     a mega-source's window sort is the only fat partition and spills
     gracefully (or pre-salt by score band and merge ranks).
-    Output: (doc_id, source, bucket, intra_rank)."""
+    Output: (doc_id, source, bucket, intra_rank).
+
+    ``score_col`` must be non-NULL: Spark's DESC default is
+    NULLS LAST while other engines differ (a replay oracle would
+    silently disagree on rank) — gate or coalesce scores upstream."""
     w = Window.partitionBy(source_col).orderBy(
         F.col(score_col).desc(), F.col("doc_id"))
     counts = docs.groupBy(source_col).agg(

@@ -131,10 +131,9 @@ def extract_metadata(html: str) -> dict:
     }
 
 
-def html_metadata(df: DataFrame, *, html_col: str = "html") -> DataFrame:
-    """(doc_id, html, ...) → input columns minus ``html_col`` plus
-    (title, canonical, description, og_title, og_image, og_type,
-    jsonld_types, n_meta). Zero shuffle: one Arrow UDF projection."""
+def metadata_udf(col) -> "F.Column":
+    """The head-metadata struct as a reusable Arrow projection (NULL
+    html → all-NULL struct, the row survives)."""
 
     @pandas_udf(_META_DDL)
     def meta(htmls: pd.Series) -> pd.DataFrame:
@@ -146,8 +145,16 @@ def html_metadata(df: DataFrame, *, html_col: str = "html") -> DataFrame:
                 for h in htmls]
         return pd.DataFrame(rows)
 
+    return meta(col)
+
+
+def html_metadata(df: DataFrame, *, html_col: str = "html") -> DataFrame:
+    """(doc_id, html, ...) → input columns minus ``html_col`` plus
+    (title, canonical, description, og_title, og_image, og_type,
+    jsonld_types, robots_meta, n_meta). Zero shuffle: one Arrow UDF
+    projection."""
     keep = [c for c in df.columns if c != html_col]
-    return (df.withColumn("_m", meta(F.col(html_col)))
+    return (df.withColumn("_m", metadata_udf(F.col(html_col)))
             .select(*keep, "_m.*"))
 
 
@@ -156,15 +163,14 @@ def noindex_gate(df: DataFrame, *, html_col: str = "html") -> DataFrame:
     token (comma/space-separated, case-insensitive) — the page-level
     opt-out a crawl corpus must honor alongside robots.txt (RFC 9309
     gates the FETCH; the robots meta gates the USE of a fetched page).
-    Zero shuffle: the gate is a filter over the same Arrow metadata
-    projection, so it composes into the extraction scan; docs with no
-    robots meta default to indexable."""
-    out = html_metadata(df.select("*"), html_col=html_col)
-    tokens = F.split(F.lower(F.coalesce(F.col("robots_meta"),
-                                        F.lit(""))), r"[,\s]+", -1)
-    keep = [c for c in df.columns if c != html_col]
-    return (out.filter(~F.array_contains(tokens, "noindex"))
-            .select(*keep))
+    ALL input columns pass through (a gate must not eat the payload);
+    zero shuffle — the filter rides the same Arrow metadata
+    projection, so it composes into the extraction scan. Docs with no
+    robots meta (or NULL html) default to indexable."""
+    tokens = F.split(
+        F.lower(F.coalesce(metadata_udf(F.col(html_col))["robots_meta"],
+                           F.lit(""))), r"[,\s]+", -1)
+    return df.filter(~F.array_contains(tokens, "noindex"))
 
 
 _HREFLANG_DDL = ("array<struct<hreflang:string,href:string>>")

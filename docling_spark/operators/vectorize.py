@@ -151,6 +151,10 @@ def mean_pool_embeddings(chunks: DataFrame, *,
     gathered = (chunks
                 .select(doc.alias("doc_id"), pos.alias("_pos"),
                         vec.cast("array<double>").alias("_v"))
+                # a NULL chunk vector would poison the whole doc's
+                # fold (zip_with(acc, NULL) → NULL); drop it and let
+                # n_chunks reflect what was actually pooled
+                .filter(F.col("_v").isNotNull())
                 .groupBy("doc_id")
                 .agg(F.array_sort(F.collect_list(
                     F.struct(F.col("_pos"), F.col("_v")))).alias("_cs")))

@@ -319,7 +319,8 @@ def url_path_templates(df: DataFrame, *, url_col: str = "url",
     path = path_col(F.col(url_col))
     tpl = F.regexp_replace(path, r"[0-9a-f]{16,}", "{h}")
     tpl = F.regexp_replace(tpl, r"[0-9]+", "{n}")
-    g = (df.select(host.alias("host"), tpl.alias("template"))
+    g = (df.filter(F.col(url_col).isNotNull())  # no NULL-key group
+         .select(host.alias("host"), tpl.alias("template"))
          .groupBy("host", "template")
          .agg(F.count(F.lit(1)).alias("n_urls")))
     n_params = (F.size(F.split(F.col("template"), r"\{", -1)) - 1)
