@@ -3930,6 +3930,34 @@ def q_embed_pool(spark, sf_dir):
     return out.filter(F.col("n_chunks") == 4)
 
 
+def q_knn_recall_eval(spark, sf_dir):
+    """ANN quality eval: recall@5 of the LSH-bucketed kNN against the
+    brute-force ground truth, per query vector — the harness that
+    tunes n_planes/probes BEFORE a 100-TB index build (the ANN
+    counterpart of near_dup_eval). Both sides are the registry's own
+    operators; the eval itself is one broadcast-size join + groupBy
+    (k rows per query on each side). The oracle composes the two
+    existing ANN oracles verbatim."""
+    from docling_spark.operators.similarity import (knn_bruteforce,
+                                                    knn_lsh)
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id",
+                                                    "embedding")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = knn_bruteforce(emb, queries, k=5).select("query_id",
+                                                     "nbr_id")
+    approx = knn_lsh(emb, queries, k=5).select(
+        F.col("query_id").alias("_q"), F.col("nbr_id").alias("_n"))
+    hit = brute.join(
+        F.broadcast(approx),
+        (F.col("query_id") == F.col("_q"))
+        & (F.col("nbr_id") == F.col("_n")), "left")
+    return (hit.groupBy("query_id")
+            .agg(F.count("_n").cast("int").alias("n_hits"))
+            .select("query_id", "n_hits",
+                    F.floor(F.col("n_hits") * 10000 / 5)
+                    .cast("long").alias("recall_e4")))
+
+
 def q_pdf_outline(spark, sf_dir):
     """PDF bookmark-tree extraction through the native parser
     (operators/pdfnative.py::pdf_outline over parsers/pdfio.py::
@@ -4061,6 +4089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_links": q_hreflang_links,
         "noindex_gate": q_noindex_gate,
         "robots_sitemaps": q_robots_sitemaps,
+        "knn_recall_eval": q_knn_recall_eval,
         "html_table_cells": q_html_table_cells,
         "pdf_text_in_rect": q_pdf_text_in_rect,
         "doc_outline": q_doc_outline,
@@ -8551,6 +8580,19 @@ FROM d WHERE doc_id % 5 = 4
 UNION ALL
 SELECT doc_id, 2, 'cap ' || ds || ' b', 0, 'm://' || ds || ':0', 'prev'
 FROM d WHERE doc_id % 5 = 4
+"""
+
+    # knn_recall_eval composes the two already-defined ANN oracles as
+    # derived tables: recall@5 of the LSH candidate path against the
+    # brute-force ground truth, per query.
+    oracles["knn_recall_eval"] = f"""
+SELECT b.query_id, CAST(count(a.nbr_id) AS INT) AS n_hits,
+       CAST(floor(count(a.nbr_id) * 10000.0 / 5) AS BIGINT)
+         AS recall_e4
+FROM ({oracles["knn_cosine_bruteforce"]}) b
+LEFT JOIN ({oracles["knn_cosine_lsh"]}) a
+  ON a.query_id = b.query_id AND a.nbr_id = b.nbr_id
+GROUP BY b.query_id
 """
 
     return oracles

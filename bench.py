@@ -218,6 +218,7 @@ BENCH_QUERIES = [
     "robots_sitemaps",
     "dup_ngram_fraction",
     "hits_hosts",
+    "knn_recall_eval",
     "code_detect",
     "curriculum_order",
     "embed_pool",
