@@ -315,7 +315,10 @@ def curriculum_order(docs: DataFrame, *, score_col: str,
     counts = docs.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("_n"))
     rn = docs.select("doc_id", source_col,
-                     F.row_number().over(w).alias("_rn"))
+                     F.row_number().over(w).cast("long").alias("_rn"))
+    # _rn is long BEFORE the × n_buckets: row_number returns int32,
+    # which wraps past ~214M rows in one source — the mega-source
+    # case the docstring plans for
     bucket = F.floor((F.col("_rn") - 1) * n_buckets / F.col("_n"))
     start = F.ceil(bucket * F.col("_n") / n_buckets)
     return (rn.join(F.broadcast(counts), source_col)

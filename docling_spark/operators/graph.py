@@ -97,12 +97,21 @@ def hits(edges: DataFrame, *, iters: int = 2) -> DataFrame:
     no out-edges → hub 0.
     Parallel edges are real multi-edges, as in ``pagerank``.
 
-    Scale shape: identical to ``pagerank`` — edges shuffled ONCE
-    (persisted co-partitioning reused every round), per half-round one
-    join of the N-row score table into edges + one map-side-partial
-    groupBy sum; the 1-row max joins by broadcast (the accepted
-    scalar-stats BNLJ pattern). Score lineage is localCheckpoint-
-    truncated every half-round (see the in-loop comment)."""
+    Scale shape: per half-round one join of the N-row score table
+    into the persisted edge table + one map-side-partial groupBy sum;
+    the 1-row max joins by broadcast (the accepted scalar-stats BNLJ
+    pattern). Unlike ``pagerank`` (which only ever joins on src),
+    HITS alternates join keys — the auth half joins edges on src, the
+    hub half on dst — so when the score table exceeds the broadcast
+    threshold the hub half re-shuffles edges by dst each round; for
+    host graphs the score side is host-cardinality and broadcasts, so
+    the persisted src partitioning is reused. At score tables too big
+    to broadcast, persist a second dst-partitioned edge copy (one
+    extra shuffle total, not one per round). Score lineage is
+    localCheckpoint-truncated every half-round (see the in-loop
+    comment)."""
+    if iters < 1:
+        raise ValueError("hits: iters must be >= 1")
     edges = edges.select("src", "dst").repartition("src").persist()
     nodes = (edges.select(F.col("src").alias("node"))
              .unionByName(edges.select(F.col("dst").alias("node")))

@@ -613,8 +613,6 @@ def parse_exif(data: bytes):
     PIL-delegated — /root/reference/docling/utils/export.py and the
     page-image path — so this parser is net-new surface, like the
     PGM/PNG decoders above)."""
-    import struct
-
     tiff = None
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         tiff = data
@@ -692,8 +690,6 @@ def synth_tiff(width: int, height: int, orientation: int,
     with the six tags parse_exif reads, ASCII values stored past the
     IFD with real offsets (exercising the offset-indirection path
     whenever a string exceeds the 4 inline bytes)."""
-    import struct
-
     end = "<" if little_endian else ">"
     entries = []       # (tag, type, count, packed-value-or-None, data)
     for tag, v in ((256, width), (257, height), (274, orientation)):

@@ -702,10 +702,13 @@ def code_detect(docs: DataFrame, *,
     lines = F.split(text, "\n", -1)
     indented = F.size(F.filter(
         lines, lambda x: x.rlike(r"^(\t|    )")))
+    # counts go through long BEFORE the ×10⁴ (an int32 count over a
+    # ~1 MB minified-JS doc would wrap negative mid-expression)
     symbol_e4 = F.when(n_chars > 0,
-                       F.floor(symbols * 10000 / n_chars)) \
+                       F.floor(symbols.cast("long") * 10000 / n_chars)) \
                  .otherwise(F.lit(0)).cast("long")
-    indent_e4 = F.floor(indented * 10000 / F.size(lines)).cast("long")
+    indent_e4 = F.floor(indented.cast("long") * 10000
+                        / F.size(lines)).cast("long")
     is_code = (((symbol_e4 >= symbol_e4_min) & (kw >= kw_min))
                | (indent_e4 >= indent_e4_min)).cast("int")
     return docs.select(

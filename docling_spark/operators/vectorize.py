@@ -153,7 +153,11 @@ def mean_pool_embeddings(chunks: DataFrame, *,
                         vec.cast("array<double>").alias("_v"))
                 # a NULL chunk vector would poison the whole doc's
                 # fold (zip_with(acc, NULL) → NULL); drop it and let
-                # n_chunks reflect what was actually pooled
+                # n_chunks reflect what was actually pooled.
+                # PRECONDITION: all of a doc's vectors share one dim —
+                # zip_with null-pads a shorter vector and the pooled
+                # dims beyond it go NULL (mixed embedder versions must
+                # be split upstream, not averaged)
                 .filter(F.col("_v").isNotNull())
                 .groupBy("doc_id")
                 .agg(F.array_sort(F.collect_list(

@@ -337,19 +337,20 @@ def robots_sitemaps(df: DataFrame, *, host_col_name: str = "host",
     ``#`` comments stripped. Output (host, sm_idx, sitemap_url) in
     file order — the seed list sitemap_urls ingests next.
 
-    Pure Catalyst (split + regexp per line, narrow posexplode): zero
-    UDF, zero shuffle; robots bodies are KB-sized so the explode is
-    doc-local and bounded."""
+    Pure Catalyst and truly zero-shuffle: the split line array is
+    filtered to sitemap lines DOC-LOCALLY (higher-order ``filter``),
+    so the posexplode position IS the file-order index — no window,
+    no exchange (a row_number-per-host spelling would both shuffle
+    and assign nondeterministic indices when one host contributes
+    several robots snapshots). Robots bodies are KB-sized, so the
+    per-row array work is bounded."""
+    pat = r"(?i)^\s*sitemap\s*:\s*([^#\s]+)"
     lines = F.split(F.col(txt_col), "\r?\n", -1)
-    e = F.col("_line")
-    url = F.regexp_extract(
-        e, r"(?i)^\s*sitemap\s*:\s*([^#\s]+)", 1)
+    matched = F.filter(lines,
+                       lambda x: F.regexp_extract(x, pat, 1) != "")
     return (df.select(F.col(host_col_name).alias("host"),
-                      F.posexplode_outer(lines).alias("_i", "_line"))
-            .select("host", "_i", url.alias("_url"))
-            .filter(F.col("_url") != "")
-            .withColumn("sm_idx",
-                        (F.row_number().over(
-                            Window.partitionBy("host").orderBy("_i"))
-                         - 1).cast("int"))
-            .select("host", "sm_idx", F.col("_url").alias("sitemap_url")))
+                      F.posexplode_outer(matched).alias("_i", "_line"))
+            .filter(F.col("_line").isNotNull())
+            .select("host", F.col("_i").cast("int").alias("sm_idx"),
+                    F.regexp_extract(F.col("_line"), pat, 1)
+                    .alias("sitemap_url")))

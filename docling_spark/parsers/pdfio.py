@@ -1396,23 +1396,23 @@ def _page_number_map(doc: PdfDocument) -> dict:
     pages_ref = root.get("Pages") if isinstance(root, dict) else None
     out: dict = {}
     seen = set()
-
-    def walk(node_ref):
+    # explicit stack, not recursion: a hostile 10k-deep page tree
+    # must exhaust the item cap, not the Python recursion limit
+    stack = [pages_ref] if pages_ref is not None else []
+    while stack:
+        node_ref = stack.pop()
         node = doc.resolve(node_ref)
         if not isinstance(node, dict) or len(out) > 8192:
-            return
+            continue
         key = id(node)
         if key in seen:
-            return
+            continue
         seen.add(key)
         if str(node.get("Type", "")) == "Pages" or "Kids" in node:
-            for kid in doc.resolve(node.get("Kids")) or []:
-                walk(kid)
+            kids = doc.resolve(node.get("Kids")) or []
+            stack.extend(reversed(list(kids)))
         elif isinstance(node_ref, Ref):
             out.setdefault(node_ref.num, len(out))
-
-    if pages_ref is not None:
-        walk(pages_ref)
     return out
 
 
@@ -1445,25 +1445,29 @@ def extract_outline(data: bytes) -> List[dict]:
             return pagenos.get(dest[0].num, -1)
         return -1
 
-    def walk(first_ref, level):
-        ref = first_ref
-        while isinstance(ref, Ref) and len(out) < 65536:
-            if ref.num in seen:
-                return
-            seen.add(ref.num)
-            item = doc.resolve(ref)
-            if not isinstance(item, dict):
-                return
-            out.append({
-                "idx": len(out),
-                "level": level,
-                "title": _pdf_text_string(doc.resolve(item.get("Title"))),
-                "page_no": dest_page(item),
-            })
-            kid = item.get("First")
-            if kid is not None:
-                walk(kid, level + 1)
-            ref = item.get("Next")
-
-    walk(outlines.get("First"), 0)
+    # explicit (ref, level) stack in pre-order — a hostile 10k-deep
+    # /First chain must hit the item cap, not the recursion limit.
+    # Children push before the Next sibling so popping preserves
+    # document order (LIFO: push Next first, then First).
+    stack = [(outlines.get("First"), 0)]
+    while stack and len(out) < 65536:
+        ref, level = stack.pop()
+        if not isinstance(ref, Ref) or ref.num in seen:
+            continue
+        seen.add(ref.num)
+        item = doc.resolve(ref)
+        if not isinstance(item, dict):
+            continue
+        out.append({
+            "idx": len(out),
+            "level": level,
+            "title": _pdf_text_string(doc.resolve(item.get("Title"))),
+            "page_no": dest_page(item),
+        })
+        nxt = item.get("Next")
+        if nxt is not None:
+            stack.append((nxt, level))
+        kid = item.get("First")
+        if kid is not None:
+            stack.append((kid, level + 1))
     return out
