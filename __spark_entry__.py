@@ -3930,6 +3930,21 @@ def q_embed_pool(spark, sf_dir):
     return out.filter(F.col("n_chunks") == 4)
 
 
+def q_warc_revisit_dedup(spark, sf_dir):
+    """Crawl-archive dedup pointers (operators/warc.py::
+    warc_revisit_dedup): odd doc_ids carry an ISO 28500 §6.7 revisit
+    record (identical-payload-digest profile) whose WARC-Refers-To
+    names the response record; the engine must parse the linkage
+    headers from raw container bytes and verify the claimed digest
+    against the referenced body — digest_match pins BOTH the header
+    walk and the body slice. One record-id equi-join."""
+    from docling_spark.operators.warc import (warc_records,
+                                              warc_revisit_dedup)
+    from docling_spark.sources.warcsynth import corpus_warc_revisit
+    recs = warc_records(corpus_warc_revisit(spark, sf_dir))
+    return warc_revisit_dedup(recs)
+
+
 def q_knn_recall_eval(spark, sf_dir):
     """ANN quality eval: recall@5 of the LSH-bucketed kNN against the
     brute-force ground truth, per query vector — the harness that
@@ -4090,6 +4105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "noindex_gate": q_noindex_gate,
         "robots_sitemaps": q_robots_sitemaps,
         "knn_recall_eval": q_knn_recall_eval,
+        "warc_revisit_dedup": q_warc_revisit_dedup,
         "html_table_cells": q_html_table_cells,
         "pdf_text_in_rect": q_pdf_text_in_rect,
         "doc_outline": q_doc_outline,
@@ -5488,21 +5504,22 @@ SELECT doc_id, CAST(0 AS INT) AS rec_no, 'warcinfo' AS warc_type,
        CAST(length(e'software: docling-spark\r\n') AS BIGINT)
            AS content_length,
        CAST(-1 AS INT) AS http_status, '' AS http_content_type,
-       '' AS body_text, '' AS error
+       '' AS body_text, '' AS refers_to, '' AS profile,
+       '' AS payload_digest, '' AS error
 FROM b
 UNION ALL
 SELECT doc_id, 1, 'request', '<urn:docling:' || doc_id || ':1>',
        uri, '2026-01-01T00:00:00Z',
        CAST(length('GET /doc/' || doc_id || e' HTTP/1.1\r\nHost: '
                    || source || e'.example\r\n\r\n') AS BIGINT),
-       -1, '', '', ''
+       -1, '', '', '', '', '', ''
 FROM b
 UNION ALL
 SELECT doc_id, 2, 'response', '<urn:docling:' || doc_id || ':2>',
        uri, '2026-01-01T00:00:00Z',
        CAST(length(e'HTTP/1.1 200 OK\r\nContent-Type: text/html'
                    || e'\r\n\r\n') + length(html) AS BIGINT),
-       200, 'text/html', html, ''
+       200, 'text/html', html, '', '', '', ''
 FROM b
 """
 
@@ -8580,6 +8597,20 @@ FROM d WHERE doc_id % 5 = 4
 UNION ALL
 SELECT doc_id, 2, 'cap ' || ds || ' b', 0, 'm://' || ds || ':0', 'prev'
 FROM d WHERE doc_id % 5 = 4
+"""
+
+    # warc_revisit_dedup: odd doc_ids revisit their own response
+    # record; the digest matches by construction, so every output
+    # column is closed-form.
+    oracles["warc_revisit_dedup"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+  'http://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR)
+    AS target_uri,
+  '<urn:docling:' || CAST(doc_id AS VARCHAR) || ':1>' AS refers_to,
+  'http://netpreserve.org/warc/1.0/revisit/identical-payload-digest'
+    AS profile,
+  CAST(1 AS INT) AS digest_match
+FROM documents WHERE doc_id % 2 = 1
 """
 
     # knn_recall_eval composes the two already-defined ANN oracles as

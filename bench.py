@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "bpe_encode_tokens",
     "warc_records",
     "warc_cdx",
+    "warc_revisit_dedup",
     "wordpiece_encode",
     "unigram_encode",
     "oov_rate",

@@ -27,6 +27,7 @@ WARC_RECORDS_DDL = (
     "doc_id string, rec_no int, warc_type string, record_id string, "
     "target_uri string, warc_date string, content_length bigint, "
     "http_status int, http_content_type string, body_text string, "
+    "refers_to string, profile string, payload_digest string, "
     "error string")
 
 
@@ -37,7 +38,8 @@ def _warc_records_batches(batches):
 
     cols = ("doc_id", "rec_no", "warc_type", "record_id", "target_uri",
             "warc_date", "content_length", "http_status",
-            "http_content_type", "body_text", "error")
+            "http_content_type", "body_text", "refers_to", "profile",
+            "payload_digest", "error")
     for pdf in batches:
         out = {k: [] for k in cols}
         for doc_id, blob in zip(pdf["doc_id"], pdf["warc"]):
@@ -55,6 +57,9 @@ def _warc_records_batches(batches):
                 out["http_content_type"].append(r["http_content_type"])
                 out["body_text"].append(
                     r["body"].decode("utf-8", "replace"))
+                out["refers_to"].append(r["refers_to"])
+                out["profile"].append(r["profile"])
+                out["payload_digest"].append(r["payload_digest"])
                 out["error"].append(r["error"] or "")
         yield pd.DataFrame(out)
 
@@ -140,3 +145,33 @@ def wat_metadata(records: DataFrame) -> DataFrame:
                 html["Head"]["Title"].alias("title"),
                 F.coalesce(F.size(html["Links"]), F.lit(0))
                  .cast("int").alias("n_links")))
+
+
+def warc_revisit_dedup(records: DataFrame) -> DataFrame:
+    """Resolve ISO 28500 §6.7 ``revisit`` records against the captures
+    they duplicate: one row per revisit — (doc_id, target_uri,
+    refers_to, profile, digest_match) — where ``digest_match`` is 1
+    when the revisit's WARC-Payload-Digest equals the sha256 of the
+    referenced response's entity body (the identical-payload-digest
+    profile's contract, same digest convention as ``cdx_index``).
+
+    This is how a crawl archive expresses deduplication: the body is
+    stored ONCE and later captures ship a pointer, so corpus
+    extraction must follow the pointer instead of treating revisits
+    as empty documents. Plan shape: ONE equi-join of the (small)
+    revisit slice against responses on the record-id key — uniform
+    md5-like keys, cross-container capable; no Python in the join."""
+    revisits = (records.filter(F.col("warc_type") == "revisit")
+                .select("doc_id", "target_uri", "refers_to", "profile",
+                        F.col("payload_digest").alias("_claimed")))
+    responses = (records.filter((F.col("warc_type") == "response")
+                                & (F.col("http_status") >= 0))
+                 .select(F.col("record_id").alias("refers_to"),
+                         F.concat(F.lit("sha256:"),
+                                  F.sha2(F.col("body_text"), 256))
+                         .alias("_actual")))
+    return (revisits.join(responses, "refers_to", "left")
+            .select("doc_id", "target_uri", "refers_to", "profile",
+                    F.when(F.col("_claimed") == F.col("_actual"),
+                           1).otherwise(0).cast("int")
+                    .alias("digest_match")))

@@ -67,8 +67,12 @@ def parse_warc(data: bytes) -> List[Dict]:
     Each dict carries: ``warc_type``, ``record_id``, ``target_uri``,
     ``date``, ``content_length`` (declared octets), ``http_status`` /
     ``http_content_type`` / ``body`` (response records only; ``body``
-    is the HTTP entity body as bytes, b"" otherwise) and ``error``
-    (None, or a message for the synthetic terminal error record)."""
+    is the HTTP entity body as bytes, b"" otherwise), the revisit
+    linkage headers ``refers_to`` (WARC-Refers-To), ``profile``
+    (WARC-Profile) and ``payload_digest`` (WARC-Payload-Digest) —
+    '' when absent (ISO 28500 §6.7: revisit records point at the
+    capture they duplicate), and ``error`` (None, or a message for
+    the synthetic terminal error record)."""
     out: List[Dict] = []
     pos, n = 0, len(data)
 
@@ -76,7 +80,8 @@ def parse_warc(data: bytes) -> List[Dict]:
         out.append({"warc_type": "error", "record_id": "",
                     "target_uri": "", "date": "", "content_length": -1,
                     "http_status": None, "http_content_type": "",
-                    "body": b"", "error": msg})
+                    "refers_to": "", "profile": "",
+                    "payload_digest": "", "body": b"", "error": msg})
 
     while pos < n:
         while data.startswith(CRLF, pos):      # stray separators
@@ -125,6 +130,9 @@ def parse_warc(data: bytes) -> List[Dict]:
                "date": headers.get("warc-date", ""),
                "content_length": clen,
                "http_status": None, "http_content_type": "",
+               "refers_to": headers.get("warc-refers-to", ""),
+               "profile": headers.get("warc-profile", ""),
+               "payload_digest": headers.get("warc-payload-digest", ""),
                "body": b"", "error": None}
         ctype = headers.get("content-type", "")
         if "msgtype=response" in ctype.replace(" ", ""):

@@ -23,7 +23,8 @@ INFO_PAYLOAD = "software: docling-spark\r\n"
 
 
 def _record(warc_type: str, rec_no: int, payload: Column,
-            content_type: str, uri: Column = None) -> Column:
+            content_type: str, uri: Column = None,
+            extra: Column = None) -> Column:
     parts = [
         F.lit("WARC/1.0\r\nWARC-Type: " + warc_type
               + "\r\nWARC-Record-ID: <urn:docling:"),
@@ -32,6 +33,8 @@ def _record(warc_type: str, rec_no: int, payload: Column,
     ]
     if uri is not None:
         parts += [F.lit("WARC-Target-URI: "), uri, F.lit("\r\n")]
+    if extra is not None:           # preformatted CRLF-joined lines
+        parts += [extra]
     parts += [
         F.lit(f"Content-Type: {content_type}\r\nContent-Length: "),
         F.octet_length(payload).cast("string"),
@@ -123,5 +126,40 @@ def corpus_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "application/warc-fields"),
         _record("metadata", 1, wat_payload_col(),
                 "application/json", target_uri_col()))
+    return docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                       F.encode(blob, "UTF-8").alias("warc"))
+
+
+def corpus_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet -> (doc_id, warc binary): warcinfo + HTTP 200
+    response, plus — for odd doc_ids — an ISO 28500 §6.7 ``revisit``
+    record declaring the identical-payload-digest profile, whose
+    WARC-Refers-To points at the response record and whose
+    WARC-Payload-Digest is the sha256 of the response ENTITY BODY
+    (the CDXJ convention cdx_index also uses). Revisit records carry
+    no payload (Content-Length 0), per the profile."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    uri = target_uri_col()
+    body = html_body_col()
+    resp_payload = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+        body)
+    revisit_headers = F.concat(
+        F.lit("WARC-Refers-To: <urn:docling:"),
+        F.col("doc_id").cast("string"),
+        F.lit(":1>\r\nWARC-Profile: http://netpreserve.org/warc/1.0/"
+              "revisit/identical-payload-digest\r\n"
+              "WARC-Payload-Digest: sha256:"),
+        F.sha2(body, 256), F.lit("\r\n"))
+    blob = F.concat(
+        _record("warcinfo", 0, F.lit(INFO_PAYLOAD),
+                "application/warc-fields"),
+        _record("response", 1, resp_payload,
+                "application/http; msgtype=response", uri),
+        F.when(F.col("doc_id") % 2 == 1,
+               _record("revisit", 2, F.lit(""),
+                       "application/http", uri,
+                       extra=revisit_headers))
+        .otherwise(F.lit("")))
     return docs.select(F.col("doc_id").cast("string").alias("doc_id"),
                        F.encode(blob, "UTF-8").alias("warc"))

@@ -193,3 +193,56 @@ def test_wet_wat_operators(spark):
     wat = wat_metadata(warc_records(corpus_wat(spark, sf)))
     w = wat.orderBy("doc_id").first()
     assert w["title"].startswith("Doc ") and w["n_links"] == 1
+
+
+def test_parse_warc_revisit_headers():
+    from docling_spark.parsers.warc_parser import parse_warc
+    blob = (b"WARC/1.0\r\n"
+            b"WARC-Type: revisit\r\n"
+            b"WARC-Record-ID: <urn:x:9>\r\n"
+            b"WARC-Refers-To: <urn:x:1>\r\n"
+            b"WARC-Profile: http://netpreserve.org/warc/1.0/revisit/"
+            b"identical-payload-digest\r\n"
+            b"WARC-Payload-Digest: sha256:abc\r\n"
+            b"Content-Type: application/http\r\n"
+            b"Content-Length: 0\r\n\r\n\r\n\r\n")
+    recs = parse_warc(blob)
+    assert len(recs) == 1
+    r = recs[0]
+    assert r["warc_type"] == "revisit"
+    assert r["refers_to"] == "<urn:x:1>"
+    assert r["profile"].endswith("identical-payload-digest")
+    assert r["payload_digest"] == "sha256:abc"
+    # non-revisit records default the linkage headers to ''
+    assert parse_warc(
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+        b"Content-Length: 0\r\n\r\n\r\n\r\n")[0]["refers_to"] == ""
+
+
+def test_warc_revisit_dedup_mismatch_and_dangling(spark):
+    import hashlib
+
+    from docling_spark.operators.warc import warc_revisit_dedup
+    body = "<html>x</html>"
+    good = "sha256:" + hashlib.sha256(body.encode()).hexdigest()
+    rows = [
+        # referenced response
+        ("d1", "response", "<urn:1>", "u1", 200, body, "", "", ""),
+        # revisit with the correct digest
+        ("d2", "revisit", "<urn:2>", "u1", -1, "", "<urn:1>", "p", good),
+        # revisit with a wrong digest
+        ("d3", "revisit", "<urn:3>", "u1", -1, "", "<urn:1>", "p",
+         "sha256:dead"),
+        # revisit pointing at a record that does not exist
+        ("d4", "revisit", "<urn:4>", "u1", -1, "", "<urn:404>", "p",
+         good),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, warc_type string, record_id string, "
+              "target_uri string, http_status int, body_text string, "
+              "refers_to string, profile string, payload_digest string")
+    out = {r.doc_id: r for r in warc_revisit_dedup(df).collect()}
+    assert set(out) == {"d2", "d3", "d4"}
+    assert out["d2"].digest_match == 1
+    assert out["d3"].digest_match == 0
+    assert out["d4"].digest_match == 0   # dangling pointer != match
