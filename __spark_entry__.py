@@ -3930,6 +3930,34 @@ def q_embed_pool(spark, sf_dir):
     return out.filter(F.col("n_chunks") == 4)
 
 
+def q_pdf_links(spark, sf_dir):
+    """PDF URI link annotations through the native parser
+    (operators/pdfnative.py::pdf_links): two real /Annots-array link
+    annotations per doc (one per page, host keyed on doc_id%7), parsed
+    back from raw bytes with rects in PDF user space — the PDF-side
+    outlink source that unions with html_links. Zero-shuffle Arrow
+    synth + parse; every column is closed-form."""
+    from docling_spark.operators.pdfnative import (pdf_links,
+                                                   synth_pdf_link_docs)
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    m7 = (F.col("doc_id") % 7).cast("string")
+    pages = F.array(F.array(F.concat(F.lit("alpha "), d)),
+                    F.array(F.concat(F.lit("beta "), d)))
+
+    def _lnk(pg: int, url: F.Column) -> F.Column:
+        return F.struct(F.lit(pg).alias("page_idx"), url.alias("url"))
+
+    links = F.array(
+        _lnk(0, F.concat(F.lit("https://r"), m7,
+                         F.lit(".example.com/cite/"), d)),
+        _lnk(1, F.concat(F.lit("https://r"), m7,
+                         F.lit(".example.com/ref/"), d)))
+    src = docs.select(d.alias("doc_id"), pages.alias("pages"),
+                      links.alias("links"))
+    return pdf_links(synth_pdf_link_docs(src))
+
+
 def q_warc_revisit_dedup(spark, sf_dir):
     """Crawl-archive dedup pointers (operators/warc.py::
     warc_revisit_dedup): odd doc_ids carry an ISO 28500 §6.7 revisit
@@ -4106,6 +4134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         "knn_recall_eval": q_knn_recall_eval,
         "warc_revisit_dedup": q_warc_revisit_dedup,
+        "pdf_links": q_pdf_links,
         "html_table_cells": q_html_table_cells,
         "pdf_text_in_rect": q_pdf_text_in_rect,
         "doc_outline": q_doc_outline,
@@ -8611,6 +8640,22 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
     AS profile,
   CAST(1 AS INT) AS digest_match
 FROM documents WHERE doc_id % 2 = 1
+"""
+
+    # pdf_links: the two-annotation fixture is closed-form; rect
+    # geometry replays the writer's 700 - 16*j layout (j = input
+    # order; each page's single link is j = its page index here).
+    oracles["pdf_links"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+  CAST(e.pg AS INT) AS page_no, CAST(e.pg AS INT) AS link_idx,
+  'https://r' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/'
+    || e.kind || '/' || CAST(doc_id AS VARCHAR) AS url,
+  CAST(50 AS DOUBLE) AS l,
+  CAST(714 - 16 * e.pg AS DOUBLE) AS t,
+  CAST(250 AS DOUBLE) AS r,
+  CAST(700 - 16 * e.pg AS DOUBLE) AS b
+FROM documents,
+     (VALUES (0, 'cite'), (1, 'ref')) AS e(pg, kind)
 """
 
     # knn_recall_eval composes the two already-defined ANN oracles as

@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "extract_pdf_native_paged",
     "pdf_native_roundtrip",
     "pdf_outline",
+    "pdf_links",
     "extract_pdf_raw_routed",
     "page_render_meta",
     "page_render_ocr_roundtrip",

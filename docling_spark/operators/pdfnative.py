@@ -212,3 +212,59 @@ def pdf_outline(df: DataFrame) -> DataFrame:
                                "page_no"])
 
     return df.mapInPandas(batches, schema=PDF_OUTLINE_DDL)
+
+
+PDF_LINKS_DDL = ("doc_id string, page_no int, link_idx int, "
+                 "url string, l double, t double, r double, b double")
+
+
+def synth_pdf_link_docs(df: DataFrame) -> DataFrame:
+    """(doc_id, pages:array<array<string>>, links:array<struct<
+    page_idx:int,url:string>>) → (doc_id, pdf:binary) — real per-page
+    /Annots arrays of §12.5.6.5 /Link annotations with /A URI
+    actions. Pure Arrow stage, no shuffle."""
+    from docling_spark.sources.pdfsynth import synth_pdf_pages
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for pages, ls in zip(pdf["pages"], pdf["links"]):
+                entries = [(int(e["page_idx"]), str(e["url"]))
+                           for e in ls]
+                blobs.append(synth_pdf_pages(
+                    [list(p) for p in pages], links=entries))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "pdf": pd.Series(blobs, dtype=object)})
+
+    return df.mapInPandas(batches, schema="doc_id string, pdf binary")
+
+
+def pdf_links(df: DataFrame) -> DataFrame:
+    """(doc_id, pdf:binary) → one row per URI link annotation:
+    (doc_id, page_no, link_idx, url, l, t, r, b) in page-then-array
+    order (parsers/pdfio.py::extract_pdf_links). URLs embedded in
+    PDFs are a real outlink source the HTML-only link graph misses —
+    this relation unions with html_links into the same host-graph /
+    frontier rollups. Zero-shuffle mapInPandas; PDFs without
+    annotations emit no rows, corrupt blobs are skipped."""
+    from docling_spark.parsers.pdfio import extract_pdf_links
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["pdf"]):
+                if blob is None:
+                    continue
+                try:
+                    entries = extract_pdf_links(bytes(blob))
+                except Exception:
+                    continue
+                for e in entries:
+                    rows.append((doc_id, e["page_no"], e["link_idx"],
+                                 e["url"], e["l"], e["t"], e["r"],
+                                 e["b"]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "page_no", "link_idx", "url",
+                               "l", "t", "r", "b"])
+
+    return df.mapInPandas(batches, schema=PDF_LINKS_DDL)

@@ -1471,3 +1471,43 @@ def extract_outline(data: bytes) -> List[dict]:
         if kid is not None:
             stack.append((kid, level + 1))
     return out
+
+
+def extract_pdf_links(data: bytes) -> List[dict]:
+    """Raw PDF bytes → URI link annotations (§12.5.6.5): one dict
+    (page_no, link_idx, url, l, t, r, b) per /Subtype /Link annotation
+    carrying an /A URI action, in page order then /Annots array order.
+    ``link_idx`` is the document-order position. Rect coords are the
+    raw PDF user-space values (bottom-up y). Non-link annotations and
+    GoTo/JavaScript actions are skipped; malformed entries degrade to
+    omission, never an exception — the PDF-side counterpart of
+    operators/links.py::html_links (URLs inside PDFs are a real
+    outlink source the HTML-only link graph misses)."""
+    doc = PdfDocument(data)
+    out: List[dict] = []
+    for page_no, page in enumerate(doc.pages()):
+        annots = doc.resolve(page.get("Annots"))
+        if not isinstance(annots, list):
+            continue
+        for a in annots[:512]:
+            annot = doc.resolve(a)
+            if not isinstance(annot, dict):
+                continue
+            if str(annot.get("Subtype", "")) != "Link":
+                continue
+            act = doc.resolve(annot.get("A"))
+            if not isinstance(act, dict) or str(act.get("S", "")) != "URI":
+                continue
+            url = _pdf_text_string(doc.resolve(act.get("URI")))
+            if not url:
+                continue
+            rect = doc.resolve(annot.get("Rect"))
+            if not (isinstance(rect, list) and len(rect) == 4):
+                rect = [0, 0, 0, 0]
+            try:
+                l, b, r, t = (float(doc.resolve(v)) for v in rect)
+            except (TypeError, ValueError):
+                l = b = r = t = 0.0
+            out.append({"page_no": page_no, "link_idx": len(out),
+                        "url": url, "l": l, "t": t, "r": r, "b": b})
+    return out

@@ -41,7 +41,8 @@ def synth_pdf(page_texts: List[str], compress: bool = True) -> bytes:
 
 def synth_pdf_pages(pages: List[List[str]],
                     compress: bool = True,
-                    outline: "List[tuple]" = None) -> bytes:
+                    outline: "List[tuple]" = None,
+                    links: "List[tuple]" = None) -> bytes:
     """Build a one-column PDF where each page is a list of text lines
     laid out top-down at a uniform 14pt step from y=724 (10pt
     Helvetica) — single-column body geometry, clear of the page
@@ -52,15 +53,26 @@ def synth_pdf_pages(pages: List[List[str]],
     written as a REAL ISO 32000-1 §12.3.3 outline tree: /Outlines root
     with /First /Last /Count, items linked via /Parent /Prev /Next
     with explicit [page /XYZ] destinations, so the reader's tree walk
-    is exercised, not a flat list replay."""
+    is exercised, not a flat list replay.
+
+    ``links``: optional list of (page_idx, url) in document order —
+    written as real §12.5.6.5 link annotations: per-page /Annots
+    arrays of indirect /Subtype /Link objects carrying /A URI
+    actions."""
     page_texts = pages
     objs: List[bytes] = []  # 1-indexed object bodies (without N 0 obj)
 
     n_pages = max(1, len(page_texts))
     # object layout: 1=Catalog, 2=Pages, 3=Font,
     #   4..3+n = Page_i, 4+n..3+2n = Contents_i,
-    #   then (when outlined) 4+2n = /Outlines root, 5+2n+i = item i
+    #   then (when outlined) 4+2n = /Outlines root, 5+2n+i = item i,
+    #   then (when linked) one /Annot object per link, in input order
     kids = " ".join(f"{4 + i} 0 R" for i in range(n_pages))
+    ann_base = 4 + 2 * n_pages + (1 + len(outline) if outline else 0)
+    page_annots = {}
+    for j, (pg, _url) in enumerate(links or []):
+        pg = min(max(0, int(pg)), n_pages - 1)
+        page_annots.setdefault(pg, []).append(ann_base + j)
     if outline:
         objs.append((f"<< /Type /Catalog /Pages 2 0 R "
                      f"/Outlines {4 + 2 * n_pages} 0 R >>").encode())
@@ -72,8 +84,12 @@ def synth_pdf_pages(pages: List[List[str]],
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
                 b" /Encoding /WinAnsiEncoding >>")
     for i in range(n_pages):
+        annots = ""
+        if i in page_annots:
+            refs = " ".join(f"{a} 0 R" for a in page_annots[i])
+            annots = f" /Annots [{refs}]"
         objs.append((f"<< /Type /Page /Parent 2 0 R /Contents "
-                     f"{4 + n_pages + i} 0 R >>").encode())
+                     f"{4 + n_pages + i} 0 R{annots} >>").encode())
     for i in range(n_pages):
         lines = page_texts[i] if i < len(page_texts) else [""]
         body = b" ".join(
@@ -144,6 +160,13 @@ def synth_pdf_pages(pages: List[List[str]],
                          f" /Count {counts[i]}").encode()
             body += f" /Dest [{4 + pg} 0 R /XYZ 0 792 0] >>".encode()
             objs.append(bytes(body))
+
+    for j, (_pg, url) in enumerate(links or []):
+        y = 700 - 16 * j
+        objs.append(b"<< /Type /Annot /Subtype /Link /Rect [50 "
+                    + str(y).encode() + b" 250 " + str(y + 14).encode()
+                    + b"] /Border [0 0 0] /A << /S /URI /URI "
+                    + _lit(url) + b" >> >>")
 
     buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]

@@ -79,3 +79,43 @@ def test_synth_without_outline_is_unchanged():
     a = synth_pdf_pages([["x"], ["y"]])
     b = synth_pdf_pages([["x"], ["y"]], outline=None)
     assert a == b
+
+
+def test_pdf_links_roundtrip_and_order():
+    from docling_spark.parsers.pdfio import extract_pdf_links
+    pdf = synth_pdf_pages(
+        [["p0"], ["p1"]],
+        links=[(1, "https://b.com/2"), (0, "https://a.com/1"),
+               (0, "https://c.com/3")])
+    out = extract_pdf_links(pdf)
+    # page order first, then /Annots array order (input order per page)
+    assert [(e["page_no"], e["url"]) for e in out] == [
+        (0, "https://a.com/1"), (0, "https://c.com/3"),
+        (1, "https://b.com/2")]
+    assert [e["link_idx"] for e in out] == [0, 1, 2]
+    assert out[0]["r"] - out[0]["l"] == 200.0
+
+
+def test_pdf_links_absent_and_with_outline():
+    from docling_spark.parsers.pdfio import (extract_outline,
+                                             extract_pdf_links)
+    assert extract_pdf_links(synth_pdf_pages([["x"]])) == []
+    # outline + links coexist: object numbering must not collide
+    pdf = synth_pdf_pages([["x"], ["y"]],
+                          outline=[(0, "A", 0), (1, "A.1", 1)],
+                          links=[(0, "https://e.com/u")])
+    assert [e["title"] for e in extract_outline(pdf)] == ["A", "A.1"]
+    out = extract_pdf_links(pdf)
+    assert [(e["page_no"], e["url"]) for e in out] == \
+        [(0, "https://e.com/u")]
+
+
+def test_pdf_links_skips_non_uri_annotations():
+    from docling_spark.parsers.pdfio import extract_pdf_links
+    pdf = bytearray(synth_pdf_pages([["x"]],
+                                    links=[(0, "https://keep.com/")]))
+    # corrupt the action type: /S /URI -> /S /XXX is skipped
+    out = extract_pdf_links(bytes(pdf))
+    assert len(out) == 1
+    pdf2 = bytes(pdf).replace(b"/S /URI", b"/S /XXX")
+    assert extract_pdf_links(pdf2) == []
