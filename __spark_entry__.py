@@ -2240,6 +2240,22 @@ def q_top_terms(spark, sf_dir):
                       F.col("df").cast("long").alias("df"))
 
 
+def q_heavy_hitters_cms(spark, sf_dir):
+    """Count-min-sketch heavy hitters (operators/sketch.py:
+    cms_heavy_hitters, Cormode & Muthukrishnan 2005): global top-20
+    tokens by term frequency, each row carrying the CMS estimate a
+    4×1024 sketch would return and the overcount it actually made
+    (est ≥ true always; est ≤ true + e/1024·N w.h.p.) — the
+    calibration run before trusting the sketch alone on a 10^12-token
+    stream where the exact vocabulary table is itself billions of
+    rows. md5 bucket hashing replays bit-for-bit in the oracle."""
+    from docling_spark.operators.sketch import cms_heavy_hitters
+    from docling_spark.operators.textstats import tokens_col
+    docs = _docs(spark, sf_dir)
+    terms = docs.select(F.explode(tokens_col()).alias("token"))
+    return cms_heavy_hitters(terms, value_col="token")
+
+
 def _diff_struct(kind, text, media, off):
     return F.struct(kind.alias("kind"), text.alias("text"),
                     media.alias("media_ref"),
@@ -4293,6 +4309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_text_records": q_wet_text_records,
         "wat_metadata": q_wat_metadata,
         "bitext_candidates": q_bitext_candidates,
+        "heavy_hitters_cms": q_heavy_hitters_cms,
     }
 
 
@@ -8669,6 +8686,31 @@ FROM ({oracles["knn_cosine_bruteforce"]}) b
 LEFT JOIN ({oracles["knn_cosine_lsh"]}) a
   ON a.query_id = b.query_id AND a.nbr_id = b.nbr_id
 GROUP BY b.query_id
+"""
+
+    oracles["heavy_hitters_cms"] = f"""
+WITH n AS (SELECT {NORM_SQL} AS nt FROM documents),
+t AS (SELECT unnest(string_split(nt, ' ')) AS val FROM n),
+c AS (SELECT val, COUNT(*) AS cnt FROM t WHERE val <> ''
+      GROUP BY val),
+seeds AS (SELECT unnest(['0', '1', '2', '3']) AS seed),
+tb AS (SELECT c.val, c.cnt, s.seed,
+              ('0x' || substr(md5(s.seed || ':' || c.val), 1, 12))
+                ::BIGINT % 1024 AS bucket
+       FROM c, seeds s),
+cms AS (SELECT seed, bucket, SUM(cnt) AS bsum
+        FROM tb GROUP BY seed, bucket),
+e AS (SELECT tb.val, tb.cnt, MIN(cms.bsum) AS est_cnt
+      FROM tb JOIN cms USING (seed, bucket)
+      GROUP BY tb.val, tb.cnt),
+r AS (SELECT val, cnt, est_cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, val) AS rank
+      FROM e)
+SELECT CAST(rank AS INT) AS rank, val AS token,
+       CAST(cnt AS BIGINT) AS cnt,
+       CAST(est_cnt AS BIGINT) AS est_cnt,
+       CAST(est_cnt - cnt AS BIGINT) AS overcount
+FROM r WHERE rank <= 20
 """
 
     return oracles

@@ -228,3 +228,64 @@ def kmv_jaccard(df: DataFrame, *, group_col: str, value_col: str,
     return j.select("grp_a", "grp_b",
                     F.floor(inter * 10000 / denom).cast("long")
                      .alias("est_jaccard_e4"))
+
+
+def cms_heavy_hitters(df: DataFrame, *, value_col: str,
+                      depth: int = 4, width: int = 1024,
+                      k: int = 20) -> DataFrame:
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    build a depth×width CMS over ``value_col`` occurrences, then report
+    the top-``k`` values by true frequency together with the sketch's
+    estimate and its overcount.
+
+    Why a sketch next to the exact path: at 10^12 tokens the exact
+    per-term count table IS the vocabulary (billions of rows); the CMS
+    is depth×width counters (4×1024 here) that answer any ad-hoc
+    frequency probe without rescanning, merge across partitions by
+    element-wise sum, and guarantee est ≥ true with
+    est ≤ true + ε·N (ε = e/width) w.h.p. This harness keeps the
+    exact counts too, so the output row carries the error the sketch
+    actually made — the standard calibration run before deploying the
+    sketch alone.
+
+    Determinism: row hashes are md5-prefix (48-bit) of ``seed:value``
+    mod width — replayed bit-for-bit by the SQL oracle (same trick as
+    :func:`kmv_distinct`). Plan shape: ONE map-side-combinable count
+    per value (the vocabulary shuffle), a depth×width second-phase agg
+    (output ≤ 4096 rows), a broadcast join of the CMS back onto the
+    count table, and the salted two-phase top-k — no window ever sees
+    the whole vocabulary in one task.
+    """
+    cnt = (df.select(F.col(value_col).cast("string").alias("val"))
+           .filter(F.col("val") != "")
+           .groupBy("val").agg(F.count("*").alias("cnt")))
+
+    # ONE (val, cnt) × depth explode carries every (seed, bucket)
+    # probe — the count aggregation runs once, not once per seed
+    h = F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"),
+                       F.col("val")))
+    tb = cnt.select(
+        "val", "cnt",
+        F.explode(F.array(*[F.lit(s) for s in range(depth)]))
+        .alias("seed")).select(
+        "val", "cnt", "seed",
+        (F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % width)
+        .alias("bucket"))
+    # tb feeds BOTH the sketch build and the probe side of the join;
+    # persist at the branch point so the vocabulary aggregation runs
+    # once, not once per consumer (same branch-point rule as the
+    # phash self-join in multimodal.py)
+    tb = tb.persist()
+    cms = tb.groupBy("seed", "bucket").agg(
+        F.sum("cnt").alias("bsum"))            # ≤ depth·width rows
+    est = (tb.join(F.broadcast(cms), ["seed", "bucket"])
+           .groupBy("val", "cnt").agg(F.min("bsum").alias("est_cnt")))
+
+    top = distributed_topk(est.withColumn("_g", F.lit(0)),
+                           key="_g", order="cnt", tie="val", k=k)
+    return top.select(
+        F.col("rank").cast("int").alias("rank"),
+        F.col("val").alias("token"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("est_cnt").cast("long").alias("est_cnt"),
+        (F.col("est_cnt") - F.col("cnt")).cast("long").alias("overcount"))

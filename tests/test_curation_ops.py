@@ -652,3 +652,45 @@ def test_gopher_rules_individual_gates(spark):
     assert out[3]["r_meanlen"] == 0 and out[3]["r_stops"] == 0
     # doc 4: 30/60 words non-alphabetic -> alpha rule fails
     assert out[4]["r_alpha"] == 0 and out[4]["r_words"] == 1
+
+
+def test_cms_heavy_hitters_bounds(spark):
+    from docling_spark.operators.sketch import cms_heavy_hitters
+    import hashlib
+
+    # zipf-ish stream: token t_i appears (40 - i) times
+    rows = [(f"t{i:02d}",) for i in range(40) for _ in range(40 - i)]
+    df = spark.createDataFrame(rows, "token string")
+    out = cms_heavy_hitters(df, value_col="token", depth=4,
+                            width=64, k=10).collect()
+    assert [r["rank"] for r in out] == list(range(1, 11))
+    # exact counts, correct order (count desc, token asc tiebreak)
+    assert [r["token"] for r in out] == [f"t{i:02d}" for i in range(10)]
+    assert [r["cnt"] for r in out] == [40 - i for i in range(10)]
+    for r in out:
+        # CMS one-sided error: estimate never undercounts
+        assert r["est_cnt"] >= r["cnt"]
+        assert r["overcount"] == r["est_cnt"] - r["cnt"]
+
+    # the estimate is the hand-computable min over 4 bucket sums
+    cnt = {f"t{i:02d}": 40 - i for i in range(40)}
+
+    def bucket(seed, val):
+        return int(hashlib.md5(f"{seed}:{val}".encode())
+                   .hexdigest()[:12], 16) % 64
+
+    sums = {}
+    for s in range(4):
+        for v, c in cnt.items():
+            sums[(s, bucket(s, v))] = sums.get((s, bucket(s, v)), 0) + c
+    for r in out:
+        want = min(sums[(s, bucket(s, r["token"]))] for s in range(4))
+        assert r["est_cnt"] == want
+
+    # NULL/empty values are dropped, not counted
+    rows2 = rows + [(None,), ("",)]
+    df2 = spark.createDataFrame(rows2, "token string")
+    out2 = cms_heavy_hitters(df2, value_col="token", depth=4,
+                             width=64, k=10).collect()
+    assert [(r["token"], r["cnt"]) for r in out2] \
+        == [(r["token"], r["cnt"]) for r in out]

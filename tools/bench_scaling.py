@@ -97,12 +97,16 @@ spark.stop()
 
 
 # replicate 16x with distinct ids AND distinct tokens (every word gets
-# a per-replica suffix): identical replicas would form 16-cliques in
+# a per-replica suffix): identical replicas would form N-cliques in
 # every LSH bucket and blow the verify stage up quadratically, turning
 # the benchmark into a pathological-duplicate stress test instead of a
-# throughput-scaling measurement; a smaller corpus would leave fixed
-# stage costs dominant. Materialized once to many-file parquet so every
-# level reads the same input with real split parallelism.
+# throughput-scaling measurement. ×64 (320k docs at sf0.1) sizes the
+# job so the 32-core wall is tens of seconds — long enough that the
+# ~12 parallelism-independent stage boundaries amortize and the
+# efficiency number measures the operator, not the scheduler floor
+# (round 3 ran ×16 = 5 s walls and got scheduler noise).
+# Materialized once to many-file parquet so every level reads the
+# same input with real split parallelism.
 PREPARE_DEDUP = r"""
 import sys
 sys.path.insert(0, {root!r})
@@ -117,7 +121,7 @@ spark.sparkContext.setLogLevel("ERROR")
 docs = (spark.read.parquet(f"{{sf_dir}}/documents.parquet")
         .repartition(64, "doc_id"))
 corpus = (docs.select("doc_id", "text",
-                      F.explode(F.sequence(F.lit(0), F.lit(15))).alias("rep"))
+                      F.explode(F.sequence(F.lit(0), F.lit(63))).alias("rep"))
           .select(
               (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
               F.array_join(
@@ -273,27 +277,34 @@ Method notes:
 
     # second evidence axis: a SHUFFLE-HEAVY operator (extraction is
     # embarrassingly parallel; near-dup has 3 shuffles + a self-join)
-    dedup_dir = f"/tmp/scaling_dedup_{os.path.basename(sf_dir)}_x16"
+    dedup_dir = f"/tmp/scaling_dedup_{os.path.basename(sf_dir)}_x64"
     if not os.path.exists(os.path.join(dedup_dir, "_SUCCESS")):
         _run_py(PREPARE_DEDUP.format(root=ROOT), sf_dir, dedup_dir,
                 str(n_files))
+    dsamples: dict = {c: [] for c in (4, 8, 16, 32)}
     dresults: dict = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for cpus in (4, 8, 16, 32):
             line = [ln for ln in
                     _run_py(DEDUP_WORKER.format(root=ROOT), str(cpus),
                             dedup_dir).strip().splitlines()
                     if ln.startswith("{")][-1]
             r = json.loads(line)
+            dsamples[cpus].append(r["docs_per_sec"])
+            print(json.dumps(r), flush=True)
             if (cpus not in dresults
                     or r["docs_per_sec"] > dresults[cpus]["docs_per_sec"]):
                 dresults[cpus] = r
-    d_eff_4_16 = (dresults[16]["docs_per_sec"]
-                  / (4 * dresults[4]["docs_per_sec"]))
-    d_eff_8_32 = (dresults[32]["docs_per_sec"]
-                  / (4 * dresults[8]["docs_per_sec"]))
+    dmed = {c: statistics.median(v) for c, v in dsamples.items()}
+    for c in dresults:
+        dresults[c]["docs_per_sec_median"] = round(dmed[c], 1)
+        dresults[c]["samples"] = dsamples[c]
+    d_eff_4_16 = dmed[16] / (4 * dmed[4])
+    d_eff_8_32 = dmed[32] / (4 * dmed[8])
     drows = "\n".join(
-        f"| local[{c}] | {r['docs']} | {r['wall_sec']} | {r['docs_per_sec']} |"
+        f"| local[{c}] | {r['docs']} | {dmed[c]:.1f} | "
+        f"{r['docs_per_sec']} | "
+        + " · ".join(f"{s:.1f}" for s in dsamples[c]) + " |"
         for c, r in dresults.items())
     md += f"""
 ## Shuffle-heavy operator: MinHash+LSH near-dup (secondary evidence)
@@ -301,25 +312,25 @@ Method notes:
 Extraction is embarrassingly parallel; the near-dup pipeline is the
 opposite stressor — shingle explode, minhash aggregation, band-bucket
 self-join and Jaccard verify (3 shuffles). {dresults[4]["docs"]}
-documents (sf0.1 ×16 replicas with per-replica token suffixes).
+documents (sf0.1 ×64 replicas with per-replica token suffixes — sized
+so walls are long enough that the ~12 parallelism-independent stage
+boundaries amortize; round 3 ran ×16 with ~5 s walls, which measured
+the scheduler floor, not the operator). Same protocol as extraction:
+3 JVM invocations per level, best-of-3 timed runs inside each,
+efficiency on per-level medians.
 
-Local-mode scaling of this job at this size is NOT a meaningful
-operator-scaling measurement: the whole job completes in seconds, of
-which ~4 s is parallelism-independent (~12 sequential stage
-boundaries + shared-JVM GC), so Amdahl caps local speedup regardless
-of operator quality and same-level walls vary up to 3× between
-invocations. Best-of-run walls per level (for the record, not as an
-efficiency claim):
-
-| config | docs | wall (s, best) | docs/sec |
-|---|---|---|---|
+| config | docs | docs/sec (median) | best | per-invocation samples |
+|---|---|---|---|---|
 {drows}
 
-The per-row work is demonstrated scale-clean by the extraction metric
-above (walls long enough to amortize the floor) and plan-clean by
-tests/test_plan_shapes.py; at 100 TB the same plan runs the same ~12
-stage boundaries against hours of parallel work, and executors own
-separate heaps.
+**N=4 vs 4N=16: efficiency on medians = {dmed[16]:.1f} /
+(4 × {dmed[4]:.1f}) = {d_eff_4_16:.3f}**
+{"(meets ≥0.8)" if d_eff_4_16 >= 0.8 else "(below 0.8)"}.
+N=8 vs 4N=32: {d_eff_8_32:.3f} — the 4N=32 level co-schedules 32
+executor threads with the driver, DAG scheduler, GC and shuffle
+threads on 32 hardware threads (oversubscribed single-JVM artifact;
+see the extraction section's saturation note — the unsaturated 4→16
+pair is the faithful stand-in for real executor scale-out geometry).
 """
     with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
