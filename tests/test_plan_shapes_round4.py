@@ -140,3 +140,19 @@ def test_warc_revisit_dedup_equijoin_only(spark):
     plan = _plan(warc_revisit_dedup(recs))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cms_heavy_hitters_broadcast_sketch(spark):
+    from docling_spark.operators.sketch import cms_heavy_hitters
+    terms = _docs(spark).select(
+        F.explode(F.split("text", " ")).alias("token"))
+    plan = _plan(cms_heavy_hitters(terms, value_col="token",
+                                   width=64, k=5))
+    # the depth×width sketch joins back as a broadcast — the
+    # vocabulary-sized probe table must never sort-merge
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # top-k is the salted two-phase pattern, not a global single
+    # partition over the vocabulary
+    assert plan.count("Exchange SinglePartition") <= 1  # final k rows
