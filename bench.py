@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "mad_outlier_gate",
     "source_vocab_jaccard",
     "source_vocab_kmv",
+    "heavy_hitters_cms",
     "dedup_minhash_lsh_indep",
     # round 4
     "layout_post_clusters",
