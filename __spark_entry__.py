@@ -6308,18 +6308,19 @@ cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
          FROM bands l JOIN bands r
            ON l.band_id = r.band_id AND l.band_hash = r.band_hash
           AND l.doc_id < r.doc_id),
-shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shx GROUP BY doc_id),
-inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+-- hashed-set verify (mirrors minhash_dedup's array_intersect over
+-- distinct 48-bit md5 prefixes — same rule, bit-for-bit)
+hsets AS (SELECT doc_id, list_distinct(la) AS hset FROM mixed),
+inter AS (SELECT p.doc_a, p.doc_b,
+            len(list_filter(sa.hset,
+                x -> list_contains(sb.hset, x))) AS n_inter,
+            len(sa.hset) AS n_a, len(sb.hset) AS n_b
           FROM cand p
-          JOIN shx a ON p.doc_a = a.doc_id
-          JOIN shx b ON p.doc_b = b.doc_id AND a.shingle = b.shingle
-          GROUP BY p.doc_a, p.doc_b),
-j AS (SELECT i.doc_a, i.doc_b,
-        CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS jac
-      FROM inter i
-      JOIN sizes sa ON i.doc_a = sa.doc_id
-      JOIN sizes sb ON i.doc_b = sb.doc_id)
+          JOIN hsets sa ON p.doc_a = sa.doc_id
+          JOIN hsets sb ON p.doc_b = sb.doc_id),
+j AS (SELECT doc_a, doc_b,
+        CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jac
+      FROM inter)
 SELECT doc_a, doc_b, CAST(floor(jac * 10000) AS BIGINT) AS jaccard_e4
 FROM j WHERE jac >= 0.5
 """
@@ -6408,6 +6409,8 @@ WITH corpus AS (
 {SHINGLE_CTE},
 mixed AS (SELECT doc_id, shingles,
             list_transform(shingles,
+              x -> ('0x' || substr(md5(x), 1, 12))::BIGINT) AS la,
+            list_transform(shingles,
               x -> ('0x' || substr(md5(x), 1, 12))::BIGINT
                    % 2147483647) AS vs
           FROM sh),
@@ -6425,18 +6428,19 @@ cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
          FROM bands l JOIN bands r
            ON l.band_id = r.band_id AND l.band_hash = r.band_hash
           AND l.doc_id < r.doc_id),
-shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shx GROUP BY doc_id),
-inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+-- hashed-set verify (mirrors minhash_dedup's array_intersect over
+-- distinct 48-bit md5 prefixes — same rule, bit-for-bit)
+hsets AS (SELECT doc_id, list_distinct(la) AS hset FROM mixed),
+inter AS (SELECT p.doc_a, p.doc_b,
+            len(list_filter(sa.hset,
+                x -> list_contains(sb.hset, x))) AS n_inter,
+            len(sa.hset) AS n_a, len(sb.hset) AS n_b
           FROM cand p
-          JOIN shx a ON p.doc_a = a.doc_id
-          JOIN shx b ON p.doc_b = b.doc_id AND a.shingle = b.shingle
-          GROUP BY p.doc_a, p.doc_b),
-j AS (SELECT i.doc_a, i.doc_b,
-        CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS jac
-      FROM inter i
-      JOIN sizes sa ON i.doc_a = sa.doc_id
-      JOIN sizes sb ON i.doc_b = sb.doc_id)
+          JOIN hsets sa ON p.doc_a = sa.doc_id
+          JOIN hsets sb ON p.doc_b = sb.doc_id),
+j AS (SELECT doc_a, doc_b,
+        CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jac
+      FROM inter)
 SELECT doc_a, doc_b, CAST(floor(jac * 10000) AS BIGINT) AS jaccard_e4
 FROM j WHERE jac >= 0.5
 """

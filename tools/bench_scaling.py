@@ -157,7 +157,7 @@ n_docs = corpus.count()
 minhash_dedup(corpus.limit(512)).count()  # warm workers + codegen
 
 best = None
-for _ in range(3):
+for _ in range(2):
     t0 = time.monotonic()
     n_pairs = minhash_dedup(corpus).count()
     wall = time.monotonic() - t0
