@@ -96,11 +96,11 @@ spark.stop()
 """
 
 
-# replicate 16x with distinct ids AND distinct tokens (every word gets
+# replicate Nx with distinct ids AND distinct tokens (every word gets
 # a per-replica suffix): identical replicas would form N-cliques in
 # every LSH bucket and blow the verify stage up quadratically, turning
 # the benchmark into a pathological-duplicate stress test instead of a
-# throughput-scaling measurement. ×64 (320k docs at sf0.1) sizes the
+# throughput-scaling measurement. ×256 (1.28M docs at sf0.1) sizes the
 # job so the 32-core wall is tens of seconds — long enough that the
 # ~12 parallelism-independent stage boundaries amortize and the
 # efficiency number measures the operator, not the scheduler floor
@@ -121,9 +121,10 @@ spark.sparkContext.setLogLevel("ERROR")
 docs = (spark.read.parquet(f"{{sf_dir}}/documents.parquet")
         .repartition(64, "doc_id"))
 corpus = (docs.select("doc_id", "text",
-                      F.explode(F.sequence(F.lit(0), F.lit(63))).alias("rep"))
+                      F.explode(F.sequence(F.lit(0), F.lit(255))).alias("rep"))
           .select(
-              (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+              (F.col("doc_id").cast("long")
+               + F.col("rep").cast("long") * 10_000_000).alias("doc_id"),
               F.array_join(
                   F.transform(F.split("text", " "),
                               lambda w: F.concat(
@@ -277,7 +278,7 @@ Method notes:
 
     # second evidence axis: a SHUFFLE-HEAVY operator (extraction is
     # embarrassingly parallel; near-dup has 3 shuffles + a self-join)
-    dedup_dir = f"/tmp/scaling_dedup_{os.path.basename(sf_dir)}_x64"
+    dedup_dir = f"/tmp/scaling_dedup_{os.path.basename(sf_dir)}_x256"
     if not os.path.exists(os.path.join(dedup_dir, "_SUCCESS")):
         _run_py(PREPARE_DEDUP.format(root=ROOT), sf_dir, dedup_dir,
                 str(n_files))
@@ -312,7 +313,7 @@ Method notes:
 Extraction is embarrassingly parallel; the near-dup pipeline is the
 opposite stressor — shingle explode, minhash aggregation, band-bucket
 self-join and Jaccard verify (3 shuffles). {dresults[4]["docs"]}
-documents (sf0.1 ×64 replicas with per-replica token suffixes — sized
+documents (sf0.1 ×256 replicas with per-replica token suffixes — sized
 so walls are long enough that the ~12 parallelism-independent stage
 boundaries amortize; round 3 ran ×16 with ~5 s walls, which measured
 the scheduler floor, not the operator). Same protocol as extraction:
