@@ -100,20 +100,23 @@ spark.stop()
 # a per-replica suffix): identical replicas would form N-cliques in
 # every LSH bucket and blow the verify stage up quadratically, turning
 # the benchmark into a pathological-duplicate stress test instead of a
-# throughput-scaling measurement. ×256 (1.28M docs at sf0.1) sizes the
-# job so the 32-core wall is tens of seconds — long enough that the
-# ~12 parallelism-independent stage boundaries amortize and the
-# efficiency number measures the operator, not the scheduler floor
-# (round 3 ran ×16 = 5 s walls and got scheduler noise).
-# Materialized once to many-file parquet so every level reads the
-# same input with real split parallelism.
+# throughput-scaling measurement. The replica factor is a parameter:
+# every time the operator gets faster the corpus must grow so walls
+# stay long enough that the ~6 s of parallelism-independent job time
+# (stage boundaries, AQE planning, shared-JVM GC — measured by fitting
+# wall = W/p + S across levels) amortizes and the efficiency number
+# measures the operator, not the scheduler floor (round 3 ran ×16 =
+# 5 s walls; the minhash-verify rewrite then made ×256 walls ~9 s —
+# both floor-bound). Materialized once to many-file parquet so every
+# level reads the same input with real split parallelism.
 PREPARE_DEDUP = r"""
 import sys
 sys.path.insert(0, {root!r})
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-sf_dir, out_dir, n_files = sys.argv[1], sys.argv[2], int(sys.argv[3])
+sf_dir, out_dir, n_files, reps = (sys.argv[1], sys.argv[2],
+                                  int(sys.argv[3]), int(sys.argv[4]))
 spark = (SparkSession.builder.master("local[32]")
          .config("spark.ui.enabled", "false")
          .config("spark.driver.memory", "24g").getOrCreate())
@@ -121,7 +124,8 @@ spark.sparkContext.setLogLevel("ERROR")
 docs = (spark.read.parquet(f"{{sf_dir}}/documents.parquet")
         .repartition(64, "doc_id"))
 corpus = (docs.select("doc_id", "text",
-                      F.explode(F.sequence(F.lit(0), F.lit(255))).alias("rep"))
+                      F.explode(F.sequence(F.lit(0), F.lit(reps - 1)))
+                       .alias("rep"))
           .select(
               (F.col("doc_id").cast("long")
                + F.col("rep").cast("long") * 10_000_000).alias("doc_id"),
@@ -180,46 +184,63 @@ def _run_py(code: str, *args: str) -> str:
 def main() -> None:
     import statistics
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    repeat = int(sys.argv[2]) if len(sys.argv) > 2 else 40
-    n_files = int(sys.argv[3]) if len(sys.argv) > 3 else 256
-    invocations = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    dedup_only = "--dedup-only" in sys.argv[1:]
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    repeat = int(args[1]) if len(args) > 1 else 40
+    n_files = int(args[2]) if len(args) > 2 else 256
+    invocations = int(args[3]) if len(args) > 3 else 3
+    dedup_reps = int(args[4]) if len(args) > 4 else 4096
     corpus_dir = f"/tmp/scaling_corpus_{os.path.basename(sf_dir)}_{repeat}"
 
-    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
-        _run_py(PREPARE.format(root=ROOT), sf_dir, str(repeat),
-                str(n_files), corpus_dir)
+    results: dict = {}
+    eff_4_16 = eff_8_32 = None
+    if dedup_only:
+        # keep the committed extraction section (its 5-invocation raw
+        # samples live in BENCH/scaling_samples_r04.log); replace only
+        # the shuffle-heavy section below
+        with open(os.path.join(ROOT, "BENCH", "BASELINE.md")) as f:
+            existing = f.read()
+        cut = existing.find("\n## Shuffle-heavy operator:")
+        md = existing[:cut] + "\n" if cut >= 0 else existing
+    else:
+        if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+            _run_py(PREPARE.format(root=ROOT), sf_dir, str(repeat),
+                    str(n_files), corpus_dir)
 
-    # N separate JVM invocations per level, interleaved across levels so
-    # bursty co-tenant noise doesn't bias one level; headline efficiency
-    # is computed on the MEDIAN docs/sec per level (the round-1 verdict
-    # flagged best-of-N pairing as a thin-margin artifact), best kept as
-    # the least-interference capability estimate
-    samples: dict = {c: [] for c in (4, 8, 16, 32)}
-    docs_n = 0
-    for _pass in range(invocations):
-        for cpus in (4, 8, 16, 32):
-            line = [ln for ln in
-                    _run_py(WORKER.format(root=ROOT), str(cpus),
-                            corpus_dir).strip().splitlines()
-                    if ln.startswith("{")][-1]
-            r = json.loads(line)
-            docs_n = r["docs"]
-            samples[cpus].append(r["docs_per_sec"])
-            print(json.dumps(r), flush=True)
+        # N separate JVM invocations per level, interleaved across
+        # levels so bursty co-tenant noise doesn't bias one level;
+        # headline efficiency is computed on the MEDIAN docs/sec per
+        # level (the round-1 verdict flagged best-of-N pairing as a
+        # thin-margin artifact), best kept as the least-interference
+        # capability estimate
+        samples: dict = {c: [] for c in (4, 8, 16, 32)}
+        docs_n = 0
+        for _pass in range(invocations):
+            for cpus in (4, 8, 16, 32):
+                line = [ln for ln in
+                        _run_py(WORKER.format(root=ROOT), str(cpus),
+                                corpus_dir).strip().splitlines()
+                        if ln.startswith("{")][-1]
+                r = json.loads(line)
+                docs_n = r["docs"]
+                samples[cpus].append(r["docs_per_sec"])
+                print(json.dumps(r), flush=True)
 
-    med = {c: statistics.median(v) for c, v in samples.items()}
-    best = {c: max(v) for c, v in samples.items()}
-    eff_4_16 = med[16] / (4 * med[4])
-    eff_8_32 = med[32] / (4 * med[8])
-    eff_4_16_best = best[16] / (4 * best[4])
+        med = {c: statistics.median(v) for c, v in samples.items()}
+        best = {c: max(v) for c, v in samples.items()}
+        eff_4_16 = med[16] / (4 * med[4])
+        eff_8_32 = med[32] / (4 * med[8])
+        eff_4_16_best = best[16] / (4 * best[4])
 
-    os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
-    rows = "\n".join(
-        f"| local[{c}] | {docs_n} | {med[c]:.1f} | {best[c]:.1f} | "
-        + " · ".join(f"{s:.1f}" for s in samples[c]) + " |"
-        for c in (4, 8, 16, 32))
-    md = f"""# BENCH/BASELINE — measured scaling & throughput
+        os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
+        rows = "\n".join(
+            f"| local[{c}] | {docs_n} | {med[c]:.1f} | {best[c]:.1f} | "
+            + " · ".join(f"{s:.1f}" for s in samples[c]) + " |"
+            for c in (4, 8, 16, 32))
+        results = {c: {"docs": docs_n, "docs_per_sec": med[c],
+                       "samples": samples[c]} for c in (4, 8, 16, 32)}
+        md = f"""# BENCH/BASELINE — measured scaling & throughput
 
 North-rule criterion: ≥0.8 throughput scaling efficiency between N and
 4N executors. Sandbox evidence: the same extraction job over the same
@@ -273,18 +294,18 @@ Method notes:
   (SURVEY.md §6); throughput baselines for this engine are recorded
   per-round by bench.py (BENCH_r{{N}}.json)
 """
-    results = {c: {"docs": docs_n, "docs_per_sec": med[c],
-                   "samples": samples[c]} for c in (4, 8, 16, 32)}
 
     # second evidence axis: a SHUFFLE-HEAVY operator (extraction is
     # embarrassingly parallel; near-dup has 3 shuffles + a self-join)
-    dedup_dir = f"/tmp/scaling_dedup_{os.path.basename(sf_dir)}_x256"
+    dedup_dir = (f"/tmp/scaling_dedup_{os.path.basename(sf_dir)}"
+                 f"_x{dedup_reps}")
     if not os.path.exists(os.path.join(dedup_dir, "_SUCCESS")):
         _run_py(PREPARE_DEDUP.format(root=ROOT), sf_dir, dedup_dir,
-                str(n_files))
+                str(n_files), str(dedup_reps))
     dsamples: dict = {c: [] for c in (4, 8, 16, 32)}
+    dwalls: dict = {c: [] for c in (4, 8, 16, 32)}
     dresults: dict = {}
-    for _pass in range(3):
+    for _pass in range(invocations):
         for cpus in (4, 8, 16, 32):
             line = [ln for ln in
                     _run_py(DEDUP_WORKER.format(root=ROOT), str(cpus),
@@ -292,18 +313,30 @@ Method notes:
                     if ln.startswith("{")][-1]
             r = json.loads(line)
             dsamples[cpus].append(r["docs_per_sec"])
+            dwalls[cpus].append(r["wall_sec"])
             print(json.dumps(r), flush=True)
             if (cpus not in dresults
                     or r["docs_per_sec"] > dresults[cpus]["docs_per_sec"]):
                 dresults[cpus] = r
     dmed = {c: statistics.median(v) for c, v in dsamples.items()}
+    wmed = {c: statistics.median(v) for c, v in dwalls.items()}
     for c in dresults:
         dresults[c]["docs_per_sec_median"] = round(dmed[c], 1)
         dresults[c]["samples"] = dsamples[c]
     d_eff_4_16 = dmed[16] / (4 * dmed[4])
     d_eff_8_32 = dmed[32] / (4 * dmed[8])
+    # decompose wall = W/p + S (parallel core-seconds W, serial
+    # seconds S) by least squares over the four median walls — the
+    # honest account of what a local-mode job can and cannot show
+    xs = [1.0 / c for c in (4, 8, 16, 32)]
+    ys = [wmed[c] for c in (4, 8, 16, 32)]
+    xb = sum(xs) / 4
+    yb = sum(ys) / 4
+    w_fit = (sum((x - xb) * (y - yb) for x, y in zip(xs, ys))
+             / sum((x - xb) ** 2 for x in xs))
+    s_fit = yb - w_fit * xb
     drows = "\n".join(
-        f"| local[{c}] | {r['docs']} | {dmed[c]:.1f} | "
+        f"| local[{c}] | {r['docs']} | {wmed[c]:.1f} | {dmed[c]:.1f} | "
         f"{r['docs_per_sec']} | "
         + " · ".join(f"{s:.1f}" for s in dsamples[c]) + " |"
         for c, r in dresults.items())
@@ -313,15 +346,18 @@ Method notes:
 Extraction is embarrassingly parallel; the near-dup pipeline is the
 opposite stressor — shingle explode, minhash aggregation, band-bucket
 self-join and Jaccard verify (3 shuffles). {dresults[4]["docs"]}
-documents (sf0.1 ×256 replicas with per-replica token suffixes — sized
-so walls are long enough that the ~12 parallelism-independent stage
-boundaries amortize; round 3 ran ×16 with ~5 s walls, which measured
-the scheduler floor, not the operator). Same protocol as extraction:
-3 JVM invocations per level, best-of-3 timed runs inside each,
-efficiency on per-level medians.
+documents (sf0.1 ×{dedup_reps} replicas with per-replica token
+suffixes). Corpus sizing history: round 3 ran ×16 (~5 s walls) and
+measured the scheduler floor; the minhash-verify rewrite (7× faster)
+re-shrunk ×256 walls to ~9–18 s, still floor-bound — fitting
+wall = W/p + S to those walls gave a ~6 s parallelism-independent
+floor S (stage boundaries, AQE planning, driver, shared-JVM GC), so
+the corpus was grown until the parallel work dominates the floor.
+Same protocol as extraction: {invocations} JVM invocations per level,
+best-of-2 timed runs inside each, efficiency on per-level medians.
 
-| config | docs | docs/sec (median) | best | per-invocation samples |
-|---|---|---|---|---|
+| config | docs | wall (s, median) | docs/sec (median) | best | per-invocation samples |
+|---|---|---|---|---|---|
 {drows}
 
 **N=4 vs 4N=16: efficiency on medians = {dmed[16]:.1f} /
@@ -332,15 +368,27 @@ executor threads with the driver, DAG scheduler, GC and shuffle
 threads on 32 hardware threads (oversubscribed single-JVM artifact;
 see the extraction section's saturation note — the unsaturated 4→16
 pair is the faithful stand-in for real executor scale-out geometry).
+
+Wall decomposition across the four levels (least squares on
+wall = W/p + S): parallel work W ≈ {w_fit:.0f} core-seconds,
+serial floor S ≈ {s_fit:.1f} s per job. On a real cluster the same
+plan runs the same ~12 stage boundaries against hours of parallel
+work per 100 TB partition wave, so S vanishes into the noise; in
+local mode it is the binding constant that any seconds-long wall
+measurement mostly measures.
 """
     with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps({"levels": results,
-                      "eff_4_to_16": round(eff_4_16, 3),
-                      "eff_8_to_32": round(eff_8_32, 3),
-                      "dedup_levels": dresults,
-                      "dedup_eff_4_to_16": round(d_eff_4_16, 3),
-                      "dedup_eff_8_to_32": round(d_eff_8_32, 3)}))
+    summary = {"dedup_levels": dresults,
+               "dedup_eff_4_to_16": round(d_eff_4_16, 3),
+               "dedup_eff_8_to_32": round(d_eff_8_32, 3),
+               "dedup_fit_core_sec": round(w_fit, 1),
+               "dedup_fit_serial_sec": round(s_fit, 2)}
+    if not dedup_only:
+        summary.update({"levels": results,
+                        "eff_4_to_16": round(eff_4_16, 3),
+                        "eff_8_to_32": round(eff_8_32, 3)})
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
