@@ -56,6 +56,8 @@ def _docs(spark):
         ("d8", [("md", None, None, None),
                 (None, "x", "", 1),
                 ("md", "tail", "", 2)]),
+        # NULL spans array (not just empty) → SKIPPED
+        ("d9", None),
     ]
     return spark.createDataFrame(rows, INPUT_SCHEMA)
 
