@@ -48,13 +48,23 @@ class TextNode:
 
 
 class Element:
-    __slots__ = ("name", "attrs", "children", "parent")
+    __slots__ = ("name", "_attrs", "children", "parent")
 
-    def __init__(self, name: str, attrs: Optional[dict] = None) -> None:
+    def __init__(self, name: str,
+                 attrs: Optional[Union[dict, str]] = None) -> None:
         self.name = name
-        self.attrs = attrs or {}
+        # the fast tokenizer passes the raw attribute body STRING and
+        # defers parsing to first access (most elements' attrs are
+        # never read); the stdlib path passes a ready dict
+        self._attrs = attrs if attrs is not None else {}
         self.children: List[Union["Element", TextNode]] = []
         self.parent: Optional["Element"] = None
+
+    @property
+    def attrs(self) -> dict:
+        if type(self._attrs) is str:
+            self._attrs = _parse_attrs(self._attrs)
+        return self._attrs
 
     @property
     def is_text(self) -> bool:
@@ -211,85 +221,73 @@ class _Bail(Exception):
     """Construct outside the fast subset — reparse with html.parser."""
 
 
+def _parse_attrs(body: str) -> dict:
+    """Attribute body → dict, last occurrence wins (the ``dict(attrs)``
+    the builder applies to html.parser's pair list). Called lazily from
+    Element.attrs on first access: the body string was already
+    validated by _FAST_STARTTAG at tokenize time, and since that
+    regex's attribute unit is textually identical to _FAST_ATTR and
+    greedy matching is deterministic, finditer here tiles the body
+    exactly as the start-tag match did — contiguously and completely —
+    so deferring the parse cannot change what an eager parse (with a
+    contiguity bail) would have produced."""
+    attrs: dict = {}
+    for am in _FAST_ATTR.finditer(body):
+        name, whole, dq, sq, uq = am.groups()
+        if whole is None:
+            attrs[name.lower()] = None
+        else:
+            v = dq if dq is not None else (sq if sq is not None else uq)
+            attrs[name.lower()] = unescape(v) if "&" in v else v
+    return attrs
+
+
 def _fast_feed(builder: _TreeBuilder, s: str) -> None:
-    handle_data = builder.handle_data
+    # Tree building is inlined (local stack/top instead of the
+    # HTMLParser hook methods) — on large documents the hook dispatch
+    # plus the per-tag eager attribute parse were ~40% of tokenize
+    # time. Event ORDER and semantics are identical to the hook path;
+    # tests/test_dom_fast.py asserts tree equality against the stdlib
+    # parser on every fixture and under fuzz.
+    stack = builder.stack
+    top = stack[-1]
+    starttag_match = _FAST_STARTTAG.match
+    endtag_match = _FAST_ENDTAG.match
+    find = s.find
     pos, n = 0, len(s)
     while pos < n:
-        lt = s.find("<", pos)
-        if lt < 0:
-            text = s[pos:]
-            handle_data(unescape(text) if "&" in text else text)
-            break
-        if lt > pos:
-            text = s[pos:lt]
-            handle_data(unescape(text) if "&" in text else text)
+        lt = find("<", pos)
+        if lt != pos:
+            text = s[pos:] if lt < 0 else s[pos:lt]
+            if "&" in text:
+                text = unescape(text)
+            # top is never script/style here: raw-text content is
+            # consumed atomically below, so plain data is never
+            # preformatted (matches _in_preformatted on the hook path)
+            node = TextNode(text)
+            node.parent = top
+            top.children.append(node)
+            if lt < 0:
+                break
         nxt = s[lt + 1:lt + 2]
-        if nxt == "!":
-            if s.startswith("<!--", lt):
-                end = s.find("-->", lt + 4)
-                if end < 0:
-                    raise _Bail
-                builder.handle_comment(s[lt + 4:end])
-                pos = end + 3
-            elif s.startswith("<![", lt):
-                # marked section: only the CDATA[...]]> form (closed by
-                # ']]>' with optional internal whitespace, content
-                # excludes both brackets — _markupbase semantics);
-                # conditional-section forms go to the stdlib path
-                if not s.startswith("CDATA[", lt + 3):
-                    raise _Bail
-                m = _FAST_MSCLOSE.search(s, lt + 3)
-                if not m:
-                    raise _Bail
-                builder.unknown_decl(s[lt + 3:m.start()])
-                pos = m.end()
-            else:
-                end = s.find(">", lt)
-                decl = s[lt + 2:end] if end > 0 else ""
-                if end < 0 or "[" in decl:
-                    raise _Bail          # internal subset / unclosed
-                builder.handle_decl(decl)
-                pos = end + 1
-        elif nxt == "/":
-            m = _FAST_ENDTAG.match(s, lt)
+        if nxt.isalpha():
+            m = starttag_match(s, lt)
             if not m:
                 raise _Bail
-            builder.handle_endtag(m.group(1).lower())
+            tag = m.group(1)
+            if not tag.islower():
+                tag = tag.lower()
+            body = m.group(2)
+            el = Element(tag, body if body else None)  # lazy attrs
+            el.parent = top
+            top.children.append(el)
             pos = m.end()
-        elif nxt == "?":
-            end = s.find(">", lt)
-            if end < 0:
-                raise _Bail
-            pos = end + 1                # handle_pi: default no-op
-        elif nxt.isalpha():
-            m = _FAST_STARTTAG.match(s, lt)
-            if not m:
-                raise _Bail
-            tag = m.group(1).lower()
-            body, selfclosing = m.group(2), bool(m.group(3))
-            attrs = []
-            if body:
-                consumed = 0
-                for am in _FAST_ATTR.finditer(body):
-                    if am.start() != consumed:
-                        raise _Bail
-                    consumed = am.end()
-                    name, whole, dq, sq, uq = am.groups()
-                    if whole is None:
-                        attrs.append((name.lower(), None))
-                    else:
-                        v = dq if dq is not None else (
-                            sq if sq is not None else uq)
-                        attrs.append((name.lower(),
-                                      unescape(v) if "&" in v else v))
-                if consumed != len(body):
-                    raise _Bail
-            if selfclosing:
-                builder.handle_startendtag(tag, attrs)
-            else:
-                builder.handle_starttag(tag, attrs)
-            pos = m.end()
-            if not selfclosing and tag in ("script", "style"):
+            if m.group(3):               # self-closing: never pushes
+                continue
+            if tag not in VOID_ELEMENTS:
+                stack.append(el)
+                top = el
+            if tag == "script" or tag == "style":
                 # raw-text mode: everything until the MATCHING end tag
                 # is one preformatted data node, charrefs untouched.
                 # html.parser stays in cdata mode when the '</tag'
@@ -304,15 +302,65 @@ def _fast_feed(builder: _TreeBuilder, s: str) -> None:
                     m2 = search(s, scan)
                     if not m2:
                         raise _Bail
-                    m3 = _FAST_ENDTAG.match(s, m2.start())
+                    m3 = endtag_match(s, m2.start())
                     if m3 is None:
                         raise _Bail
                     if m3.group(1).lower() == tag:
                         break
                     scan = m2.start() + 1
                 if m2.start() > pos:
-                    handle_data(s[pos:m2.start()])
+                    node = TextNode(s[pos:m2.start()], preformatted=True)
+                    node.parent = top
+                    top.children.append(node)
                 pos = m2.start()
+        elif nxt == "/":
+            m = endtag_match(s, lt)
+            if not m:
+                raise _Bail
+            tag = m.group(1)
+            if not tag.islower():
+                tag = tag.lower()
+            # pop to nearest matching open tag; unmatched → ignored
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].name == tag:
+                    del stack[i:]
+                    break
+            top = stack[-1]
+            pos = m.end()
+        elif nxt == "!":
+            if s.startswith("<!--", lt):
+                end = find("-->", lt + 4)
+                if end < 0:
+                    raise _Bail
+                builder.handle_comment(s[lt + 4:end])
+                top = stack[-1]
+                pos = end + 3
+            elif s.startswith("<![", lt):
+                # marked section: only the CDATA[...]]> form (closed by
+                # ']]>' with optional internal whitespace, content
+                # excludes both brackets — _markupbase semantics);
+                # conditional-section forms go to the stdlib path
+                if not s.startswith("CDATA[", lt + 3):
+                    raise _Bail
+                m = _FAST_MSCLOSE.search(s, lt + 3)
+                if not m:
+                    raise _Bail
+                builder.unknown_decl(s[lt + 3:m.start()])
+                top = stack[-1]
+                pos = m.end()
+            else:
+                end = find(">", lt)
+                decl = s[lt + 2:end] if end > 0 else ""
+                if end < 0 or "[" in decl:
+                    raise _Bail          # internal subset / unclosed
+                builder.handle_decl(decl)
+                top = stack[-1]
+                pos = end + 1
+        elif nxt == "?":
+            end = find(">", lt)
+            if end < 0:
+                raise _Bail
+            pos = end + 1                # handle_pi: default no-op
         else:
             # '<' before a non-tag char (or at EOF): stdlib recovery
             # territory — not worth replicating, bail

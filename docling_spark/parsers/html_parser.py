@@ -33,7 +33,7 @@ from ..doctree import (
     KIND_CAPTION,
     KIND_TEXT,
 )
-from .dom import Element, TextNode, next_sibling, parse_html
+from .dom import Element, TextNode, parse_html
 
 # Tags that generate node items (html_backend.py:28-43).
 TAGS_FOR_NODE_ITEMS = frozenset((
@@ -68,19 +68,26 @@ class _HtmlWalker:
 
     # ------------------------------------------------------------------
     def walk(self, tag: Element) -> None:
+        children = tag.children
+        n = len(children)
+        # suffix[i]: any Element at position ≥ i is a node-item tag —
+        # precomputed so the per-text-node flush test ("is this text
+        # followed by a node-item sibling?") is O(1) instead of an
+        # O(tail) sibling scan per text node (quadratic on wide divs)
+        suffix = [False] * (n + 1)
+        for i in range(n - 1, -1, -1):
+            c = children[i]
+            suffix[i] = suffix[i + 1] or (
+                c.__class__ is Element and c.name in TAGS_FOR_NODE_ITEMS)
         text = ""
-        for element in tag.children:
+        for i, element in enumerate(children):
             if isinstance(element, Element):
                 self.analyze_tag(element)
             elif isinstance(element, TextNode) and not element.preformatted:
-                # Floating text outside analyzed tags.
+                # Floating text outside analyzed tags: flush when this
+                # is the last child or a node-item tag follows.
                 text += element.data
-                siblings = element.parent.children if element.parent else []
-                idx = siblings.index(element)
-                tag_sibs = [s for s in siblings[idx + 1:]
-                            if isinstance(s, Element)]
-                if next_sibling(element) is None or any(
-                        s.name in TAGS_FOR_NODE_ITEMS for s in tag_sibs):
+                if i + 1 >= n or suffix[i + 1]:
                     text = text.strip()
                     if text and tag.name == "div":
                         self.tree.add_text(KIND_TEXT, text,
@@ -211,9 +218,11 @@ class _HtmlWalker:
                 self.level -= 1
             else:
                 self.walk(element)
-        elif element.text.strip():
-            self.tree.add_list_item(element.text.strip(), parent=parent,
-                                    layer=self.layer)
+        else:
+            text = element.text.strip()
+            if text:
+                self.tree.add_list_item(text, parent=parent,
+                                        layer=self.layer)
 
     def handle_table(self, element: Element) -> None:
         data = parse_table_data(element)
