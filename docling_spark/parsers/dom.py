@@ -89,22 +89,39 @@ class Element:
                 stack.extend(node.children[::-1])
 
     def find(self, names: Union[str, Sequence[str]]) -> Optional["Element"]:
-        if isinstance(names, str):
-            names = (names,)
-        for node in self.descendants():
-            if isinstance(node, Element) and node.name in names:
-                return node
+        # inline DFS: these run per-element during table/list walks, so
+        # the generator frame per yielded node is measurable overhead
+        single = type(names) is str
+        stack = self.children[::-1]
+        while stack:
+            node = stack.pop()
+            if node.__class__ is Element:
+                if node.name == names if single else node.name in names:
+                    return node
+                if node.children:
+                    stack.extend(node.children[::-1])
         return None
 
     def find_all(self, names: Union[str, Sequence[str]],
                  recursive: bool = True) -> List["Element"]:
-        if isinstance(names, str):
-            names = (names,)
+        single = type(names) is str
         out: List[Element] = []
-        nodes = self.descendants() if recursive else iter(self.children)
-        for node in nodes:
-            if isinstance(node, Element) and node.name in names:
-                out.append(node)
+        if not recursive:
+            for node in self.children:
+                if node.__class__ is Element and (
+                        node.name == names if single
+                        else node.name in names):
+                    out.append(node)
+            return out
+        # matched nodes are still descended into (nested matches count)
+        stack = self.children[::-1]
+        while stack:
+            node = stack.pop()
+            if node.__class__ is Element:
+                if node.name == names if single else node.name in names:
+                    out.append(node)
+                if node.children:
+                    stack.extend(node.children[::-1])
         return out
 
     @property

@@ -261,18 +261,21 @@ def parse_table_data(element: Element) -> Optional[TableData]:
     rows = element.find_all("tr")
     num_rows = len(rows)
     num_cols = 0
-    for row in rows:
-        col_count = sum(_int_attr(c, "colspan")
-                        for c in row.find_all(("td", "th")))
+    row_cells = [row.find_all(("td", "th")) for row in rows]
+    for cells in row_cells:
+        col_count = sum(_int_attr(c, "colspan") for c in cells)
         num_cols = max(num_cols, col_count)
 
     grid: List[List[Optional[str]]] = [
         [None] * num_cols for _ in range(num_rows)]
     data = TableData(num_rows=num_rows, num_cols=num_cols, cells=[])
 
-    for row_idx, row in enumerate(rows):
-        cells = row.find_all(("td", "th"))
-        col_header = all(c.name != "td" for c in cells)
+    for row_idx, cells in enumerate(row_cells):
+        col_header = True
+        for c in cells:
+            if c.name == "td":
+                col_header = False
+                break
 
         col_idx = 0
         for html_cell in cells:
