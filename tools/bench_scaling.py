@@ -186,6 +186,7 @@ def main() -> None:
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     dedup_only = "--dedup-only" in sys.argv[1:]
+    extract_only = "--extract-only" in sys.argv[1:]
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
     repeat = int(args[1]) if len(args) > 1 else 40
     n_files = int(args[2]) if len(args) > 2 else 256
@@ -215,6 +216,7 @@ def main() -> None:
         # thin-margin artifact), best kept as the least-interference
         # capability estimate
         samples: dict = {c: [] for c in (4, 8, 16, 32)}
+        ewalls: dict = {c: [] for c in (4, 8, 16, 32)}
         docs_n = 0
         for _pass in range(invocations):
             for cpus in (4, 8, 16, 32):
@@ -225,6 +227,7 @@ def main() -> None:
                 r = json.loads(line)
                 docs_n = r["docs"]
                 samples[cpus].append(r["docs_per_sec"])
+                ewalls[cpus].append(r["wall_sec"])
                 print(json.dumps(r), flush=True)
 
         med = {c: statistics.median(v) for c, v in samples.items()}
@@ -232,6 +235,17 @@ def main() -> None:
         eff_4_16 = med[16] / (4 * med[4])
         eff_8_32 = med[32] / (4 * med[8])
         eff_4_16_best = best[16] / (4 * best[4])
+        # same wall = W/p + S decomposition as the dedup section: the
+        # corpus must be sized so W/32 dominates S, else the pair
+        # efficiencies measure the scheduler floor, not the operator
+        ewmed = {c: statistics.median(v) for c, v in ewalls.items()}
+        exs = [1.0 / c for c in (4, 8, 16, 32)]
+        eys = [ewmed[c] for c in (4, 8, 16, 32)]
+        exb = sum(exs) / 4
+        eyb = sum(eys) / 4
+        ew_fit = (sum((x - exb) * (y - eyb) for x, y in zip(exs, eys))
+                  / sum((x - exb) ** 2 for x in exs))
+        es_fit = eyb - ew_fit * exb
 
         os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
         rows = "\n".join(
@@ -268,16 +282,26 @@ verdict flagged as noise-sensitive at thin margins.
 on best-per-level it is {eff_4_16_best:.3f}.
 
 N=8 vs 4N=32: efficiency = {eff_8_32:.3f}
-(round 4: ≥0.8 at this pair too, with no disclaimer needed).
-Context for why it trails 4→16: local[32] on a 32-hw-thread
-box co-schedules the 32 executor threads WITH the driver, the DAG
-scheduler, GC threads, and 32 Python UDF workers (>64 runnable
-threads on 32 cores), so the 4N level is oversubscribed. This is a
-single-JVM local-mode artifact: on a real N→4N *executor* scale-out the
-driver and each executor own separate machines and per-machine thread
-count is constant. The unsaturated 4→16 pair is the faithful stand-in
-for that cluster geometry; the hardware itself caps at ~0.87 at full
-saturation (measured with a pure multiprocessing md5 probe).
+{"(meets ≥0.8)" if eff_8_32 >= 0.8 else "(below 0.8 at this pair)"}.
+Context for why it trails 4→16: extraction is an Arrow-batched
+Python-UDF job, so every in-flight task occupies TWO threads — an
+executor thread (scan/shuffle/serde) and a Python worker (parse). At
+local[16] that is already 32 busy threads on this 32-hw-thread box:
+the hardware is saturated one level BELOW the nominal core count, and
+local[32] adds 32 more runnable threads (plus driver, DAG scheduler,
+GC) with no idle silicon to run them — the 8→32 pair measures
+hardware saturation, not the operator. This is a single-JVM
+local-mode artifact: on a real N→4N *executor* scale-out each
+executor owns its own machine, so per-machine thread pressure is
+constant and the unsaturated 4→16 pair is the faithful stand-in for
+that geometry; the hardware itself caps at ~0.87 at full saturation
+even for a pure multiprocessing md5 probe with no JVM beside it.
+
+Wall decomposition (least squares on wall = W/p + S over the four
+median walls): parallel work W ≈ {ew_fit:.0f} core-seconds, serial
+floor S ≈ {es_fit:.1f} s per job; the corpus is sized so the timed
+32-core wall ({ewmed[32]:.1f} s) is dominated by W/32
+({ew_fit / 32:.1f} s), not by S.
 
 Method notes:
 - one JVM per parallelism level per invocation (a SparkSession's core
@@ -294,6 +318,23 @@ Method notes:
   (SURVEY.md §6); throughput baselines for this engine are recorded
   per-round by bench.py (BENCH_r{{N}}.json)
 """
+
+    if extract_only:
+        # keep the committed shuffle-heavy section; replace only the
+        # extraction section just measured
+        with open(os.path.join(ROOT, "BENCH", "BASELINE.md")) as f:
+            existing = f.read()
+        cut = existing.find("\n## Shuffle-heavy operator:")
+        if cut >= 0:
+            md += existing[cut:]
+        with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
+            f.write(md)
+        print(json.dumps({"levels": results,
+                          "eff_4_to_16": round(eff_4_16, 3),
+                          "eff_8_to_32": round(eff_8_32, 3),
+                          "fit_core_sec": round(ew_fit, 1),
+                          "fit_serial_sec": round(es_fit, 2)}))
+        return
 
     # second evidence axis: a SHUFFLE-HEAVY operator (extraction is
     # embarrassingly parallel; near-dup has 3 shuffles + a self-join)
@@ -387,7 +428,9 @@ measurement mostly measures.
     if not dedup_only:
         summary.update({"levels": results,
                         "eff_4_to_16": round(eff_4_16, 3),
-                        "eff_8_to_32": round(eff_8_32, 3)})
+                        "eff_8_to_32": round(eff_8_32, 3),
+                        "fit_core_sec": round(ew_fit, 1),
+                        "fit_serial_sec": round(es_fit, 2)})
     print(json.dumps(summary))
 
 
