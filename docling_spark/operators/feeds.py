@@ -52,7 +52,8 @@ def _first_child_text(node: Element, name: str) -> str:
             text = " ".join(child.text.split())
             if not text and not child.children:
                 nxt = node.children[i + 1] if i + 1 < len(node.children) else None
-                data = getattr(nxt, "data", None)
+                data = nxt if nxt.__class__ is str \
+                    else getattr(nxt, "data", None)
                 if data is not None:
                     text = " ".join(data.split())
             return text

@@ -19,6 +19,13 @@ behaviors:
    are flagged so callers can skip them for floating-text capture, the
    check the reference does via ``isinstance(el, PreformattedString)``
    (html_backend.py:140-142).
+
+Node representation: plain text children are stored as bare ``str``
+objects (an object-creation saving that is ~25% of tokenize time on
+text-heavy documents); ``TextNode`` instances appear ONLY for
+preformatted strings (script/style payloads, comments, declarations).
+Consumers therefore distinguish three child classes: ``str`` (plain
+text), ``TextNode`` (preformatted), ``Element``.
 """
 
 from __future__ import annotations
@@ -73,8 +80,9 @@ class Element:
     def get(self, key: str, default=None):
         return self.attrs.get(key, default)
 
-    def append(self, node: Union["Element", TextNode]) -> None:
-        node.parent = self
+    def append(self, node: Union["Element", TextNode, str]) -> None:
+        if node.__class__ is not str:
+            node.parent = self
         self.children.append(node)
 
     def descendants(self) -> Iterator[Union["Element", TextNode]]:
@@ -130,11 +138,13 @@ class Element:
         stack = self.children[::-1]
         while stack:
             node = stack.pop()
-            if node.__class__ is TextNode:
-                if not node.preformatted:
-                    parts.append(node.data)
-            elif node.children:
+            cls = node.__class__
+            if cls is str:
+                parts.append(node)
+            elif cls is Element and node.children:
                 stack.extend(node.children[::-1])
+            # TextNode children are preformatted by construction
+            # (script/style/comment/decl) — excluded from .text
         return "".join(parts)
 
     def next_tag_siblings(self) -> List["Element"]:
@@ -142,7 +152,8 @@ class Element:
 
     def replace_child(self, old, new) -> None:
         idx = self.children.index(old)
-        new.parent = self
+        if new.__class__ is not str:
+            new.parent = self
         self.children[idx] = new
 
 
@@ -195,7 +206,10 @@ class _TreeBuilder(HTMLParser):
 
     def handle_data(self, data):
         if data:
-            self.top.append(TextNode(data, preformatted=self._in_preformatted()))
+            if self._in_preformatted():
+                self.top.append(TextNode(data, preformatted=True))
+            else:
+                self.top.children.append(data)  # plain text: bare str
 
     def handle_comment(self, data):
         self.top.append(TextNode(data, preformatted=True))
@@ -220,11 +234,6 @@ class _TreeBuilder(HTMLParser):
 # tests/test_dom_fast.py re-parses every reference HTML fixture both
 # ways and asserts tree equality.
 
-_FAST_STARTTAG = re.compile(
-    r"<([a-zA-Z][-.:\w]*)"                       # tag name
-    r"((?:\s+[^\s/>=]+"                          # attr name
-    r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|(?![\"'=])[^\s>]*))?"  # opt value
-    r")*)\s*(/?)>")
 _FAST_ATTR = re.compile(
     r"\s+([^\s/>=]+)"
     r"(?:\s*=\s*(\"([^\"]*)\"|'([^']*)'|((?![\"'=])[^\s>]*)))?")
@@ -232,6 +241,27 @@ _FAST_ENDTAG = re.compile(r"</\s*([a-zA-Z][-.:\w]*)\s*>")
 _FAST_RAWTEXT = {t: re.compile(r"</\s*%s" % t, re.I)
                  for t in ("script", "style")}
 _FAST_MSCLOSE = re.compile(r"]\s*]\s*>")
+
+# One alternation over every markup construct in the fast subset; the
+# engine's C-level alternation replaces per-position find('<') +
+# Python dispatch. Every alternative starts at a literal '<', so any
+# '<' the master pattern could not match stays inside the inter-match
+# gap — the gap check (no '<' in text) is therefore exactly the old
+# "construct outside the subset" bail. Dispatch is on m.lastindex
+# (empty groups count): 3=start (selfclose grp), 4=end, 5=comment,
+# 6=marked section, 7=decl, 8=pi.
+_FAST_MASTER = re.compile(
+    r"<(?:"
+    r"([a-zA-Z][-.:\w]*)"                        # 1 start tag name
+    r"((?:\s+[^\s/>=]+"                          # 2 attr body
+    r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|(?![\"'=])[^\s>]*))?"
+    r")*)\s*(/?)>"                               # 3 self-closing
+    r"|/\s*([a-zA-Z][-.:\w]*)\s*>"               # 4 end tag
+    r"|!--(.*?)-->"                              # 5 comment
+    r"|!\[(CDATA\[.*?)\]\s*\]\s*>"               # 6 marked section
+    r"|!(?!--)([^>\[]*)>"                        # 7 decl ('<!--' without
+    r"|\?([^>]*)>"                               # '-->' must BAIL, not
+    r")", re.S)                                  # degrade to a decl); 8 pi
 
 
 class _Bail(Exception):
@@ -242,8 +272,8 @@ def _parse_attrs(body: str) -> dict:
     """Attribute body → dict, last occurrence wins (the ``dict(attrs)``
     the builder applies to html.parser's pair list). Called lazily from
     Element.attrs on first access: the body string was already
-    validated by _FAST_STARTTAG at tokenize time, and since that
-    regex's attribute unit is textually identical to _FAST_ATTR and
+    validated by _FAST_MASTER's start-tag branch at tokenize time, and
+    since that branch's attribute unit is textually identical to _FAST_ATTR and
     greedy matching is deterministic, finditer here tiles the body
     exactly as the start-tag match did — contiguously and completely —
     so deferring the parse cannot change what an eager parse (with a
@@ -268,38 +298,37 @@ def _fast_feed(builder: _TreeBuilder, s: str) -> None:
     # parser on every fixture and under fuzz.
     stack = builder.stack
     top = stack[-1]
-    starttag_match = _FAST_STARTTAG.match
+    master_search = _FAST_MASTER.search
     endtag_match = _FAST_ENDTAG.match
-    find = s.find
     pos, n = 0, len(s)
     while pos < n:
-        lt = find("<", pos)
-        if lt != pos:
-            text = s[pos:] if lt < 0 else s[pos:lt]
+        m = master_search(s, pos)
+        start = m.start() if m else n
+        if start != pos:
+            text = s[pos:start]
+            if "<" in text:
+                # a '<' the master pattern could not consume: malformed
+                # tag / unclosed comment / conditional section / stray
+                # '<' — stdlib recovery territory, bail whole-document
+                raise _Bail
             if "&" in text:
                 text = unescape(text)
             # top is never script/style here: raw-text content is
             # consumed atomically below, so plain data is never
             # preformatted (matches _in_preformatted on the hook path)
-            node = TextNode(text)
-            node.parent = top
-            top.children.append(node)
-            if lt < 0:
-                break
-        nxt = s[lt + 1:lt + 2]
-        if nxt.isalpha():
-            m = starttag_match(s, lt)
-            if not m:
-                raise _Bail
-            tag = m.group(1)
+            top.children.append(text)            # plain text: bare str
+        if m is None:
+            break
+        pos = m.end()
+        branch = m.lastindex
+        if branch == 3:                  # start tag (grp 3 = '/?')
+            tag, body, selfclose = m.group(1, 2, 3)
             if not tag.islower():
                 tag = tag.lower()
-            body = m.group(2)
             el = Element(tag, body if body else None)  # lazy attrs
             el.parent = top
             top.children.append(el)
-            pos = m.end()
-            if m.group(3):               # self-closing: never pushes
+            if selfclose:                # self-closing: never pushes
                 continue
             if tag not in VOID_ELEMENTS:
                 stack.append(el)
@@ -330,11 +359,8 @@ def _fast_feed(builder: _TreeBuilder, s: str) -> None:
                     node.parent = top
                     top.children.append(node)
                 pos = m2.start()
-        elif nxt == "/":
-            m = endtag_match(s, lt)
-            if not m:
-                raise _Bail
-            tag = m.group(1)
+        elif branch == 4:                # end tag
+            tag = m.group(4)
             if not tag.islower():
                 tag = tag.lower()
             # pop to nearest matching open tag; unmatched → ignored
@@ -343,45 +369,16 @@ def _fast_feed(builder: _TreeBuilder, s: str) -> None:
                     del stack[i:]
                     break
             top = stack[-1]
-            pos = m.end()
-        elif nxt == "!":
-            if s.startswith("<!--", lt):
-                end = find("-->", lt + 4)
-                if end < 0:
-                    raise _Bail
-                builder.handle_comment(s[lt + 4:end])
-                top = stack[-1]
-                pos = end + 3
-            elif s.startswith("<![", lt):
-                # marked section: only the CDATA[...]]> form (closed by
-                # ']]>' with optional internal whitespace, content
-                # excludes both brackets — _markupbase semantics);
-                # conditional-section forms go to the stdlib path
-                if not s.startswith("CDATA[", lt + 3):
-                    raise _Bail
-                m = _FAST_MSCLOSE.search(s, lt + 3)
-                if not m:
-                    raise _Bail
-                builder.unknown_decl(s[lt + 3:m.start()])
-                top = stack[-1]
-                pos = m.end()
-            else:
-                end = find(">", lt)
-                decl = s[lt + 2:end] if end > 0 else ""
-                if end < 0 or "[" in decl:
-                    raise _Bail          # internal subset / unclosed
-                builder.handle_decl(decl)
-                top = stack[-1]
-                pos = end + 1
-        elif nxt == "?":
-            end = find(">", lt)
-            if end < 0:
-                raise _Bail
-            pos = end + 1                # handle_pi: default no-op
-        else:
-            # '<' before a non-tag char (or at EOF): stdlib recovery
-            # territory — not worth replicating, bail
-            raise _Bail
+        elif branch == 5:                # comment
+            builder.handle_comment(m.group(5))
+            top = stack[-1]
+        elif branch == 6:                # marked section (CDATA[... ,
+            builder.unknown_decl(m.group(6))     # closer excluded —
+            top = stack[-1]                      # _markupbase semantics)
+        elif branch == 7:                # declaration (no internal
+            builder.handle_decl(m.group(7))      # subset: '[' can't
+            top = stack[-1]                      # appear in the group)
+        # branch == 8: processing instruction — handle_pi: default no-op
 
 
 def parse_html(payload: str) -> Element:

@@ -59,7 +59,7 @@ class _HtmlWalker:
         # Replace <br> with newline text nodes.
         for br in content.find_all("br"):
             if br.parent is not None:
-                br.parent.replace_child(br, TextNode("\n"))
+                br.parent.replace_child(br, "\n")
 
         has_heading = content.find(("h1", "h2", "h3", "h4", "h5", "h6"))
         self.layer = BODY if has_heading is None else FURNITURE
@@ -81,12 +81,15 @@ class _HtmlWalker:
                 c.__class__ is Element and c.name in TAGS_FOR_NODE_ITEMS)
         text = ""
         for i, element in enumerate(children):
-            if isinstance(element, Element):
+            cls = element.__class__
+            if cls is Element:
                 self.analyze_tag(element)
-            elif isinstance(element, TextNode) and not element.preformatted:
+            elif cls is str:
                 # Floating text outside analyzed tags: flush when this
                 # is the last child or a node-item tag follows.
-                text += element.data
+                # (bare str = plain text; preformatted runs are
+                # TextNode instances and are skipped)
+                text += element
                 if i + 1 >= n or suffix[i + 1]:
                     text = text.strip()
                     if text and tag.name == "div":
@@ -121,6 +124,8 @@ class _HtmlWalker:
     def _node_text(item) -> str:
         """bs4 ``item.text``: the string itself for string nodes, the
         recursive plain-text join for tags."""
+        if item.__class__ is str:
+            return item
         if isinstance(item, TextNode):
             return item.data
         return item.text
@@ -130,6 +135,8 @@ class _HtmlWalker:
         return "".join(parts) + " "
 
     def _extract_text_recursively(self, item) -> List[str]:
+        if item.__class__ is str:
+            return [item]
         if isinstance(item, TextNode):
             return [item.data]
         result: List[str] = []
@@ -284,7 +291,7 @@ def parse_table_data(element: Element) -> Optional[TableData]:
                 math_parts = formula.text.split("$$")
                 if len(math_parts) == 3 and formula.parent is not None:
                     formula.parent.replace_child(
-                        formula, TextNode(f"$${math_parts[1]}$$"))
+                        formula, f"$${math_parts[1]}$$")
 
             text = html_cell.text
             col_span = _int_attr(html_cell, "colspan")

@@ -19,6 +19,8 @@ def _stdlib_parse(payload: str) -> dom.Element:
 
 
 def _canon(node):
+    if isinstance(node, str):
+        return ("#text", node, False)
     if isinstance(node, dom.TextNode):
         return ("#text", node.data, node.preformatted)
     return (node.name,
