@@ -35,6 +35,16 @@ from tools.pdf_parity import PDF_DIR, compare  # noqa: E402
 # sub-line boundaries (docling itself re-merges cells into lines).
 # Char parity stays cell-level: content completeness is
 # granularity-free.
+#
+# The residual right_to_left_02 line-level word deltas (~6% of words)
+# were traced glyph-by-glyph and are unsatisfiable by ANY space rule:
+# the groundtruth DROPS a real code-3 space glyph with a 0.24 em
+# advance mid-line ('علا ،' → joined 'علا،') yet SPLITS a 0.066 em
+# kern gap on another line of the same page ('را رقتسظا') — the same
+# page demands both "spaces are characters" and "spaces are geometry".
+# Both a pure-geometric rule and a drop-wide-mis-mapped-space-glyph
+# rule (the page's ToUnicode maps ~40 letter-wide glyphs to ' ') were
+# measured to move parity by exactly zero.
 FLOORS = {
     # name: (word_p, word_r, line_word_p, line_word_r, char_p, char_r)
     "2305.03393v1-pg9": (0.98, 0.98, 0.98, 0.98, 0.99, 0.99),
