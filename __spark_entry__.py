@@ -1478,6 +1478,20 @@ def q_chunk_documents_hier(spark, sf_dir):
         "n_tokens")
 
 
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) data-layout clustering over the events table —
+    the lakehouse OPTIMIZE ZORDER BY (user_id, value) primitive
+    (operators/zorder.py): linear min/max grid normalization, bit
+    interleave in pure Catalyst, per-file min/max footer stats that a
+    planner prunes on. One 1-row stats broadcast + one 64-key hash
+    agg; the Z projection itself is zero-shuffle."""
+    from docling_spark.operators.zorder import zorder_file_stats
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("a"),
+        F.floor(F.col("value") * 100).cast("long").alias("b"))
+    return zorder_file_stats(ev, "a", "b", bits=16, n_files=64)
+
+
 def q_layout_post_clusters(spark, sf_dir):
     """Stored-prediction layout postprocessing, end-to-end through the
     full pipeline (parsers/layout_post.py; reference
@@ -4135,6 +4149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_meta": q_media_audio_meta,
         # --- new in round 4 (kept inside the driver's 50-sample) ---
         "layout_post_clusters": q_layout_post_clusters,
+        "zorder_layout": q_zorder_layout,
         "html_metadata": q_html_metadata,
         "feed_urls": q_feed_urls,
         "url_path_templates": q_url_path_templates,
@@ -5070,6 +5085,15 @@ FROM allrows
     # keeps cells 1..k-1 with its bbox shrunk to the cell union, and
     # the far-away orphan cell is promoted to its own text cluster;
     # ordering is by minimum cell index.
+    # zorder_layout: the oracle SQL is generated from the SAME bit
+    # loop as the Spark expression (operators/zorder.py), so the two
+    # engines stay symmetric by construction.
+    from docling_spark.operators.zorder import zorder_oracle_sql
+    oracles["zorder_layout"] = zorder_oracle_sql(
+        "SELECT CAST(user_id AS BIGINT) AS a, "
+        "CAST(floor(value * 100) AS BIGINT) AS b FROM events",
+        "a", "b", bits=16, n_files=64)
+
     oracles["layout_post_clusters"] = """
 WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                   string_split(text, ' ') AS toks
