@@ -11,7 +11,7 @@ The corpus is materialized to many-file parquet first: at 100 TB a
 scan has thousands of splits, so benching against a single-file scan
 would measure an artifact (a serial reader) instead of the pipeline.
 The mix is heavy-tailed (1 in 20 documents is the 236 KB wiki_duck
-fixture, ~70 ms to parse; the rest are small synthetic docs) to
+fixture, ~12 ms to parse; the rest are small synthetic docs) to
 exercise the size-skew the partitioning must absorb.
 
 Writes BENCH/BASELINE.md and prints one JSON line.
@@ -260,7 +260,7 @@ North-rule criterion: ≥0.8 throughput scaling efficiency between N and
 4N executors. Sandbox evidence: the same extraction job over the same
 materialized corpus ({docs_n} documents, {n_files}-file parquet,
 heavy-tailed: 1 in 20 docs is the 236 KB wiki_duck.html fixture,
-~70 ms/parse) run at four parallelism levels, each sample a fresh JVM
+~12 ms/parse) run at four parallelism levels, each sample a fresh JVM
 (`python tools/bench_scaling.py`).
 
 The sandbox VM shares its host: single measurements vary with
@@ -312,7 +312,7 @@ Method notes:
   would bench the serial reader, not the pipeline
 - Python workers + whole-stage codegen warmed before the timed runs
 - heavy-tail mix exercises size skew: doc-hash partitioning spreads
-  the ~70 ms heavy parses across tasks; truly paginated mega-docs take
+  the ~12 ms heavy parses across tasks; truly paginated mega-docs take
   the page-parallel path (extract_spans_paged) instead
 - reference baseline: the docling repo publishes no in-tree benchmark
   (SURVEY.md §6); throughput baselines for this engine are recorded
