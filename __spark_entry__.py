@@ -1478,6 +1478,21 @@ def q_chunk_documents_hier(spark, sf_dir):
         "n_tokens")
 
 
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning (operators/compaction.py): the
+    documents table stands in for a per-source file listing (doc_id =
+    file order, n_chars = bytes). Offset binning — one cumulative-sum
+    window per source partition, one hash agg; bins under 2 files are
+    flagged ineligible (write amplification)."""
+    from docling_spark.operators.compaction import compaction_bins
+    files = _docs(spark, sf_dir).select(
+        "source",
+        F.col("doc_id").cast("long").alias("file_id"),
+        F.col("n_chars").cast("long").alias("bytes"))
+    return compaction_bins(files, part_col="source",
+                           target_bytes=20000)
+
+
 def q_zorder_layout(spark, sf_dir):
     """Z-order (Morton) data-layout clustering over the events table —
     the lakehouse OPTIMIZE ZORDER BY (user_id, value) primitive
@@ -4150,6 +4165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 4 (kept inside the driver's 50-sample) ---
         "layout_post_clusters": q_layout_post_clusters,
         "zorder_layout": q_zorder_layout,
+        "compaction_plan": q_compaction_plan,
         "html_metadata": q_html_metadata,
         "feed_urls": q_feed_urls,
         "url_path_templates": q_url_path_templates,
@@ -5093,6 +5109,24 @@ FROM allrows
         "SELECT CAST(user_id AS BIGINT) AS a, "
         "CAST(floor(value * 100) AS BIGINT) AS b FROM events",
         "a", "b", bits=16, n_files=64)
+
+    oracles["compaction_plan"] = """
+WITH files AS (
+  SELECT source, CAST(doc_id AS BIGINT) AS file_id,
+         CAST(n_chars AS BIGINT) AS bytes
+  FROM documents),
+off AS (
+  SELECT *, SUM(bytes) OVER (PARTITION BY source ORDER BY file_id
+                             ROWS UNBOUNDED PRECEDING) - bytes
+            AS _start
+  FROM files)
+SELECT source, _start // 20000 AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS bytes,
+       min(file_id) AS first_file, max(file_id) AS last_file,
+       count(*) >= 2 AS eligible
+FROM off GROUP BY 1, 2
+"""
 
     oracles["layout_post_clusters"] = """
 WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,

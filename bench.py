@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "source_vocab_kmv",
     "heavy_hitters_cms",
     "zorder_layout",
+    "compaction_plan",
     "dedup_minhash_lsh_indep",
     # round 4
     "layout_post_clusters",
