@@ -469,3 +469,33 @@ def test_bigram_entropy_partial_aggregation(spark):
     plan = _plan(source_bigram_entropy(docs))
     assert "partial_count" in plan or "partial_sum" in plan \
         or plan.count("HashAggregate") >= 4
+
+
+def test_zorder_stays_in_codegen_single_final_shuffle(spark):
+    """The Morton interleave must fold into whole-stage codegen (no
+    Python stage, no UDF), the stats side must broadcast (1 row), and
+    the only real exchange is the final file_id hash agg."""
+    from docling_spark.operators.zorder import zorder_file_stats
+    df = spark.createDataFrame([(i, i * 3 % 97) for i in range(100)],
+                               "a long, b long")
+    plan = _plan(zorder_file_stats(df, "a", "b", bits=8, n_files=8))
+    assert "Python" not in plan and "MapInPandas" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("partial_min") >= 1  # map-side partial stats agg
+    # exactly one hash-partitioned exchange: the file_id aggregation
+    shuffles = [ln for ln in plan.splitlines()
+                if "Exchange hashpartitioning" in ln]
+    assert len(shuffles) <= 1, shuffles
+
+
+def test_compaction_single_window_per_partition(spark):
+    """One cumulative-sum window partitioned by the table partition —
+    no global (empty-key) window, no join, partial agg present."""
+    from docling_spark.operators.compaction import compaction_bins
+    df = spark.createDataFrame(
+        [("p%d" % (i % 3), i, 100) for i in range(30)],
+        "part string, file_id long, bytes long")
+    plan = _plan(compaction_bins(df, part_col="part", target_bytes=300))
+    assert plan.count("Window") == 1
+    assert "partitionBy" not in plan or "Join" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
