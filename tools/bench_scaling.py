@@ -181,6 +181,51 @@ def _run_py(code: str, *args: str) -> str:
     return out.stdout
 
 
+def _md5_spin(seconds: float) -> int:
+    import hashlib
+    import time as _t
+    h = hashlib.md5()
+    t0 = _t.perf_counter()
+    n = 0
+    while _t.perf_counter() - t0 < seconds:
+        h.update(b"x" * 4096)
+        n += 1
+    return n
+
+
+def _probe_capacity(seconds: float = 0.7, workers: int = 32) -> int:
+    """Effective host CPU capacity right now: total md5 units/sec a
+    full-width process pool achieves. On a SHARED VM this moves with
+    co-tenant load; the quiet-window gate below compares it against
+    the best capacity observed this run."""
+    from concurrent.futures import ProcessPoolExecutor
+    with ProcessPoolExecutor(max_workers=workers) as ex:
+        total = sum(ex.map(_md5_spin, [seconds] * workers))
+    return int(total / seconds)
+
+
+def _wait_quiet(state: dict, frac: float = 0.88,
+                step_s: float = 20.0) -> tuple:
+    """Block until the host looks quiet (capacity >= frac x best seen
+    this run) or the SHARED wait budget (state['budget_s']) runs out.
+    Returns (probe, probe_fraction, waited_s). The gate selects
+    measurement WINDOWS, never results: every sample that runs is
+    recorded, with its probe fraction, whether or not the wait
+    succeeded — co-tenant bursts on this shared VM otherwise land
+    inside timed walls and measure the neighbors, not the engine."""
+    import time as _t
+    waited = 0.0
+    while True:
+        cap = _probe_capacity()
+        state["max"] = max(state.get("max", 0), cap)
+        fraction = cap / state["max"] if state["max"] else 1.0
+        if fraction >= frac or state.get("budget_s", 0.0) <= 0.0:
+            return cap, round(fraction, 3), round(waited, 1)
+        state["budget_s"] = state.get("budget_s", 0.0) - step_s
+        waited += step_s
+        _t.sleep(step_s)
+
+
 def main() -> None:
     import statistics
 
@@ -217,17 +262,35 @@ def main() -> None:
         # capability estimate
         samples: dict = {c: [] for c in (4, 8, 16, 32)}
         ewalls: dict = {c: [] for c in (4, 8, 16, 32)}
+        pfracs: dict = {c: [] for c in (4, 8, 16, 32)}
         docs_n = 0
+        # quiet-window gate: this VM shares its host, and a co-tenant
+        # burst landing inside a timed wall measures the neighbors,
+        # not the engine. Before each JVM launch, probe effective CPU
+        # capacity and wait (within a shared budget) until it is near
+        # the best capacity observed this run. The gate selects
+        # measurement WINDOWS only — every sample that runs is
+        # recorded with its probe fraction.
+        import time as _time
+        qstate = {"budget_s": float(os.environ.get(
+            "QUIET_WAIT_BUDGET_S", "1200"))}
+        for _ in range(3):               # calibration probes
+            qstate["max"] = max(qstate.get("max", 0), _probe_capacity())
+            _time.sleep(5)
         for _pass in range(invocations):
             for cpus in (4, 8, 16, 32):
+                probe, pfrac, waited = _wait_quiet(qstate)
                 line = [ln for ln in
                         _run_py(WORKER.format(root=ROOT), str(cpus),
                                 corpus_dir).strip().splitlines()
                         if ln.startswith("{")][-1]
                 r = json.loads(line)
+                r["probe_frac"] = pfrac
+                r["quiet_waited_s"] = waited
                 docs_n = r["docs"]
                 samples[cpus].append(r["docs_per_sec"])
                 ewalls[cpus].append(r["wall_sec"])
+                pfracs[cpus].append(pfrac)
                 print(json.dumps(r), flush=True)
 
         med = {c: statistics.median(v) for c, v in samples.items()}
@@ -250,10 +313,13 @@ def main() -> None:
         os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
         rows = "\n".join(
             f"| local[{c}] | {docs_n} | {med[c]:.1f} | {best[c]:.1f} | "
-            + " · ".join(f"{s:.1f}" for s in samples[c]) + " |"
+            + " · ".join(f"{s:.1f} (q{p})"
+                         for s, p in zip(samples[c], pfracs[c])) + " |"
             for c in (4, 8, 16, 32))
         results = {c: {"docs": docs_n, "docs_per_sec": med[c],
-                       "samples": samples[c]} for c in (4, 8, 16, 32)}
+                       "samples": samples[c],
+                       "probe_fracs": pfracs[c]}
+                   for c in (4, 8, 16, 32)}
         md = f"""# BENCH/BASELINE — measured scaling & throughput
 
 North-rule criterion: ≥0.8 throughput scaling efficiency between N and
@@ -311,6 +377,12 @@ Method notes:
   real split parallelism, as a 100 TB table would — a single-file scan
   would bench the serial reader, not the pipeline
 - Python workers + whole-stage codegen warmed before the timed runs
+- quiet-window gate: before each JVM launch a 32-process md5 probe
+  measures effective host capacity; the launch waits (shared budget,
+  default 1200 s) until capacity is ≥0.88× the best observed this
+  run. Each sample above carries its probe fraction as `(qX)` — the
+  gate picks measurement windows on this SHARED VM, it never drops a
+  recorded sample
 - heavy-tail mix exercises size skew: doc-hash partitioning spreads
   the ~12 ms heavy parses across tasks; truly paginated mega-docs take
   the page-parallel path (extract_spans_paged) instead
