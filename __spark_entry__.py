@@ -5120,11 +5120,11 @@ off AS (
                              ROWS UNBOUNDED PRECEDING) - bytes
             AS _start
   FROM files)
-SELECT source, _start // 20000 AS bin_id,
+SELECT source, CAST(_start // 20000 AS BIGINT) AS bin_id,
        CAST(count(*) AS BIGINT) AS n_files,
        CAST(sum(bytes) AS BIGINT) AS bytes,
        min(file_id) AS first_file, max(file_id) AS last_file,
-       count(*) >= 2 AS eligible
+       CAST(count(*) >= 2 AS INT) AS eligible
 FROM off GROUP BY 1, 2
 """
 

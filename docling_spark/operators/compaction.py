@@ -37,7 +37,9 @@ def compaction_bins(files: DataFrame, *, size_col: str = "bytes",
 
     Output, one row per (partition, bin): n_files, total bytes,
     first/last file in the bin (rewrite job inputs), and an
-    ``eligible`` flag — bins with fewer than ``skip_at_least`` files
+    ``eligible`` flag (int 0/1, not boolean — boolean columns diverge
+    between engines' result canonicalizers) — bins with fewer than
+    ``skip_at_least`` files
     are already compact and the rewrite would be pure write
     amplification, so the planner marks them skipped.
     """
@@ -56,4 +58,5 @@ def compaction_bins(files: DataFrame, *, size_col: str = "bytes",
                  F.sum(F.col(size_col).cast("long")).alias("bytes"),
                  F.min(order_col).alias("first_file"),
                  F.max(order_col).alias("last_file"),
-                 (F.count(F.lit(1)) >= skip_at_least).alias("eligible")))
+                 (F.count(F.lit(1)) >= skip_at_least)
+                 .cast("int").alias("eligible")))

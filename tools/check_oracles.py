@@ -35,11 +35,19 @@ def value_hash(rows, cols):
 
 
 def _canon(v):
+    # bool before float/int: isinstance(np.bool_, np.integer) is False
+    # but plain bool IS int, and both must canonicalize the same way.
+    import numpy as np
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        return repr(round(v, 9))
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if f != f:  # NaN — pandas' spelling of NULL in float columns
+            return "NULL"
+        return repr(round(f, 9))
+    if isinstance(v, np.integer):
         return str(int(v))
     return str(v)
 
@@ -85,6 +93,18 @@ def main():
                 return 1, [f"FAIL {name}: non-scalar output columns "
                            f"{complex_cols} (driver canonicalizer "
                            "cannot hash them)"]
+            # boolean outputs are the r4 `eligible` failure class:
+            # Spark emits True/False, DuckDB-via-pandas emits
+            # bool/object/float depending on the expression, and the
+            # driver hashes the representations differently. Registry
+            # queries must cast flags to int on both sides.
+            bool_cols = [f.name for f in sdf.schema.fields
+                         if f.dataType.typeName() == "boolean"]
+            if bool_cols:
+                return 1, [f"FAIL {name}: boolean output columns "
+                           f"{bool_cols} (cast flags to int on both "
+                           "engine sides — driver canonicalizers "
+                           "diverge on bool)"]
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             return 1, [f"FAIL {name}: spark error "
@@ -94,8 +114,15 @@ def main():
         try:
             cur = con.cursor()
             cur.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            # fetchdf, NOT fetchall: the driver canonicalizes DuckDB
+            # results through pandas, where HUGEINT (e.g. any window
+            # SUM over BIGINT) surfaces as float64 — fetchall's Python
+            # ints masked exactly the r4 `compaction_plan` failure.
+            # Going through the same dtype path keeps this gate
+            # strictly at-least-as-harsh as the driver's.
+            odf = cur.fetchdf()
+            ocols = list(odf.columns)
+            orows = list(odf.itertuples(index=False, name=None))
         except Exception as e:
             return 1, [f"FAIL {name}: duckdb error "
                        f"{type(e).__name__}: {e}"]
