@@ -53,21 +53,29 @@ def zorder_file_stats(df: DataFrame, col_a: str, col_b: str, *,
     Both columns must be integral (cast upstream; timestamps →
     epoch seconds, decimals → e4 fixed-point). Normalization is linear
     min/max → [0, 2^bits); ties in degenerate ranges collapse to 0.
+    Supported range: (value - min) * (2^bits - 1) is computed in
+    non-ANSI long arithmetic, so the per-column spread max - min must
+    stay below 2^63 / (2^bits - 1) (~1.4e14 at the default 16 bits)
+    or the scaled key silently wraps; re-scale wider domains upstream.
 
     Output: file_id, n_rows, min_a, max_a, min_b, max_b.
     """
-    a = F.col(col_a).cast("long")
-    b = F.col(col_b).cast("long")
+    a = df[col_a].cast("long")
+    b = df[col_b].cast("long")
     stats = df.agg(
         F.min(a).alias("_amin"), F.max(a).alias("_amax"),
         F.min(b).alias("_bmin"), F.max(b).alias("_bmax"))
     grid = (1 << bits) - 1
-    scaled = (df.crossJoin(F.broadcast(stats))
+    # integer DIV has no Column-API spelling, so the quotient stays in
+    # F.expr — but only over internal aliases (_a/_b/_amin/...), never
+    # interpolated user column names (dots/spaces would break parsing)
+    scaled = (df.withColumn("_a", a).withColumn("_b", b)
+              .crossJoin(F.broadcast(stats))
               .withColumn("_sa", F.expr(
-                  f"(CAST({col_a} AS BIGINT) - _amin) * {grid} DIV "
+                  f"(_a - _amin) * {grid} DIV "
                   f"greatest(_amax - _amin, 1)"))
               .withColumn("_sb", F.expr(
-                  f"(CAST({col_b} AS BIGINT) - _bmin) * {grid} DIV "
+                  f"(_b - _bmin) * {grid} DIV "
                   f"greatest(_bmax - _bmin, 1)")))
     zval = _interleave(F.col("_sa"), F.col("_sb"), bits)
     with_file = scaled.withColumn(

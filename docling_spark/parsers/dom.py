@@ -64,7 +64,7 @@ class Element:
         # defers parsing to first access (most elements' attrs are
         # never read); the stdlib path passes a ready dict
         self._attrs = attrs if attrs is not None else {}
-        self.children: List[Union["Element", TextNode]] = []
+        self.children: List[Union["Element", TextNode, str]] = []
         self.parent: Optional["Element"] = None
 
     @property
@@ -85,10 +85,12 @@ class Element:
             node.parent = self
         self.children.append(node)
 
-    def descendants(self) -> Iterator[Union["Element", TextNode]]:
+    def descendants(self) -> Iterator[Union["Element", TextNode, str]]:
         # iterative pre-order DFS: recursive `yield from` makes every
         # yielded node bubble through depth-many generator frames,
-        # which dominates tree-walk cost on large documents
+        # which dominates tree-walk cost on large documents.
+        # NOTE: yields bare ``str`` for plain-text children (the
+        # module-level node representation) — callers must handle it.
         stack = self.children[::-1]
         while stack:
             node = stack.pop()
@@ -157,7 +159,10 @@ class Element:
         self.children[idx] = new
 
 
-def _next_tag_siblings(node) -> List[Element]:
+def _next_tag_siblings(node: Union[Element, TextNode]) -> List[Element]:
+    # must be called with Element/TextNode nodes only: list.index uses
+    # __eq__, so a bare-str argument would match the first EQUAL
+    # string sibling, not the identical node
     if node.parent is None:
         return []
     sibs = node.parent.children
@@ -165,7 +170,8 @@ def _next_tag_siblings(node) -> List[Element]:
     return [s for s in sibs[idx + 1:] if isinstance(s, Element)]
 
 
-def next_sibling(node):
+def next_sibling(node: Union[Element, TextNode]):
+    # same Element/TextNode-only contract as _next_tag_siblings
     if node.parent is None:
         return None
     sibs = node.parent.children

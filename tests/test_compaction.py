@@ -55,12 +55,21 @@ def test_small_files_consolidate_large_stay(spark):
 
 
 def test_bin_never_splits_below_target_when_files_small(spark):
-    # every bin except the last per partition holds >= target bytes
-    # when all files are smaller than the target (the compaction regime)
-    rows = [("p", i, 30 + (i % 5) * 10) for i in range(300)]
+    # Offset binning's real guarantee: every bin except the last per
+    # partition holds >= target - max_file + 1 bytes — a file
+    # straddling the bin boundary is counted in the EARLIER bin, so a
+    # bin can undershoot the target by at most one file minus one
+    # byte.  Sizes are deliberately non-aligned (31 + (i*13) % 57
+    # never sums to a multiple of 500) so the bound is actually
+    # exercised, not masked by boundary alignment.
+    sizes = [31 + (i * 13) % 57 for i in range(300)]
+    rows = [("p", i, s) for i, s in enumerate(sizes)]
     df = spark.createDataFrame(rows, "part string, file_id long, bytes long")
     plan = sorted(compaction_bins(df, part_col="part",
                                   target_bytes=500).collect(),
                   key=lambda r: r["bin_id"])
+    floor = 500 - max(sizes) + 1
+    assert any(r["bytes"] < 500 for r in plan[:-1]), \
+        "sizes aligned — bound not exercised"
     for r in plan[:-1]:
-        assert r["bytes"] >= 500, r
+        assert r["bytes"] >= floor, r

@@ -497,5 +497,10 @@ def test_compaction_single_window_per_partition(spark):
         "part string, file_id long, bytes long")
     plan = _plan(compaction_bins(df, part_col="part", target_bytes=300))
     assert plan.count("Window") == 1
-    assert "partitionBy" not in plan or "Join" not in plan
+    assert "Join" not in plan
+    # the window must be keyed on the table partition, not a global
+    # empty-key window (the executed plan spells the spec
+    # windowspecdefinition(part#N, ...), never the API name
+    # 'partitionBy')
+    assert "windowspecdefinition(part#" in plan
     assert "partial_count" in plan or "partial_sum" in plan

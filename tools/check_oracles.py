@@ -49,6 +49,17 @@ def _canon(v):
         return repr(round(f, 9))
     if isinstance(v, np.integer):
         return str(int(v))
+    import datetime
+    if isinstance(v, datetime.datetime):  # incl. pd.Timestamp / NaT
+        if v != v:
+            return "NULL"
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        # DuckDB DATE surfaces as datetime64 midnight through fetchdf
+        # while Spark's DateType stays datetime.date — the driver
+        # treats the two as equal (r4: events_pivot/rollup/retention
+        # green), so canonicalize DATE to its midnight timestamp
+        return v.isoformat() + " 00:00:00"
     return str(v)
 
 
@@ -105,7 +116,15 @@ def main():
                            f"{bool_cols} (cast flags to int on both "
                            "engine sides — driver canonicalizers "
                            "diverge on bool)"]
-            srows = [tuple(r) for r in sdf.collect()]
+            # toPandas, NOT collect: the driver canonicalizes BOTH
+            # engines' results through pandas dtypes. collect() yields
+            # Python ints where pandas yields float64 (any nullable
+            # int column), so a collect-based Spark side would flag
+            # false mismatches against the fetchdf DuckDB side on
+            # queries the driver actually passes (e.g. the NULL-bearing
+            # asof-join columns), while masking none.
+            srows = list(sdf.toPandas().itertuples(index=False,
+                                                   name=None))
         except Exception as e:
             return 1, [f"FAIL {name}: spark error "
                        f"{type(e).__name__}: {e}"]
