@@ -304,87 +304,105 @@ def _fast_feed(builder: _TreeBuilder, s: str) -> None:
     # parser on every fixture and under fuzz.
     stack = builder.stack
     top = stack[-1]
-    master_search = _FAST_MASTER.search
     endtag_match = _FAST_ENDTAG.match
     pos, n = 0, len(s)
-    while pos < n:
-        m = master_search(s, pos)
-        start = m.start() if m else n
-        if start != pos:
-            text = s[pos:start]
-            if "<" in text:
-                # a '<' the master pattern could not consume: malformed
-                # tag / unclosed comment / conditional section / stray
-                # '<' — stdlib recovery territory, bail whole-document
-                raise _Bail
-            if "&" in text:
-                text = unescape(text)
-            # top is never script/style here: raw-text content is
-            # consumed atomically below, so plain data is never
-            # preformatted (matches _in_preformatted on the hook path)
-            top.children.append(text)            # plain text: bare str
-        if m is None:
-            break
-        pos = m.end()
-        branch = m.lastindex
-        if branch == 3:                  # start tag (grp 3 = '/?')
-            tag, body, selfclose = m.group(1, 2, 3)
-            if not tag.islower():
-                tag = tag.lower()
-            el = Element(tag, body if body else None)  # lazy attrs
-            el.parent = top
-            top.children.append(el)
-            if selfclose:                # self-closing: never pushes
-                continue
-            if tag not in VOID_ELEMENTS:
-                stack.append(el)
-                top = el
-            if tag == "script" or tag == "style":
-                # raw-text mode: everything until the MATCHING end tag
-                # is one preformatted data node, charrefs untouched.
-                # html.parser stays in cdata mode when the '</tag'
-                # prefix belongs to a longer/other tag name
-                # (`</scriptx>` inside <script> is data), so require a
-                # full end-tag match with the same name; a prefix that
-                # is not a clean end tag at all is stdlib-recovery
-                # territory — bail.
-                search = _FAST_RAWTEXT[tag].search
-                scan = pos
-                while True:
-                    m2 = search(s, scan)
-                    if not m2:
-                        raise _Bail
-                    m3 = endtag_match(s, m2.start())
-                    if m3 is None:
-                        raise _Bail
-                    if m3.group(1).lower() == tag:
+    # finditer: ONE C-level scan instead of a re.search call per
+    # construct (~5k calls on a 236 KB page). The streams only diverge
+    # after a raw-text (script/style) jump — an overlapping match
+    # yielded from inside the consumed block could swallow the end
+    # tag — so the iterator is RESTARTED at the new pos whenever
+    # raw-text consumption moves pos beyond the current match's end.
+    it = _FAST_MASTER.finditer(s)
+    while True:
+        for m in it:
+            start = m.start()
+            if start != pos:
+                text = s[pos:start]
+                if "<" in text:
+                    # a '<' the master pattern could not consume:
+                    # malformed tag / unclosed comment / conditional
+                    # section / stray '<' — stdlib recovery territory,
+                    # bail whole-document
+                    raise _Bail
+                if "&" in text:
+                    text = unescape(text)
+                # top is never script/style here: raw-text content is
+                # consumed atomically below, so plain data is never
+                # preformatted (matches _in_preformatted on the hook
+                # path)
+                top.children.append(text)        # plain text: bare str
+            pos = m.end()
+            branch = m.lastindex
+            if branch == 3:              # start tag (grp 3 = '/?')
+                tag, body, selfclose = m.group(1, 2, 3)
+                if not tag.islower():
+                    tag = tag.lower()
+                el = Element(tag, body if body else None)  # lazy attrs
+                el.parent = top
+                top.children.append(el)
+                if selfclose:            # self-closing: never pushes
+                    continue
+                if tag not in VOID_ELEMENTS:
+                    stack.append(el)
+                    top = el
+                if tag == "script" or tag == "style":
+                    # raw-text mode: everything until the MATCHING end
+                    # tag is one preformatted data node, charrefs
+                    # untouched. html.parser stays in cdata mode when
+                    # the '</tag' prefix belongs to a longer/other tag
+                    # name (`</scriptx>` inside <script> is data), so
+                    # require a full end-tag match with the same name;
+                    # a prefix that is not a clean end tag at all is
+                    # stdlib-recovery territory — bail.
+                    search = _FAST_RAWTEXT[tag].search
+                    scan = pos
+                    while True:
+                        m2 = search(s, scan)
+                        if not m2:
+                            raise _Bail
+                        m3 = endtag_match(s, m2.start())
+                        if m3 is None:
+                            raise _Bail
+                        if m3.group(1).lower() == tag:
+                            break
+                        scan = m2.start() + 1
+                    if m2.start() > pos:
+                        node = TextNode(s[pos:m2.start()],
+                                        preformatted=True)
+                        node.parent = top
+                        top.children.append(node)
+                    pos = m2.start()
+                    it = _FAST_MASTER.finditer(s, pos)
+                    break                # restart at the end tag
+            elif branch == 4:            # end tag
+                tag = m.group(4)
+                if not tag.islower():
+                    tag = tag.lower()
+                # pop to nearest matching open tag; unmatched → ignored
+                for i in range(len(stack) - 1, 0, -1):
+                    if stack[i].name == tag:
+                        del stack[i:]
                         break
-                    scan = m2.start() + 1
-                if m2.start() > pos:
-                    node = TextNode(s[pos:m2.start()], preformatted=True)
-                    node.parent = top
-                    top.children.append(node)
-                pos = m2.start()
-        elif branch == 4:                # end tag
-            tag = m.group(4)
-            if not tag.islower():
-                tag = tag.lower()
-            # pop to nearest matching open tag; unmatched → ignored
-            for i in range(len(stack) - 1, 0, -1):
-                if stack[i].name == tag:
-                    del stack[i:]
-                    break
-            top = stack[-1]
-        elif branch == 5:                # comment
-            builder.handle_comment(m.group(5))
-            top = stack[-1]
-        elif branch == 6:                # marked section (CDATA[... ,
-            builder.unknown_decl(m.group(6))     # closer excluded —
-            top = stack[-1]                      # _markupbase semantics)
-        elif branch == 7:                # declaration (no internal
-            builder.handle_decl(m.group(7))      # subset: '[' can't
-            top = stack[-1]                      # appear in the group)
-        # branch == 8: processing instruction — handle_pi: default no-op
+                top = stack[-1]
+            elif branch == 5:            # comment
+                builder.handle_comment(m.group(5))
+                top = stack[-1]
+            elif branch == 6:            # marked section (CDATA[...,
+                builder.unknown_decl(m.group(6))   # closer excluded —
+                top = stack[-1]                # _markupbase semantics)
+            elif branch == 7:            # declaration (no internal
+                builder.handle_decl(m.group(7))    # subset: '[' can't
+                top = stack[-1]                # appear in the group)
+            # branch == 8: processing instruction — handle_pi: no-op
+        else:
+            break                        # iterator exhausted
+    if pos < n:
+        text = s[pos:n]
+        if "<" in text:
+            raise _Bail
+        if "&" in text:
+            text = unescape(text)
+        top.children.append(text)
 
 
 def parse_html(payload: str) -> Element:
