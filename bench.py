@@ -364,7 +364,7 @@ def main() -> None:
     # rounds' per-query data is never overwritten.
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH")
-    round_tag = os.environ.get("BENCH_ROUND", "r04")
+    round_tag = os.environ.get("BENCH_ROUND", "r05")
     for out_path in (
             os.environ.get("BENCH_FULL_OUT",
                            os.path.join(bench_dir, "bench_full_last.json")),

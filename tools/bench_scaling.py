@@ -370,7 +370,7 @@ North-rule criterion: ≥0.8 throughput scaling efficiency between N and
 4N executors. Sandbox evidence: the same extraction job over the same
 materialized corpus ({docs_n} documents, {n_files}-file parquet,
 heavy-tailed: 1 in 20 docs is the 236 KB wiki_duck.html fixture,
-~12 ms/parse) run at four parallelism levels, each sample a fresh JVM
+~7–8 ms/parse) run at four parallelism levels, each sample a fresh JVM
 (`python tools/bench_scaling.py`).
 
 The sandbox VM shares its host: single measurements vary with
@@ -393,7 +393,7 @@ on best-per-level it is {eff_4_16_best:.3f}.
 
 N=8 vs 4N=32: efficiency = {eff_8_32:.3f}
 {"(meets ≥0.8)" if eff_8_32 >= 0.8 else "(below 0.8 at this pair)"}.
-Context for why it trails 4→16: extraction is an Arrow-batched
+Context on the thread geometry of the 8→32 pair: extraction is an Arrow-batched
 Python-UDF job, so every in-flight task occupies TWO threads — an
 executor thread (scan/shuffle/serde) and a Python worker (parse). At
 local[16] that is already 32 busy threads on this 32-hw-thread box:
