@@ -761,6 +761,7 @@ class Font:
         self.subtype = str(doc.resolve(fd.get("Subtype", "")) or "")
         self.is_cid = self.subtype == "Type0"
         self.two_byte = False
+        self._memo: Dict[int, str] = {}   # decode() code→unicode memo
         self.tounicode: Dict[int, str] = {}
         self.enc_map: Dict[int, str] = {}
         self.widths: Dict[int, float] = {}
@@ -852,15 +853,28 @@ class Font:
             self.descent = -float(desc) / 1000.0
 
     def decode(self, raw: bytes) -> List[Tuple[int, str]]:
-        """bytes → [(code, unicode string)] per glyph."""
+        """bytes → [(code, unicode string)] per glyph.
+
+        code→unicode is memoized per font (lazy 256-entry table for
+        single-byte fonts, dict for CID code space): _uni's mapping
+        chain is several dict probes per glyph and shows up as the
+        hottest line of the content interpreter on text-dense pages.
+        """
+        memo = self._memo
         out: List[Tuple[int, str]] = []
         if self.two_byte:
             for i in range(0, len(raw) - 1, 2):
                 code = (raw[i] << 8) | raw[i + 1]
-                out.append((code, self._uni(code)))
+                u = memo.get(code)
+                if u is None:
+                    u = memo[code] = self._uni(code)
+                out.append((code, u))
             return out
         for b in raw:
-            out.append((b, self._uni(b)))
+            u = memo.get(b)
+            if u is None:
+                u = memo[b] = self._uni(b)
+            out.append((b, u))
         return out
 
     def _uni(self, code: int) -> str:
@@ -1016,8 +1030,10 @@ class ContentInterpreter:
             seg_start = 0.0
             off = 0.0
             glyph_end = 0.0
+            fwidths = ts.font.widths       # hoisted: per-glyph loop
+            fdefault = ts.font.default_width
             for code, uni in glyphs:
-                w0 = ts.font.width(code) / 1000.0
+                w0 = fwidths.get(code, fdefault) / 1000.0
                 gw = w0 * ts.size * ts.h_scale
                 # Tc (char spacing) is applied to single-byte fonts
                 # only: docling-parse's cell dumps place Type0/CID
