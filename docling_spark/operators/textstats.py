@@ -236,24 +236,48 @@ def _winnow_udf(k: int, w: int):
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    def gram_hashes(t: str):
-        return [int(hashlib.md5(t[i:i + k].encode("utf-8"))
-                    .hexdigest()[:8], 16)
-                for i in range(len(t) - k + 1)]
+    md5 = hashlib.md5
+    from_bytes = int.from_bytes
 
     @pandas_udf("array<long>")
     def fps(texts: pd.Series) -> pd.Series:
+        # per-batch gram→hash memo: md5 is the whole cost of this UDF
+        # (one call per character position), and k-grams repeat
+        # heavily across positions and documents. digest()[:4] is the
+        # same value as int(hexdigest()[:8], 16) without the hex
+        # round-trip, so the DuckDB oracle replay is unchanged.
+        cache: dict = {}
+
+        def gram_hashes(grams):
+            hs = []
+            ap = hs.append
+            get = cache.get
+            for g in grams:
+                v = get(g)
+                if v is None:
+                    v = cache[g] = from_bytes(md5(g).digest()[:4],
+                                              "big")
+                ap(v)
+            return hs
+
         out = []
         for t in texts:
             t = t or ""
             n = len(t)
             if n < k:
-                out.append([int(hashlib.md5(t.encode("utf-8"))
-                                .hexdigest()[:8], 16)])
-            elif n < k + w - 1:
-                out.append([min(gram_hashes(t))])
+                out.append([from_bytes(
+                    md5(t.encode("utf-8")).digest()[:4], "big")])
+                continue
+            tb = t.encode("utf-8")
+            if len(tb) == n:   # ASCII: byte slices == char slices
+                grams = [tb[i:i + k] for i in range(n - k + 1)]
+            else:              # multibyte: slice chars, then encode
+                grams = [t[i:i + k].encode("utf-8")
+                         for i in range(n - k + 1)]
+            if n < k + w - 1:
+                out.append([min(gram_hashes(grams))])
             else:
-                hs = np.asarray(gram_hashes(t), dtype=np.int64)
+                hs = np.asarray(gram_hashes(grams), dtype=np.int64)
                 mins = np.lib.stride_tricks.sliding_window_view(
                     hs, w).min(axis=1)
                 out.append(np.unique(mins).tolist())
