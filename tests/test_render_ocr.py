@@ -154,3 +154,38 @@ def test_render_meta_columns(spark):
     assert (row.width_px, row.height_px) == (306, 396)
     assert row.n_cells == 1 and row.n_glyphs == 3
     assert bytes(row.png)[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_roundtrip_fuzz_random_gaps_same_line():
+    """Segmentation stress for the batched glyph decoder: several
+    words per line at RANDOM x positions (arbitrary inter-word gaps,
+    not the renderer's uniform space advance). Property: per line, the
+    recognized text with spaces removed equals the drawn glyph
+    sequence, and recognized word count never exceeds what the gap
+    rule can merge (adjacent words can fuse only when the gap is
+    sub-space width, never reorder or drop)."""
+    rng = random.Random(1234)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    for _ in range(15):
+        cells = []
+        per_line = []
+        y = 40.0
+        for _line in range(12):
+            x = float(rng.randint(0, 60))
+            words = []
+            while True:
+                w = "".join(rng.choice(alpha)
+                            for _ in range(rng.randint(1, 8)))
+                if x + len(w) * ADVANCE > 560:
+                    break
+                cells.append({"text": w, "l": x, "t": y,
+                              "r": x + len(w) * ADVANCE, "b": y + 10})
+                words.append(w)
+                x += len(w) * ADVANCE + rng.randint(2, 60)
+            per_line.append("".join(words))
+            y += 14.0
+        img, drawn = render_page(612.0, 792.0, cells)
+        assert drawn == sum(len(s) for s in per_line)
+        rec = ocr_page(img)
+        got_lines = [c["text"].replace(" ", "") for c in rec]
+        assert got_lines == [s for s in per_line if s]
