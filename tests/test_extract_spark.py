@@ -85,8 +85,12 @@ def test_prefilters_are_catalyst_side(spark):
                         max_payload_chars=10_000_000)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     # the filter sits under (after in plan text) the Python map node
+    # (MapInArrow since the arrow-assembly default; MapInPandas on the
+    # catalyst/python fallbacks)
     assert "Filter" in plan
-    assert plan.index("Filter") > plan.index("MapInPandas")
+    py_idx = (plan.index("MapInArrow") if "MapInArrow" in plan
+              else plan.index("MapInPandas"))
+    assert plan.index("Filter") > py_idx
 
 
 def test_output_schema_stable(spark):

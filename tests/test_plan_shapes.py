@@ -93,7 +93,9 @@ def test_extraction_prefilters_stay_under_python_node(spark):
     out = extract_spans(corpus, allowed_kinds=["html"],
                         max_payload_chars=1_000_000)
     plan = _optimized(out)
-    assert plan.index("Filter") > plan.index("MapInPandas")
+    py_idx = (plan.index("MapInArrow") if "MapInArrow" in plan
+              else plan.index("MapInPandas"))
+    assert plan.index("Filter") > py_idx
 
 
 def test_export_is_pure_projection(spark):
@@ -105,7 +107,8 @@ def test_export_is_pure_projection(spark):
     plan = _plan(out)
     # no exchange between extraction and the rendered output: the sink
     # renderer must not introduce a shuffle
-    python_idx = plan.index("MapInPandas")
+    python_idx = (plan.index("MapInArrow") if "MapInArrow" in plan
+                  else plan.index("MapInPandas"))
     assert "Exchange" not in plan[:python_idx]
 
 

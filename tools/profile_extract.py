@@ -103,6 +103,15 @@ def main() -> None:
     except ImportError:
         pass
 
+    # the production default (mapInArrow output marshal)
+    row = timed("arrow_sec",
+                lambda: extract_spans(corpus, assembly="arrow")
+                .select(F.sum("n_spans").alias("s"),
+                        F.sum("wall_us").alias("w")).collect()[0])
+    rep["arrow_in_udf_core_sec"] = round(row["w"] / 1e6, 3)
+    rep["arrow_spans"] = int(row["s"])
+    rep["arrow_docs_per_sec"] = round(n_docs / rep["arrow_sec"], 1)
+
     print(json.dumps(rep))
     spark.stop()
 
